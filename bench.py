@@ -1,0 +1,83 @@
+"""Benchmark harness — times the headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "headline_total_warm", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Per query: one cold run (plan + exec), then the min of two warm runs
+is reported — the driver's BASELINE is warm DuckDB latency, and warm
+is also what a resident 100 TB deployment sees. Timing includes the
+full action (collect to driver) but not session startup, which is
+amortized across all queries exactly as a long-lived engine would.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hetnetdb_spark import registry
+from hetnetdb_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Mirrors the BASELINE.md query set; filtered to what's registered so
+# the harness stays runnable mid-build.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "window_top3_orders_per_cust",
+    "events_sessionize_30m",
+    "events_tumbling_1h",
+    "docs_token_counts",
+    "emb_topk_cosine",
+]
+
+
+def _sf_from_dir(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    registry.load_all()
+    names = [n for n in HEADLINE if n in registry.QUERIES]
+    spark = get_spark("hetnetdb-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = registry.QUERIES[name]
+        fn(spark, SF_DIR).collect()  # cold: plan + JIT + page cache
+        warm = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).collect()
+            warm.append(time.perf_counter() - t0)
+        timings[name] = round(min(warm), 4)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_warm",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(SF_DIR),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,51 @@
+"""Catalog: parquet table loading + temp-view registration (S1, S5).
+
+The reference accepted table uploads and registered them in a root
+catalog; here a "catalog" is a scale-factor directory of parquet
+files. Loading is a metadata-only operation (parquet footers), and
+because every query goes through these helpers, the scan carries
+Catalyst's free optimizations: column pruning and predicate pushdown
+reach the parquet reader, partition pruning applies to partitioned
+sinks, and the vectorized reader + whole-stage codegen own the hot
+loop.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hetnetdb_spark.schemas import TABLE_NAMES
+from hetnetdb_spark.session import configure
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """S1 — parquet scan of one base table.
+
+    No explicit schema is passed: parquet is self-describing and the
+    footer types match ``schemas.SCHEMAS`` (validated in tests);
+    passing a mismatched-precision timestamp schema would insert a
+    cast above the scan and block filter pushdown.
+    """
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
+    configure(spark)
+    return tuple(load(spark, sf_dir, n) for n in names)
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """S5 — register base tables as temp views for the SQL entry path."""
+    configure(spark)
+    for n in names or TABLE_NAMES:
+        load(spark, sf_dir, n).createOrReplaceTempView(n)

@@ -1,0 +1,45 @@
+"""Shared column-expression helpers used across query modules.
+
+Everything here returns Catalyst ``Column`` expressions (JVM-side,
+codegen-friendly). Nothing crosses into Python at runtime.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def r6(c: Column | str) -> Column:
+    """Round a double expression to 6 decimals for oracle hash parity.
+
+    Double aggregates accumulate in partition order; Spark and DuckDB
+    can differ in the last ulp. Both sides round to 6 decimals so the
+    hashes compare stably (SURVEY §5 float discipline).
+    """
+    return F.round(F.col(c) if isinstance(c, str) else c, 6)
+
+
+def revenue() -> Column:
+    """TPC-H style revenue term: l_extendedprice * (1 - l_discount)."""
+    return F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+
+
+def charge() -> Column:
+    """Revenue with tax: extendedprice * (1 - discount) * (1 + tax)."""
+    return revenue() * (F.lit(1.0) + F.col("l_tax"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two float arrays, accumulated in double.
+
+    Built from higher-order functions (``zip_with`` + ``aggregate``)
+    so it stays inside codegen — no UDF, no Arrow crossing. The cast
+    to double before multiply matters: float32 accumulation drifts
+    past the 6-decimal rounding window at dim=64.
+    """
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )

@@ -1,0 +1,150 @@
+"""Flagship TPC-H-shaped queries over the star schema.
+
+These are the headline analytical queries the reference engine's SQL
+surface was built for (scan → filter → join → partial/final
+aggregate → sort/limit). On Spark the partial→final split the
+reference did across root/leaf nodes is Catalyst's two-phase
+HashAggregate; our job is to keep the plan declarative and the dims
+broadcast.
+
+Scale notes (100 TB posture):
+- q1: single scan of the fact table, sargable timestamp filter
+  (pushed to parquet), map-side partial agg on a 6-group key —
+  shuffle is a few KB regardless of input size.
+- q3/q5: fact-side joins use the dimension tables broadcast
+  (`F.broadcast`), so the only shuffle is the final group-by; join
+  order keeps lineitem pruned by the orders filter early.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hetnetdb_spark.catalog import load_tables
+from hetnetdb_spark.expr import charge, r6, revenue
+from hetnetdb_spark.registry import query
+
+Q1_ORACLE = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  ROUND(SUM(l_quantity), 6)                                        AS sum_qty,
+  ROUND(SUM(l_extendedprice), 6)                                   AS sum_base_price,
+  ROUND(SUM(l_extendedprice * (1 - l_discount)), 6)                AS sum_disc_price,
+  ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6)  AS sum_charge,
+  ROUND(AVG(l_quantity), 6)                                        AS avg_qty,
+  ROUND(AVG(l_extendedprice), 6)                                   AS avg_price,
+  ROUND(AVG(l_discount), 6)                                        AS avg_disc,
+  COUNT(*)                                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@query("q1_pricing_summary", oracle=Q1_ORACLE)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: pricing summary report (S1,P2,P3,A2,O1)."""
+    (lineitem,) = load_tables(spark, sf_dir, "lineitem")
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            r6(F.sum("l_quantity")).alias("sum_qty"),
+            r6(F.sum("l_extendedprice")).alias("sum_base_price"),
+            r6(F.sum(revenue())).alias("sum_disc_price"),
+            r6(F.sum(charge())).alias("sum_charge"),
+            r6(F.avg("l_quantity")).alias("avg_qty"),
+            r6(F.avg("l_extendedprice")).alias("avg_price"),
+            r6(F.avg("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q3_ORACLE = """
+SELECT
+  l_orderkey,
+  ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+  o_orderdate,
+  o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@query("q3_shipping_priority", oracle=Q3_ORACLE)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: unshipped-revenue top-10 (J1,J3,A2,O3).
+
+    The final ORDER BY uses the *rounded* revenue plus the unique
+    l_orderkey so the selected top-10 set is identical across
+    engines even when unrounded doubles differ in the last ulp.
+    """
+    customer, orders, lineitem = load_tables(spark, sf_dir, "customer", "orders", "lineitem")
+    cutoff = F.lit("1997-01-01").cast("timestamp")
+    return (
+        customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders.filter(F.col("o_orderdate") < cutoff), F.col("c_custkey") == F.col("o_custkey"))
+        .join(lineitem.filter(F.col("l_shipdate") > cutoff), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(r6(F.sum(revenue())).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+Q5_ORACLE = """
+SELECT
+  n_name,
+  ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+@query("q5_local_supplier", oracle=Q5_ORACLE)
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue by customer nation, 5-way join chain
+    (J2,J3,A2,O1).
+
+    lineitem→orders is the only shuffle join; customer at 1% of
+    lineitem would still broadcast at much larger SFs, and
+    nation/region are constant-size dims — all three pinned with
+    ``F.broadcast`` so the plan has exactly one shuffle exchange
+    before the final aggregate.
+    """
+    lineitem, orders, customer, nation, region = load_tables(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation", "region"
+    )
+    orders_f = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    return (
+        lineitem.join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(r6(F.sum(revenue())).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )

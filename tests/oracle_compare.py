@@ -1,0 +1,49 @@
+"""Local replica of the driver's Spark-vs-DuckDB comparison.
+
+Row count + column-name set + order-insensitive value comparison
+(columns sorted by name, rows sorted by all columns). Floats compare
+with a 1e-9 absolute tolerance — queries already round to 6 decimals
+so this only absorbs representation noise, not semantic drift.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def _canonical(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_object_dtype(df[c]):
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def assert_frames_match(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str) -> None:
+    assert len(spark_pdf) == len(duck_pdf), (
+        f"{name}: row count {len(spark_pdf)} (spark) != {len(duck_pdf)} (oracle)"
+    )
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
+        f"{name}: columns {sorted(spark_pdf.columns)} != {sorted(duck_pdf.columns)}"
+    )
+    s, d = _canonical(spark_pdf), _canonical(duck_pdf)
+    for c in s.columns:
+        sv, dv = s[c], d[c]
+        if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(dv):
+            sa = sv.astype("float64").to_numpy()
+            da = dv.astype("float64").to_numpy()
+            ok = np.isclose(sa, da, rtol=0.0, atol=1e-9, equal_nan=True)
+        else:
+            ok = (sv.to_numpy() == dv.to_numpy()) | (sv.isna() & dv.isna()).to_numpy()
+        if not ok.all():
+            bad = int(np.argmin(ok))
+            raise AssertionError(
+                f"{name}: column {c!r} mismatch at sorted row {bad}: "
+                f"spark={sv.iloc[bad]!r} oracle={dv.iloc[bad]!r} "
+                f"({int((~ok).sum())} of {len(ok)} rows differ)"
+            )
