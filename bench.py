@@ -50,6 +50,9 @@ def _sf_from_dir(path: str) -> float:
 def main() -> None:
     registry.load_all()
     names = [n for n in HEADLINE if n in registry.QUERIES]
+    skipped = [n for n in HEADLINE if n not in registry.QUERIES]
+    if skipped:
+        print(f"# SKIPPED (unregistered): {skipped}", file=sys.stderr)
     spark = get_spark("hetnetdb-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -72,6 +75,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 4),
                 "unit": "sec",
                 "queries": timings,
+                "skipped": skipped,
                 "sf": _sf_from_dir(SF_DIR),
             }
         )

@@ -36,6 +36,7 @@ SELECT
   ROUND(AVG(l_quantity), 6)                                        AS avg_qty,
   ROUND(AVG(l_extendedprice), 6)                                   AS avg_price,
   ROUND(AVG(l_discount), 6)                                        AS avg_disc,
+  ROUND(COALESCE(SUM(l_quantity) FILTER (WHERE l_discount > 0.05), 0), 6) AS sum_qty_discounted,
   COUNT(*)                                                         AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -46,7 +47,13 @@ ORDER BY l_returnflag, l_linestatus
 
 @query("q1_pricing_summary", oracle=Q1_ORACLE)
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1 shape: pricing summary report (S1,P2,P3,A2,O1)."""
+    """TPC-H Q1 shape: pricing summary report (S1,P2,P3,A2,A6,O1).
+
+    ``sum_qty_discounted`` is the A6 conditional aggregate: Spark has
+    no FILTER-clause syntax on the DataFrame API, so the idiomatic
+    form is ``sum(when(cond, x))`` — null for groups with no matching
+    rows, hence the coalesce to 0 on both sides.
+    """
     (lineitem,) = load_tables(spark, sf_dir, "lineitem")
     return (
         lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
@@ -59,6 +66,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             r6(F.avg("l_quantity")).alias("avg_qty"),
             r6(F.avg("l_extendedprice")).alias("avg_price"),
             r6(F.avg("l_discount")).alias("avg_disc"),
+            r6(
+                F.coalesce(
+                    F.sum(F.when(F.col("l_discount") > 0.05, F.col("l_quantity"))),
+                    F.lit(0.0),
+                )
+            ).alias("sum_qty_discounted"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -112,6 +125,7 @@ SELECT
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
 JOIN nation   ON c_nationkey = n_nationkey
 JOIN region   ON n_regionkey = r_regionkey
 WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -123,17 +137,21 @@ ORDER BY revenue DESC, n_name
 
 @query("q5_local_supplier", oracle=Q5_ORACLE)
 def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: revenue by customer nation, 5-way join chain
-    (J2,J3,A2,O1).
+    """TPC-H Q5: revenue from *local* suppliers by customer nation —
+    the supplier join carries the defining ``c_nationkey =
+    s_nationkey`` condition (J2,J3,A2,O1; 6-way chain).
 
-    lineitem→orders is the only shuffle join; customer at 1% of
-    lineitem would still broadcast at much larger SFs, and
-    nation/region are constant-size dims — all three pinned with
-    ``F.broadcast`` so the plan has exactly one shuffle exchange
-    before the final aggregate.
+    Scale posture: broadcast is pinned only for the bounded dims
+    (nation = 25 rows, region = 5 rows, forever). customer and
+    supplier grow with the scale factor — at the 100 TB posture a
+    pinned broadcast would OOM the executors, so AQE decides at
+    runtime (it converts them to broadcast when their post-filter
+    size is under the threshold, which is true at every test SF).
+    lineitem→orders stays a shuffle join on the FK; the only other
+    shuffle is the final 25-group aggregate.
     """
-    lineitem, orders, customer, nation, region = load_tables(
-        spark, sf_dir, "lineitem", "orders", "customer", "nation", "region"
+    lineitem, orders, customer, supplier, nation, region = load_tables(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation", "region"
     )
     orders_f = orders.filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -141,7 +159,12 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         lineitem.join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            supplier,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")

@@ -36,13 +36,24 @@ SESSION_CONF: dict[str, str] = {
 
 
 def configure(spark: SparkSession) -> SparkSession:
-    """Apply runtime-settable engine conf to an existing session."""
+    """Apply runtime-settable engine conf to an existing session.
+
+    Only "cannot modify a static/immutable conf" errors are
+    tolerated; anything else propagates. The session timezone is
+    re-verified afterwards because UTC is load-bearing for timestamp
+    parity with the DuckDB oracle — a silent failure there would
+    surface as undiagnosable hash mismatches.
+    """
     for k, v in SESSION_CONF.items():
         try:
             spark.conf.set(k, v)
-        except Exception:
-            # A static conf on this build — keep the session usable.
-            pass
+        except Exception as exc:  # noqa: BLE001 — filtered below
+            msg = str(exc)
+            if "static" not in msg.lower() and "modify" not in msg.lower():
+                raise
+    tz = spark.conf.get("spark.sql.session.timeZone", None)
+    if tz != "UTC":
+        raise RuntimeError(f"session timeZone is {tz!r}, not UTC — oracle parity would break")
     return spark
 
 

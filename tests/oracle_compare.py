@@ -21,7 +21,17 @@ def _canonical(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype("int64")
         elif pd.api.types.is_object_dtype(df[c]):
             df[c] = df[c].astype(str)
-    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    # Sort on 6dp-rounded float keys: queries already round float
+    # outputs to 6 decimals, so representation noise (<1e-9) rounds
+    # identically on both sides and cannot misalign rows the way
+    # sorting on raw doubles could (values just under the compare
+    # tolerance sorting differently in each frame).
+    sort_frame = df.copy()
+    for c in sort_frame.columns:
+        if pd.api.types.is_float_dtype(sort_frame[c]):
+            sort_frame[c] = sort_frame[c].round(6)
+    order = sort_frame.sort_values(by=list(df.columns), kind="mergesort").index
+    return df.loc[order].reset_index(drop=True)
 
 
 def assert_frames_match(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str) -> None:
