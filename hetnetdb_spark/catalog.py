@@ -15,6 +15,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from hetnetdb_spark.schemas import TABLE_NAMES
 from hetnetdb_spark.session import configure
@@ -36,7 +37,17 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
-    return spark.read.parquet(table_path(sf_dir, name))
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events":
+        # events.ts is TIMESTAMP(NANOS) in parquet, which Spark 4
+        # rejects outright; `spark.sql.legacy.parquet.nanosAsLong`
+        # (set in SESSION_CONF) surfaces it as epoch-nanos LongType.
+        # Integer `div` (not `/`: epoch-ns ≈ 1.7e18 exceeds double's
+        # 2^53 exact range) converts to µs, matching both Spark's
+        # native timestamp precision and DuckDB's read of the same
+        # column. Fixture values are µs-aligned, so this is lossless.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:

@@ -1,1 +1,334 @@
-"""Placeholder — operators land in a subsequent commit."""
+"""Aggregation operators — SURVEY §2.4 (A1, A3–A11; A2 lives in q1).
+
+Spark plans every groupBy here as a two-phase HashAggregate
+(map-side partial → shuffle on the group key → final), which is the
+distributed-merge model the reference ran across its root/leaf
+nodes. Group keys are low-cardinality fixture columns, so shuffle
+volume is bounded by (groups × aggregates), independent of input
+rows — the shape that survives a 100 TB scan.
+
+Float discipline (SURVEY §5): every double-valued aggregate is
+rounded to 6 decimals on both sides; variance-style aggregates are
+computed over small-magnitude columns (quantity/discount) so a 6dp
+absolute round is far above double accumulation noise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hetnetdb_spark.catalog import load_tables
+from hetnetdb_spark.expr import r6
+from hetnetdb_spark.registry import query
+
+# --------------------------------------------------------------------------
+# A1 — ungrouped aggregates
+# --------------------------------------------------------------------------
+
+A1_ORACLE = """
+SELECT COUNT(*)                          AS n_rows,
+       ROUND(SUM(l_extendedprice), 6)    AS sum_price,
+       ROUND(AVG(l_quantity), 6)         AS avg_qty,
+       ROUND(MIN(l_discount), 6)         AS min_disc,
+       ROUND(MAX(l_tax), 6)              AS max_tax
+FROM lineitem
+"""
+
+
+@query("a01_ungrouped_agg", oracle=A1_ORACLE)
+def a01_ungrouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — global aggregate: partials per partition, single-row merge."""
+    (lineitem,) = load_tables(spark, sf_dir, "lineitem")
+    return lineitem.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        r6(F.sum("l_extendedprice")).alias("sum_price"),
+        r6(F.avg("l_quantity")).alias("avg_qty"),
+        r6(F.min("l_discount")).alias("min_disc"),
+        r6(F.max("l_tax")).alias("max_tax"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A3 — COUNT(DISTINCT)
+# --------------------------------------------------------------------------
+
+A3_ORACLE = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_suppkey) AS n_supp,
+       COUNT(DISTINCT l_partkey) AS n_part,
+       COUNT(*)                  AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("a03_count_distinct", oracle=A3_ORACLE)
+def a03_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — exact distinct counts; Spark plans two distinct columns
+    as an Expand (one shuffle per distinct key set) — exact but
+    shuffle-heavy, which is why A4 exists for the 100 TB path."""
+    (lineitem,) = load_tables(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A4 — approx_count_distinct (HLL; rows-only: approximate by design)
+# --------------------------------------------------------------------------
+
+
+@query("a04_approx_count_distinct", oracle=None)
+def a04_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 — HyperLogLog++ distinct estimate (rows-only check: the
+    estimate is engine-specific by design). This is the scale path
+    for distinct counts: one pass, fixed-size sketch per group,
+    mergeable across partitions — no Expand, no second shuffle."""
+    (lineitem,) = load_tables(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_suppkey", rsd=0.02).alias("approx_n_supp"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_n_orders"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A5 — HAVING
+# --------------------------------------------------------------------------
+
+A5_ORACLE = """
+SELECT o_custkey,
+       COUNT(*)                      AS n_orders,
+       ROUND(SUM(o_totalprice), 6)   AS total_spend
+FROM orders
+GROUP BY o_custkey
+HAVING COUNT(*) >= 12 AND SUM(o_totalprice) > 100000
+"""
+
+
+@query("a05_having", oracle=A5_ORACLE)
+def a05_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 — HAVING is a post-aggregate filter; note it filters on the
+    *unrounded* sum (matching SQL semantics), rounding only for
+    output parity."""
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("_total_spend_raw"),
+        )
+        .filter((F.col("n_orders") >= 12) & (F.col("_total_spend_raw") > 100000))
+        .select(
+            "o_custkey",
+            "n_orders",
+            r6(F.col("_total_spend_raw")).alias("total_spend"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# A6 — conditional aggregates (FILTER clause)
+# --------------------------------------------------------------------------
+
+A6_ORACLE = """
+SELECT event_type,
+       COUNT(*) FILTER (WHERE value > 50)                       AS n_high,
+       ROUND(COALESCE(SUM(value) FILTER (WHERE value > 50), 0), 6) AS sum_high,
+       COUNT(*)                                                 AS n_all
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("a06_conditional_agg", oracle=A6_ORACLE)
+def a06_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 — FILTER-clause aggregates as count(when)/sum(when)."""
+    (events,) = load_tables(spark, sf_dir, "events")
+    high = F.col("value") > 50
+    return events.groupBy("event_type").agg(
+        F.count(F.when(high, 1)).alias("n_high"),
+        r6(F.coalesce(F.sum(F.when(high, F.col("value"))), F.lit(0.0))).alias("sum_high"),
+        F.count(F.lit(1)).alias("n_all"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A7 — stddev / variance
+# --------------------------------------------------------------------------
+
+A7_ORACLE = """
+SELECT l_returnflag,
+       ROUND(stddev_samp(l_quantity), 6) AS sd_qty,
+       ROUND(var_samp(l_quantity), 6)    AS var_qty,
+       ROUND(stddev_samp(l_discount), 6) AS sd_disc
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("a07_stddev_variance", oracle=A7_ORACLE)
+def a07_stddev_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 — sample stddev/variance over small-magnitude columns
+    (quantity ∈ [1,50], discount ∈ [0,0.1]) so 6dp rounding sits far
+    above both engines' accumulation noise."""
+    (lineitem,) = load_tables(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        r6(F.stddev_samp("l_quantity")).alias("sd_qty"),
+        r6(F.var_samp("l_quantity")).alias("var_qty"),
+        r6(F.stddev_samp("l_discount")).alias("sd_disc"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A8 — percentiles (exact, interpolated — matches quantile_cont)
+# --------------------------------------------------------------------------
+
+A8_ORACLE = """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_quantity, 0.5), 6)       AS p50_qty,
+       ROUND(quantile_cont(l_quantity, 0.9), 6)       AS p90_qty,
+       ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25_price
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("a08_percentiles", oracle=A8_ORACLE)
+def a08_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 — exact linear-interpolation percentiles (`F.percentile` ≡
+    DuckDB quantile_cont). The scale path is
+    `F.percentile_approx` (KLL-style sketch, mergeable); exact
+    percentile needs the group's values together and is kept for
+    parity-checkable semantics."""
+    (lineitem,) = load_tables(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        r6(F.percentile("l_quantity", 0.5)).alias("p50_qty"),
+        r6(F.percentile("l_quantity", 0.9)).alias("p90_qty"),
+        r6(F.percentile("l_extendedprice", 0.25)).alias("p25_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A9 — collect_list / collect_set (canonicalized to sorted CSV strings)
+# --------------------------------------------------------------------------
+
+A9_ORACLE = """
+SELECT l_returnflag,
+       (SELECT string_agg(s, ',' ORDER BY s)
+        FROM (SELECT DISTINCT l_linestatus AS s
+              FROM lineitem i
+              WHERE i.l_returnflag = o.l_returnflag) t) AS statuses,
+       COUNT(l_linestatus)                              AS n_collected
+FROM lineitem o
+GROUP BY l_returnflag
+"""
+
+
+@query("a09_collect_list_set", oracle=A9_ORACLE)
+def a09_collect_list_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 — collect_set canonicalized via array_sort + concat_ws so
+    the (orderless) set compares stably across engines;
+    collect_list is exercised via its length (its element order is
+    partition-dependent by definition)."""
+    (lineitem,) = load_tables(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.concat_ws(",", F.array_sort(F.collect_set("l_linestatus"))).alias("statuses"),
+        F.size(F.collect_list("l_linestatus")).cast("long").alias("n_collected"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A10 — ROLLUP / CUBE
+# --------------------------------------------------------------------------
+
+A10_ROLLUP_ORACLE = """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       ROUND(SUM(l_quantity), 6)     AS sum_qty,
+       COUNT(*)                      AS n_rows
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+@query("a10_rollup", oracle=A10_ROLLUP_ORACLE)
+def a10_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 — ROLLUP; grouping-null keys coalesced to 'ALL' on both
+    sides (fixture keys are non-null, so the sentinel is unambiguous
+    and keeps nulls out of the hash comparison)."""
+    (lineitem,) = load_tables(spark, sf_dir, "lineitem")
+    return (
+        lineitem.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            r6(F.sum("l_quantity")).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n_rows",
+        )
+    )
+
+
+A10_CUBE_ORACLE = """
+SELECT COALESCE(l_returnflag, 'ALL')  AS returnflag,
+       COALESCE(l_linestatus, 'ALL')  AS linestatus,
+       ROUND(SUM(l_extendedprice), 6) AS sum_price
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+"""
+
+
+@query("a10_cube", oracle=A10_CUBE_ORACLE)
+def a10_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 — CUBE (adds the per-linestatus margins ROLLUP lacks)."""
+    (lineitem,) = load_tables(spark, sf_dir, "lineitem")
+    return (
+        lineitem.cube("l_returnflag", "l_linestatus")
+        .agg(r6(F.sum("l_extendedprice")).alias("sum_price"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_price",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# A11 — deterministic first/last in group (via window)
+# --------------------------------------------------------------------------
+
+A11_ORACLE = """
+SELECT o_orderpriority, o_orderkey AS first_orderkey, o_orderdate AS first_orderdate
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_orderdate,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders
+) t
+WHERE rn = 1
+"""
+
+
+@query("a11_first_in_group", oracle=A11_ORACLE)
+def a11_first_in_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 — earliest order per priority. `F.first` is
+    partition-order-dependent, so the deterministic form is a window
+    row_number over a total order (date + unique key tiebreaker)."""
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderpriority",
+            F.col("o_orderkey").alias("first_orderkey"),
+            F.col("o_orderdate").alias("first_orderdate"),
+        )
+    )

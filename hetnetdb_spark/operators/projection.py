@@ -1,1 +1,273 @@
-"""Placeholder — operators land in a subsequent commit."""
+"""Projection & predicate operators — SURVEY §2.2 (P1, P4–P10).
+
+The reference's SQL subset lived on SELECT + WHERE; here each
+predicate/projection form is a named query with a DuckDB oracle
+twin. All of these are pure Catalyst surface: filters stay sargable
+(pushed into the parquet scan), projections prune columns at the
+reader, and nothing leaves the JVM.
+
+Scale notes: every query here is scan → (filter) → small aggregate
+or bounded-dim projection, so the shuffle payload is KBs regardless
+of input size. Predicates are expressed on raw columns (never
+wrapped in Python or non-deterministic exprs) so PushedFilters
+carries them to the parquet reader.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hetnetdb_spark.catalog import load_tables
+from hetnetdb_spark.expr import r6
+from hetnetdb_spark.registry import query
+
+# --------------------------------------------------------------------------
+# P1 — column projection + alias
+# --------------------------------------------------------------------------
+
+P1_ORACLE = """
+SELECT n_nationkey AS nation_id,
+       n_name      AS nation_name,
+       n_regionkey AS region_id
+FROM nation
+"""
+
+
+@query("p01_projection_alias", oracle=P1_ORACLE)
+def p01_projection_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 — select + alias; the scan reads only the named columns."""
+    (nation,) = load_tables(spark, sf_dir, "nation")
+    return nation.select(
+        F.col("n_nationkey").alias("nation_id"),
+        F.col("n_name").alias("nation_name"),
+        F.col("n_regionkey").alias("region_id"),
+    )
+
+
+# --------------------------------------------------------------------------
+# P4 — IN / NOT IN
+# --------------------------------------------------------------------------
+
+P4_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+  AND o_orderstatus NOT IN ('F')
+GROUP BY o_orderpriority
+"""
+
+
+@query("p04_in_notin", oracle=P4_ORACLE)
+def p04_in_notin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 — isin / negated isin compile to In/Not(In) and push down.
+
+    NOT IN's null-poisoning semantics don't bite here: the fixture
+    columns are non-null, and at scale the correct guard is an
+    isNotNull conjunct, which Catalyst adds for free on these.
+    """
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    return (
+        orders.filter(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+            & ~F.col("o_orderstatus").isin("F")
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+# --------------------------------------------------------------------------
+# P5 — BETWEEN
+# --------------------------------------------------------------------------
+
+P5_ORACLE = """
+SELECT l_returnflag,
+       COUNT(*)                    AS n_rows,
+       ROUND(SUM(l_quantity), 6)   AS sum_qty
+FROM lineitem
+WHERE l_quantity BETWEEN 10 AND 20
+  AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                     AND TIMESTAMP '1997-12-31 00:00:00'
+GROUP BY l_returnflag
+"""
+
+
+@query("p05_between", oracle=P5_ORACLE)
+def p05_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 — numeric and timestamp BETWEEN (inclusive both ends)."""
+    (lineitem,) = load_tables(spark, sf_dir, "lineitem")
+    return (
+        lineitem.filter(
+            F.col("l_quantity").between(10, 20)
+            & F.col("l_shipdate").between(
+                F.lit("1996-01-01").cast("timestamp"),
+                F.lit("1997-12-31").cast("timestamp"),
+            )
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            r6(F.sum("l_quantity")).alias("sum_qty"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# P6 — LIKE / regexp predicate
+# --------------------------------------------------------------------------
+
+P6_ORACLE = """
+SELECT p_brand, COUNT(*) AS n_parts
+FROM part
+WHERE p_name LIKE '%e%'
+  AND regexp_matches(p_type, '^(STANDARD|ECONOMY)')
+GROUP BY p_brand
+"""
+
+
+@query("p06_like_rlike", oracle=P6_ORACLE)
+def p06_like_rlike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 — LIKE wildcard + regexp predicate.
+
+    ``rlike`` and DuckDB ``regexp_matches`` share partial-match
+    semantics, so the anchored pattern means the same thing on both
+    sides.
+    """
+    (part,) = load_tables(spark, sf_dir, "part")
+    return (
+        part.filter(
+            F.col("p_name").like("%e%") & F.col("p_type").rlike("^(STANDARD|ECONOMY)")
+        )
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+
+
+# --------------------------------------------------------------------------
+# P7 — NULL handling (isNull / coalesce / nullif)
+# --------------------------------------------------------------------------
+
+P7_ORACLE = """
+SELECT COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'SUPPRESSED') AS segment,
+       COUNT(*)                                                 AS n_cust,
+       SUM(CASE WHEN NULLIF(c_mktsegment, 'BUILDING') IS NULL
+                THEN 1 ELSE 0 END)                              AS n_nulled
+FROM customer
+GROUP BY COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'SUPPRESSED')
+"""
+
+
+@query("p07_null_handling", oracle=P7_ORACLE)
+def p07_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 — the fixtures are null-free, so nulls are *manufactured*
+    with nullif and then observed (isNull) and repaired (coalesce)."""
+    (customer,) = load_tables(spark, sf_dir, "customer")
+    nulled = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    return (
+        customer.select(
+            F.coalesce(nulled, F.lit("SUPPRESSED")).alias("segment"),
+            nulled.isNull().cast("int").alias("is_nulled"),
+        )
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum("is_nulled").cast("long").alias("n_nulled"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# P8 — CASE WHEN
+# --------------------------------------------------------------------------
+
+P8_ORACLE = """
+SELECT CASE WHEN c_acctbal < 0    THEN 'debt'
+            WHEN c_acctbal < 5000 THEN 'mid'
+            ELSE 'high' END          AS tier,
+       COUNT(*)                      AS n_cust,
+       ROUND(SUM(c_acctbal), 6)      AS total_bal
+FROM customer
+GROUP BY 1
+"""
+
+
+@query("p08_case_when", oracle=P8_ORACLE)
+def p08_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 — multi-branch CASE with ELSE."""
+    (customer,) = load_tables(spark, sf_dir, "customer")
+    tier = (
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+    )
+    return (
+        customer.groupBy(tier.alias("tier"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            r6(F.sum("c_acctbal")).alias("total_bal"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# P9 — CAST
+# --------------------------------------------------------------------------
+
+P9_ORACLE = """
+SELECT CAST(l_linenumber AS BIGINT)            AS line_no,
+       COUNT(*)                                AS n_rows,
+       ROUND(SUM(CAST(l_orderkey AS DOUBLE)), 6) AS sum_key_dbl,
+       SUM(CAST(FLOOR(l_quantity) AS BIGINT))  AS sum_qty_int,
+       MIN(CAST(l_linenumber AS VARCHAR))      AS min_line_str
+FROM lineitem
+GROUP BY CAST(l_linenumber AS BIGINT)
+"""
+
+
+@query("p09_cast", oracle=P9_ORACLE)
+def p09_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 — widening, narrowing, and to-string casts.
+
+    double→int differs between engines (Spark truncates, DuckDB
+    rounds), so the oracle spells Spark's truncation as
+    FLOOR-then-cast — same values, explicit semantics (quantities
+    are non-negative).
+    """
+    (lineitem,) = load_tables(spark, sf_dir, "lineitem")
+    return (
+        lineitem.select(
+            F.col("l_linenumber").cast("long").alias("line_no"),
+            F.col("l_orderkey").cast("double").alias("key_dbl"),
+            F.col("l_quantity").cast("long").alias("qty_int"),
+            F.col("l_linenumber").cast("string").alias("line_str"),
+        )
+        .groupBy("line_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            r6(F.sum("key_dbl")).alias("sum_key_dbl"),
+            F.sum("qty_int").alias("sum_qty_int"),
+            F.min("line_str").alias("min_line_str"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# P10 — DISTINCT projection
+# --------------------------------------------------------------------------
+
+P10_ORACLE = """
+SELECT DISTINCT c_mktsegment AS segment, c_nationkey AS nationkey
+FROM customer
+"""
+
+
+@query("p10_distinct", oracle=P10_ORACLE)
+def p10_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10 — distinct over a two-column projection (plans as a
+    hash aggregate on the projected key, partial→final)."""
+    (customer,) = load_tables(spark, sf_dir, "customer")
+    return customer.select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").alias("nationkey"),
+    ).distinct()

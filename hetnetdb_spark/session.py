@@ -28,6 +28,10 @@ SESSION_CONF: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # events.ts is TIMESTAMP(NANOS) parquet, illegal for Spark 4's
+    # reader; read it as epoch-nanos long (catalog.load converts to
+    # a µs timestamp column).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Fixtures are small (≤600k rows); at 100 TB this is raised (or
     # left to AQE's advisory target) — AQE coalescing makes the
     # initial number a ceiling, not a commitment.
