@@ -1,1 +1,304 @@
-"""Placeholder — operators land in a subsequent commit."""
+"""Join operators beyond the flagship equi-joins — SURVEY §2.3 (J4–J10).
+
+J1–J3 (inner/broadcast/multi-way) are exercised by q3/q5; this
+module covers outer, semi/anti (the EXISTS shapes), cross, theta,
+as-of, and self joins.
+
+Scale posture, per shape:
+- outer/semi/anti joins shuffle on their equi key like any inner
+  join; the semi/anti forms additionally never widen the row, so
+  they are the cheapest EXISTS/NOT EXISTS evaluation at scale.
+- theta joins here always carry an equi conjunct (nation key, user
+  id) so Spark partitions on it and evaluates only the residual
+  range predicate within partitions — a pure cross product with a
+  filter is the anti-pattern at 100 TB.
+- the as-of join bounds its fan-out with a time window (7 days), the
+  standard trick that keeps the intermediate join linear-ish rather
+  than quadratic per key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hetnetdb_spark.catalog import load_tables
+from hetnetdb_spark.expr import r6
+from hetnetdb_spark.registry import query
+
+# --------------------------------------------------------------------------
+# J4 — left outer join
+# --------------------------------------------------------------------------
+
+J4_LEFT_ORACLE = """
+SELECT c_custkey,
+       COUNT(o_orderkey)                       AS n_orders,
+       ROUND(COALESCE(SUM(o_totalprice), 0), 6) AS total_spend
+FROM customer
+LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+"""
+
+
+@query("j04_left_outer", oracle=J4_LEFT_ORACLE)
+def j04_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 — left outer join keeps customers with no orders;
+    COUNT(o_orderkey) ignores the null-extended rows, and the spend
+    is coalesced so no nulls reach the hash comparison."""
+    customer, orders = load_tables(spark, sf_dir, "customer", "orders")
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            r6(F.coalesce(F.sum("o_totalprice"), F.lit(0.0))).alias("total_spend"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# J4 — full outer join
+# --------------------------------------------------------------------------
+
+J4_FULL_ORACLE = """
+SELECT COALESCE(c.nk, s.nk)      AS nationkey,
+       COALESCE(c.n_debt_cust, 0) AS n_debt_cust,
+       COALESCE(s.n_debt_supp, 0) AS n_debt_supp
+FROM (SELECT c_nationkey AS nk, COUNT(*) AS n_debt_cust
+      FROM customer WHERE c_acctbal < -800 GROUP BY c_nationkey) c
+FULL JOIN (SELECT s_nationkey AS nk, COUNT(*) AS n_debt_supp
+           FROM supplier WHERE s_acctbal < 0 GROUP BY s_nationkey) s
+ON c.nk = s.nk
+"""
+
+
+@query("j04_full_outer", oracle=J4_FULL_ORACLE)
+def j04_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 — full outer join of two aggregated sides whose key sets
+    genuinely differ (nations having in-debt customers vs in-debt
+    suppliers), so both null-extension directions are exercised."""
+    customer, supplier = load_tables(spark, sf_dir, "customer", "supplier")
+    c = (
+        customer.filter(F.col("c_acctbal") < -800)
+        .groupBy(F.col("c_nationkey").alias("c_nk"))
+        .agg(F.count(F.lit(1)).alias("n_debt_cust"))
+    )
+    s = (
+        supplier.filter(F.col("s_acctbal") < 0)
+        .groupBy(F.col("s_nationkey").alias("s_nk"))
+        .agg(F.count(F.lit(1)).alias("n_debt_supp"))
+    )
+    return c.join(s, F.col("c_nk") == F.col("s_nk"), "full").select(
+        F.coalesce("c_nk", "s_nk").alias("nationkey"),
+        F.coalesce("n_debt_cust", F.lit(0)).alias("n_debt_cust"),
+        F.coalesce("n_debt_supp", F.lit(0)).alias("n_debt_supp"),
+    )
+
+
+# --------------------------------------------------------------------------
+# J5 — left semi join (EXISTS)
+# --------------------------------------------------------------------------
+
+J5_ORACLE = """
+SELECT c_custkey, c_nationkey
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT')
+"""
+
+
+@query("j05_left_semi", oracle=J5_ORACLE)
+def j05_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 — EXISTS as a left-semi join: probe side never duplicates
+    or widens rows, the cheapest existence check at scale."""
+    customer, orders = load_tables(spark, sf_dir, "customer", "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    return customer.join(
+        urgent, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_nationkey")
+
+
+# --------------------------------------------------------------------------
+# J6 — left anti join (NOT EXISTS)
+# --------------------------------------------------------------------------
+
+J6_ORACLE = """
+SELECT c_custkey, ROUND(c_acctbal, 6) AS acctbal
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 350000)
+"""
+
+
+@query("j06_left_anti", oracle=J6_ORACLE)
+def j06_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 — NOT EXISTS as a left-anti join."""
+    customer, orders = load_tables(spark, sf_dir, "customer", "orders")
+    big = orders.filter(F.col("o_totalprice") > 350000)
+    return customer.join(
+        big, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", r6(F.col("c_acctbal")).alias("acctbal"))
+
+
+# --------------------------------------------------------------------------
+# J7 — cross join
+# --------------------------------------------------------------------------
+
+J7_ORACLE = """
+SELECT r_name, n_name,
+       CASE WHEN n_regionkey = r_regionkey THEN 1 ELSE 0 END AS is_home
+FROM region CROSS JOIN nation
+"""
+
+
+@query("j07_cross_join", oracle=J7_ORACLE)
+def j07_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 — explicit cross join, sane only between bounded dims
+    (5 × 25 here). At scale a cross join is only ever legitimate
+    when one side is a broadcast-able constant table — anything else
+    must be pruned to an equi/bucket join first (see L4)."""
+    region, nation = load_tables(spark, sf_dir, "region", "nation")
+    return region.crossJoin(nation).select(
+        "r_name",
+        "n_name",
+        F.when(F.col("n_regionkey") == F.col("r_regionkey"), 1).otherwise(0).alias("is_home"),
+    )
+
+
+# --------------------------------------------------------------------------
+# J8 — theta/range join (equi conjunct + inequality residual)
+# --------------------------------------------------------------------------
+
+J8_ORACLE = """
+SELECT n_name,
+       COUNT(*) AS n_pairs
+FROM supplier
+JOIN customer ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
+JOIN nation   ON n_nationkey = s_nationkey
+GROUP BY n_name
+"""
+
+
+@query("j08_theta_join", oracle=J8_ORACLE)
+def j08_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 — theta join: supplier–customer pairs in the same nation
+    where the supplier out-balances the customer. The equi conjunct
+    (nation key) lets Spark hash-partition; only the residual
+    ``s_acctbal > c_acctbal`` is evaluated within partitions —
+    the shape that keeps theta joins feasible at scale."""
+    supplier, customer, nation = load_tables(spark, sf_dir, "supplier", "customer", "nation")
+    return (
+        supplier.join(
+            customer,
+            (F.col("s_nationkey") == F.col("c_nationkey"))
+            & (F.col("s_acctbal") > F.col("c_acctbal")),
+        )
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+# --------------------------------------------------------------------------
+# J9 — as-of join (latest click at-or-before each purchase, per user)
+# --------------------------------------------------------------------------
+
+J9_ORACLE = """
+SELECT p_event_id, asof_click_id, asof_ts
+FROM (
+  SELECT p.event_id AS p_event_id,
+         c.event_id AS asof_click_id,
+         c.ts       AS asof_ts,
+         row_number() OVER (PARTITION BY p.event_id
+                            ORDER BY c.ts DESC, c.event_id DESC) AS rn
+  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+  JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    ON p.user_id = c.user_id
+   AND c.ts <= p.ts
+   AND c.ts >= p.ts - INTERVAL 7 DAY
+) t
+WHERE rn = 1
+"""
+
+
+@query("j09_asof_join", oracle=J9_ORACLE)
+def j09_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9 — as-of join: for each purchase, the most recent click by
+    the same user at or before the purchase (within 7 days).
+
+    Spark has no native batch ASOF JOIN, so the composition is:
+    equi-join on user + bounded time-range condition, then
+    ``row_number() = 1`` per left row over (ts DESC, id DESC). The
+    7-day bound is what keeps the intermediate linear-ish at scale
+    (unbounded as-of degenerates to per-key quadratics); the
+    remaining shuffle keys are user_id then p.event_id. For heavily
+    skewed users the alternative is groupBy(user).applyInPandas
+    with pandas.merge_asof, at the cost of an Arrow crossing.
+    """
+    (events,) = load_tables(spark, sf_dir, "events")
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("asof_click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("asof_ts"),
+    )
+    w = Window.partitionBy("p_event_id").orderBy(
+        F.col("asof_ts").desc(), F.col("asof_click_id").desc()
+    )
+    return (
+        p.join(
+            c,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("asof_ts") <= F.col("p_ts"))
+            & (F.col("asof_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAYS")),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("p_event_id", "asof_click_id", "asof_ts")
+    )
+
+
+# --------------------------------------------------------------------------
+# J10 — self-join (event pairs by the same user within 1 hour)
+# --------------------------------------------------------------------------
+
+J10_ORACLE = """
+SELECT a.user_id,
+       COUNT(*) AS n_pairs_1h
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND b.event_id > a.event_id
+ AND b.ts >= a.ts
+ AND b.ts <= a.ts + INTERVAL 1 HOUR
+GROUP BY a.user_id
+"""
+
+
+@query("j10_self_join", oracle=J10_ORACLE)
+def j10_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10 — self-join with aliases: ordered event pairs by the same
+    user within one hour (the sessionization precursor). Equi key
+    user_id partitions; the id ordering halves the pair space and
+    the 1 h bound caps per-user fan-out."""
+    (events,) = load_tables(spark, sf_dir, "events")
+    a = events.alias("a")
+    b = events.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.event_id") > F.col("a.event_id"))
+            & (F.col("b.ts") >= F.col("a.ts"))
+            & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .groupBy(F.col("a.user_id").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_pairs_1h"))
+    )

@@ -1,1 +1,304 @@
-"""Placeholder — operators land in a subsequent commit."""
+"""Window functions — SURVEY §2.5 (W1–W6), incl. the two headline
+window queries from BASELINE.md (top-3 orders per customer,
+30-minute event sessionization).
+
+Every window here partitions on a natural key (customer, user,
+priority), so at scale the sort is per-partition after one shuffle
+on the key — no global sort anywhere. Every ORDER BY inside a
+window carries a unique tiebreaker column so rank/row_number pick
+identical rows on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hetnetdb_spark.catalog import load_tables
+from hetnetdb_spark.expr import r6
+from hetnetdb_spark.registry import query
+
+# --------------------------------------------------------------------------
+# W1 — ranking family
+# --------------------------------------------------------------------------
+
+W1_ORACLE = """
+SELECT o_orderkey,
+       o_orderpriority,
+       row_number()   OVER w AS rn,
+       rank()         OVER w AS rnk,
+       dense_rank()   OVER w AS drnk,
+       ntile(4)       OVER w AS quartile,
+       ROUND(percent_rank() OVER w, 6) AS pct_rank,
+       ROUND(cume_dist()    OVER w, 6) AS cdist
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice DESC, o_orderkey)
+"""
+
+
+@query("w01_ranking", oracle=W1_ORACLE)
+def w01_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 — the full ranking family over one shared window; the
+    unique o_orderkey tiebreaker makes ntile/row_number
+    deterministic across engines."""
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return orders.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        r6(F.percent_rank().over(w)).alias("pct_rank"),
+        r6(F.cume_dist().over(w)).alias("cdist"),
+    )
+
+
+# --------------------------------------------------------------------------
+# W2 — lag / lead
+# --------------------------------------------------------------------------
+
+W2_ORACLE = """
+SELECT event_id,
+       user_id,
+       COALESCE(lag(event_id)  OVER w, -1) AS prev_event_id,
+       COALESCE(lead(event_id) OVER w, -1) AS next_event_id,
+       ROUND(COALESCE(epoch(ts) - epoch(lag(ts) OVER w), 0), 6) AS gap_s
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@query("w02_lag_lead", oracle=W2_ORACLE)
+def w02_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 — lag/lead over each user's event timeline; boundary nulls
+    coalesced to sentinels. Gap computed on epoch micros (exact
+    integers) then scaled, matching DuckDB's fractional epoch()."""
+    (events,) = load_tables(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    return events.select(
+        "event_id",
+        "user_id",
+        F.coalesce(F.lag("event_id").over(w), F.lit(-1)).alias("prev_event_id"),
+        F.coalesce(F.lead("event_id").over(w), F.lit(-1)).alias("next_event_id"),
+        r6(F.coalesce(gap_us.cast("double") / 1e6, F.lit(0.0))).alias("gap_s"),
+    )
+
+
+# --------------------------------------------------------------------------
+# W3 — running aggregate, ROWS frame
+# --------------------------------------------------------------------------
+
+W3_ORACLE = """
+SELECT o_orderkey,
+       o_custkey,
+       ROUND(SUM(o_totalprice) OVER (
+         PARTITION BY o_custkey
+         ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_spend
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+"""
+
+
+@query("w03_running_sum_rows", oracle=W3_ORACLE)
+def w03_running_sum_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 — per-customer running spend, explicit ROWS frame (the
+    deterministic frame: with a unique tiebreaker in the ordering,
+    ROWS and RANGE agree, but ROWS is the cheaper evaluator)."""
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        r6(F.sum("o_totalprice").over(w)).alias("running_spend"),
+    )
+
+
+# --------------------------------------------------------------------------
+# W4 — RANGE frame (value-based window)
+# --------------------------------------------------------------------------
+
+W4_ORACLE = """
+SELECT o_orderkey,
+       o_orderpriority,
+       COUNT(*) OVER (
+         PARTITION BY o_orderpriority
+         ORDER BY o_totalprice
+         RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS n_within_1k
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+"""
+
+
+@query("w04_range_frame", oracle=W4_ORACLE)
+def w04_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 — RANGE frame on a numeric ordering: how many same-priority
+    orders fall within 1000 below this order's price. RANGE includes
+    peers, so ties are handled identically on both engines with no
+    tiebreaker needed."""
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice")
+        .rangeBetween(-1000, Window.currentRow)
+    )
+    return orders.filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    ).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.count(F.lit(1)).over(w).alias("n_within_1k"),
+    )
+
+
+# --------------------------------------------------------------------------
+# W5 — first_value / last_value
+# --------------------------------------------------------------------------
+
+W5_ORACLE = """
+SELECT DISTINCT
+       o_orderpriority,
+       first_value(o_orderkey) OVER w AS cheapest_key,
+       last_value(o_orderkey)  OVER w AS priciest_key
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+@query("w05_first_last_value", oracle=W5_ORACLE)
+def w05_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 — first/last_value with the full-partition frame (the
+    default frame would make last_value = current row); DISTINCT
+    collapses to one row per priority."""
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.select(
+        "o_orderpriority",
+        F.first("o_orderkey").over(w).alias("cheapest_key"),
+        F.last("o_orderkey").over(w).alias("priciest_key"),
+    ).distinct()
+
+
+# --------------------------------------------------------------------------
+# W6 — top-k per group (headline: window_top3_orders_per_cust)
+# --------------------------------------------------------------------------
+
+W6_ORACLE = """
+SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 6) AS totalprice, rn AS order_rank
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) t
+WHERE rn <= 3
+ORDER BY o_custkey, rn
+LIMIT 100
+"""
+
+
+@query("window_top3_orders_per_cust", oracle=W6_ORACLE)
+def window_top3_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6/O3 — top-3 orders by price per customer (BASELINE.md
+    headline). row_number + filter plans as a per-partition top-k
+    (WindowGroupLimit pushes rn<=3 below the sort), so no partition
+    ever materializes more than k rows per key past the shuffle.
+    Output bounded to the first 100 (custkey, rank) rows for a
+    stable cross-engine result set."""
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            r6(F.col("o_totalprice")).alias("totalprice"),
+            F.col("rn").alias("order_rank"),
+        )
+        .orderBy("o_custkey", "order_rank")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Headline: events_sessionize_30m (W2+W3 composition, A2 finish)
+# --------------------------------------------------------------------------
+
+SESSIONIZE_ORACLE = """
+SELECT user_id,
+       session_id,
+       COUNT(*)  AS n_events,
+       MIN(ts)   AS session_start,
+       MAX(ts)   AS session_end
+FROM (
+  SELECT user_id, ts,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_id
+  FROM (
+    SELECT user_id, ts, event_id,
+           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     IS NULL
+                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+  ) flagged
+) numbered
+GROUP BY user_id, session_id
+"""
+
+
+@query("events_sessionize_30m", oracle=SESSIONIZE_ORACLE)
+def events_sessionize_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization with a 30-minute inactivity gap
+    (BASELINE.md headline): lag marks session starts, a running sum
+    numbers them, and a plain group-by aggregates each session.
+    One shuffle on user_id serves both windows and the final
+    aggregate. The streaming twin is T3's session_window."""
+    (events,) = load_tables(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    is_new = F.when(
+        F.lag("ts").over(w).isNull() | (gap_us > 30 * 60 * 1_000_000), 1
+    ).otherwise(0)
+    running = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        events.withColumn("is_new", is_new)
+        .withColumn("session_id", F.sum("is_new").over(running))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
