@@ -1,1 +1,351 @@
-"""Placeholder — operators land in a subsequent commit."""
+"""Scalar function library — SURVEY §2.7 (F1–F9), one declared query
+per function group.
+
+All functions are JVM built-ins inside whole-stage codegen — no
+Python crossings anywhere in this module. Cross-engine gotchas each
+query documents and neutralizes:
+
+- integer-returning functions differ in width (Spark int vs DuckDB
+  BIGINT) → function-derived ints are cast to long/BIGINT on both
+  sides;
+- DuckDB ``regexp_replace`` replaces the *first* match unless given
+  the ``'g'`` flag, Spark replaces all → oracle always passes 'g';
+- DuckDB casts double→int by *rounding*, Spark by truncation →
+  truncation is spelled FLOOR explicitly where it matters;
+- DATE-typed outputs surface as different pandas dtypes from the
+  two engines → date results are carried as timestamps or strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hetnetdb_spark.catalog import load_tables
+from hetnetdb_spark.expr import r6
+from hetnetdb_spark.registry import query
+
+# --------------------------------------------------------------------------
+# F1 — string functions
+# --------------------------------------------------------------------------
+
+F1_ORACLE = """
+SELECT n_name,
+       CAST(length(n_name) AS BIGINT)                    AS name_len,
+       upper(n_name)                                     AS up,
+       lower(n_name)                                     AS low,
+       trim(' ' || n_name || ' ')                        AS trimmed,
+       substring(n_name, 1, 3)                           AS first3,
+       concat_ws('-', n_name, substring(n_name, 1, 1))   AS joined,
+       replace(n_name, 'A', '@')                         AS replaced,
+       lpad(n_name, 12, '_')                             AS padded,
+       CAST(strpos(n_name, 'AN') AS BIGINT)              AS an_pos,
+       CAST(len(string_split(n_name, 'A')) AS BIGINT)    AS n_a_parts
+FROM nation
+"""
+
+
+@query("f01_string_functions", oracle=F1_ORACLE)
+def f01_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 — length/upper/lower/trim/substring/concat_ws/replace/
+    lpad/instr/split over the nation dim."""
+    (nation,) = load_tables(spark, sf_dir, "nation")
+    n = F.col("n_name")
+    return nation.select(
+        n.alias("n_name"),
+        F.length(n).cast("long").alias("name_len"),
+        F.upper(n).alias("up"),
+        F.lower(n).alias("low"),
+        F.trim(F.concat(F.lit(" "), n, F.lit(" "))).alias("trimmed"),
+        F.substring(n, 1, 3).alias("first3"),
+        F.concat_ws("-", n, F.substring(n, 1, 1)).alias("joined"),
+        F.replace(n, F.lit("A"), F.lit("@")).alias("replaced"),
+        F.lpad(n, 12, "_").alias("padded"),
+        F.instr(n, "AN").cast("long").alias("an_pos"),
+        F.size(F.split(n, "A")).cast("long").alias("n_a_parts"),
+    )
+
+
+# --------------------------------------------------------------------------
+# F2 — regex extract / replace
+# --------------------------------------------------------------------------
+
+F2_ORACLE = """
+SELECT p_partkey,
+       regexp_extract(p_name, '^(\\w+)', 1)           AS first_word,
+       regexp_replace(p_name, '[aeiou]', '*', 'g')    AS devoweled,
+       CAST(regexp_matches(p_type, 'ECONOMY|PROMO') AS INT) AS is_cheap_type
+FROM part
+WHERE p_partkey <= 500
+"""
+
+
+@query("f02_regex", oracle=F2_ORACLE)
+def f02_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 — regexp_extract/replace; the oracle passes the 'g' flag
+    because DuckDB's regexp_replace is first-match-only by default
+    while Spark's replaces every match."""
+    (part,) = load_tables(spark, sf_dir, "part")
+    return part.filter(F.col("p_partkey") <= 500).select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+        F.regexp_replace("p_name", "[aeiou]", "*").alias("devoweled"),
+        F.col("p_type").rlike("ECONOMY|PROMO").cast("int").alias("is_cheap_type"),
+    )
+
+
+# --------------------------------------------------------------------------
+# F3 — date / time functions
+# --------------------------------------------------------------------------
+
+F3_ORACLE = """
+SELECT o_orderkey,
+       CAST(date_part('year', o_orderdate) AS BIGINT)   AS yr,
+       CAST(date_part('month', o_orderdate) AS BIGINT)  AS mo,
+       CAST(date_part('day', o_orderdate) AS BIGINT)    AS dom,
+       date_trunc('month', o_orderdate)                 AS month_start,
+       CAST(date_diff('day', o_orderdate, TIMESTAMP '2002-01-01 00:00:00') AS BIGINT)
+                                                        AS days_to_2002,
+       CAST(FLOOR(epoch(o_orderdate)) AS BIGINT)        AS epoch_s,
+       o_orderdate + INTERVAL 30 DAY                    AS plus_30d,
+       strftime(o_orderdate, '%Y-%m-%d')                AS iso_day
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+"""
+
+
+@query("f03_datetime", oracle=F3_ORACLE)
+def f03_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 — year/month/day extraction, month truncation, day diffs,
+    epoch seconds, interval arithmetic, and formatting. DATE-typed
+    results are avoided in the output (pandas dtype mismatch across
+    engines); iso_day carries the to_date semantics as a string."""
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return orders.filter(d >= F.lit("2001-01-01").cast("timestamp")).select(
+        "o_orderkey",
+        F.year(d).cast("long").alias("yr"),
+        F.month(d).cast("long").alias("mo"),
+        F.dayofmonth(d).cast("long").alias("dom"),
+        F.date_trunc("month", d).alias("month_start"),
+        F.datediff(F.lit("2002-01-01").cast("date"), d).cast("long").alias("days_to_2002"),
+        F.unix_timestamp(d).alias("epoch_s"),
+        (d + F.expr("INTERVAL 30 DAYS")).alias("plus_30d"),
+        F.date_format(d, "yyyy-MM-dd").alias("iso_day"),
+    )
+
+
+# --------------------------------------------------------------------------
+# F4 — math functions
+# --------------------------------------------------------------------------
+
+F4_ORACLE = """
+SELECT CAST(l_linenumber AS BIGINT)                              AS line_no,
+       ROUND(SUM(ROUND(l_extendedprice, 1)), 6)                  AS sum_round1,
+       ROUND(SUM(ABS(l_discount - 0.05)), 6)                     AS sum_absdev,
+       ROUND(SUM(CAST(CEIL(l_quantity) AS DOUBLE)), 6)           AS sum_ceil,
+       ROUND(SUM(CAST(FLOOR(l_tax * 100) AS DOUBLE)), 6)         AS sum_floor_tax,
+       ROUND(SUM(SQRT(l_quantity)), 6)                           AS sum_sqrt,
+       ROUND(SUM(EXP(l_discount)), 6)                            AS sum_exp,
+       ROUND(SUM(LN(l_extendedprice)), 6)                        AS sum_ln,
+       ROUND(SUM(LOG10(l_extendedprice)), 6)                     AS sum_log10,
+       ROUND(SUM(POW(l_discount, 2)), 6)                         AS sum_pow2,
+       ROUND(SUM(SIGN(l_discount - 0.05)), 6)                    AS sum_sign,
+       SUM(CAST(l_orderkey % 7 AS BIGINT))                       AS sum_mod7
+FROM lineitem
+GROUP BY CAST(l_linenumber AS BIGINT)
+"""
+
+
+@query("f04_math", oracle=F4_ORACLE)
+def f04_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 — round/abs/ceil/floor/sqrt/exp/ln/log10/pow/sign/mod,
+    aggregated per line number so every function is exercised on
+    every row while the result stays 7 rows."""
+    (lineitem,) = load_tables(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy(F.col("l_linenumber").cast("long").alias("line_no"))
+        .agg(
+            r6(F.sum(F.round("l_extendedprice", 1))).alias("sum_round1"),
+            r6(F.sum(F.abs(F.col("l_discount") - 0.05))).alias("sum_absdev"),
+            r6(F.sum(F.ceil("l_quantity").cast("double"))).alias("sum_ceil"),
+            r6(F.sum(F.floor(F.col("l_tax") * 100).cast("double"))).alias("sum_floor_tax"),
+            r6(F.sum(F.sqrt("l_quantity"))).alias("sum_sqrt"),
+            r6(F.sum(F.exp("l_discount"))).alias("sum_exp"),
+            r6(F.sum(F.log("l_extendedprice"))).alias("sum_ln"),
+            r6(F.sum(F.log10("l_extendedprice"))).alias("sum_log10"),
+            r6(F.sum(F.pow("l_discount", F.lit(2)))).alias("sum_pow2"),
+            r6(F.sum(F.signum(F.col("l_discount") - 0.05))).alias("sum_sign"),
+            F.sum(F.col("l_orderkey") % 7).alias("sum_mod7"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# F5 — array / higher-order functions (over the embedding column)
+# --------------------------------------------------------------------------
+
+F5_ORACLE = """
+SELECT vec_id,
+       CAST(len(embedding) AS BIGINT)                                  AS dim,
+       ROUND(CAST(embedding[1] AS DOUBLE), 6)                          AS first_val,
+       ROUND(list_aggregate(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), 6) AS norm_sq,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT)         AS n_pos,
+       ROUND(CAST(list_aggregate(list_sort(embedding), 'max') AS DOUBLE), 6) AS max_val
+FROM embeddings
+"""
+
+
+@query("f05_array_higher_order", oracle=F5_ORACLE)
+def f05_array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 — size/element_at/transform/filter/aggregate/array_sort
+    over the 64-dim embedding vectors; per-element math is cast to
+    double *before* multiplying so both engines accumulate
+    identically (float32 accumulation would drift past 6dp)."""
+    (embeddings,) = load_tables(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    return embeddings.select(
+        "vec_id",
+        F.size(emb).cast("long").alias("dim"),
+        r6(F.element_at(emb, 1).cast("double")).alias("first_val"),
+        r6(
+            F.aggregate(
+                F.transform(emb, lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        ).alias("norm_sq"),
+        F.size(F.filter(emb, lambda x: x > 0)).cast("long").alias("n_pos"),
+        r6(F.element_at(F.array_sort(emb), -1).cast("double")).alias("max_val"),
+    )
+
+
+# --------------------------------------------------------------------------
+# F6 — JSON → struct (from_json over events.props)
+# --------------------------------------------------------------------------
+
+F6_ORACLE = """
+SELECT event_type,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       COUNT(*)                                               AS n
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("f06_from_json_struct", oracle=F6_ORACLE)
+def f06_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 — from_json with an explicit struct schema (never
+    schema_of_json over the data at scale: that is a second scan),
+    then struct field access and aggregation."""
+    (events,) = load_tables(spark, sf_dir, "events")
+    parsed = F.from_json(F.col("props"), "k BIGINT")
+    return (
+        events.select("event_type", parsed.getField("k").alias("k"))
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# F7 — JSON path extraction (get_json_object)
+# --------------------------------------------------------------------------
+
+F7_ORACLE = """
+SELECT event_type,
+       COUNT(*) FILTER (WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50)
+         AS n_big_k,
+       MIN(json_extract_string(props, '$.k')) AS min_k_str
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("f07_get_json_object", oracle=F7_ORACLE)
+def f07_get_json_object(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 — get_json_object path extraction (string-returning, no
+    declared schema needed — the ad-hoc JSON probe)."""
+    (events,) = load_tables(spark, sf_dir, "events")
+    k_str = F.get_json_object(F.col("props"), "$.k")
+    return events.groupBy("event_type").agg(
+        F.count(F.when(k_str.cast("long") > 50, 1)).alias("n_big_k"),
+        F.min(k_str).alias("min_k_str"),
+    )
+
+
+# --------------------------------------------------------------------------
+# F8 — conditional functions
+# --------------------------------------------------------------------------
+
+F8_ORACLE = """
+SELECT c_nationkey,
+       ROUND(SUM(GREATEST(c_acctbal, 0)), 6)        AS sum_pos_bal,
+       ROUND(SUM(LEAST(c_acctbal, 0)), 6)           AS sum_neg_bal,
+       SUM(CASE WHEN NULLIF(c_mktsegment, 'BUILDING') IS NULL THEN 1 ELSE 0 END)
+                                                    AS n_building,
+       ROUND(SUM(COALESCE(NULLIF(c_acctbal, 0.0), -1.0)), 6) AS sum_coalesced
+FROM customer
+GROUP BY c_nationkey
+"""
+
+
+@query("f08_conditional", oracle=F8_ORACLE)
+def f08_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 — greatest/least/coalesce/nullif."""
+    (customer,) = load_tables(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    return customer.groupBy("c_nationkey").agg(
+        r6(F.sum(F.greatest(bal, F.lit(0.0)))).alias("sum_pos_bal"),
+        r6(F.sum(F.least(bal, F.lit(0.0)))).alias("sum_neg_bal"),
+        F.sum(
+            F.when(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).isNull(), 1).otherwise(0)
+        ).cast("long").alias("n_building"),
+        r6(F.sum(F.coalesce(F.nullif(bal, F.lit(0.0)), F.lit(-1.0)))).alias("sum_coalesced"),
+    )
+
+
+# --------------------------------------------------------------------------
+# F9 — hashing (md5 / sha2 oracle-checked; xxhash64 engine-specific)
+# --------------------------------------------------------------------------
+
+F9_ORACLE = """
+SELECT c_mktsegment,
+       MIN(md5(c_name))    AS min_md5,
+       MAX(sha256(c_name)) AS max_sha256,
+       COUNT(DISTINCT md5(c_name)) AS n_distinct_md5
+FROM customer
+GROUP BY c_mktsegment
+"""
+
+
+@query("f09_hash_functions", oracle=F9_ORACLE)
+def f09_hash_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 — md5/sha2 are standard algorithms, so their hex digests
+    agree across engines and support the oracle check; these are the
+    dedup keys for L1."""
+    (customer,) = load_tables(spark, sf_dir, "customer")
+    return customer.groupBy("c_mktsegment").agg(
+        F.min(F.md5("c_name")).alias("min_md5"),
+        F.max(F.sha2(F.col("c_name"), 256)).alias("max_sha256"),
+        F.countDistinct(F.md5("c_name")).alias("n_distinct_md5"),
+    )
+
+
+@query("f09_engine_hashes", oracle=None)
+def f09_engine_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 (rows-only) — xxhash64 and monotonically_increasing_id are
+    engine-defined (xxhash64's seed/mixing and the id's partition
+    encoding are Spark-specific), so the check is structural:
+    xxhash64 must be collision-free on the unique key column and
+    every generated id distinct."""
+    (customer,) = load_tables(spark, sf_dir, "customer")
+    hashed = customer.select(
+        F.xxhash64("c_name").alias("h"),
+        F.monotonically_increasing_id().alias("mid"),
+    )
+    return hashed.agg(
+        F.countDistinct("h").alias("n_distinct_hash"),
+        F.countDistinct("mid").alias("n_distinct_id"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
