@@ -1,1 +1,419 @@
-"""Placeholder — operators land in a subsequent commit."""
+"""Text-analysis pipeline — SURVEY §2.9 L5/L6/L7/L9 plus the
+training-data text operators (language-ID, quality scoring, BPE-ish
+token counting, document fingerprinting) over the ``documents``
+table.
+
+Scale posture: every query here is a scan → narrow projection →
+hash aggregate. The only shuffles are on low-cardinality keys
+(lang × source ≤ 25 groups) or on terms (L6, bounded by vocabulary
+size, with map-side partial aggregation), so at 100 TB these remain
+scan-bound with KB-scale shuffles. No Python crossing anywhere —
+tokenization is `split`/`regexp`, fingerprints are `md5` over
+higher-order-function shingles, all inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hetnetdb_spark.catalog import load_tables
+from hetnetdb_spark.expr import r6
+from hetnetdb_spark.registry import query
+
+# --------------------------------------------------------------------------
+# Headline: docs_token_counts (L5 + F1 + A2) — BASELINE.md row 7
+# --------------------------------------------------------------------------
+
+DOCS_TOKEN_COUNTS_ORACLE = """
+SELECT lang,
+       COUNT(*)                                                   AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT)          AS total_tokens,
+       ROUND(AVG(CAST(len(string_split(text, ' ')) AS DOUBLE)), 6) AS avg_tokens,
+       CAST(SUM(n_chars) AS BIGINT)                               AS total_chars
+FROM documents
+GROUP BY lang
+"""
+
+
+@query("docs_token_counts", oracle=DOCS_TOKEN_COUNTS_ORACLE)
+def docs_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Headline L5 — whitespace token counts per language.
+
+    One scan, one 5-group hash aggregate: partial aggregation makes
+    the shuffle 5 rows per task regardless of corpus size.
+    """
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    return documents.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tokens.cast("long")).alias("total_tokens"),
+        r6(F.avg(n_tokens.cast("double"))).alias("avg_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+# --------------------------------------------------------------------------
+# L5 — token / char statistics (whitespace + BPE-ish regex tokenizer)
+# --------------------------------------------------------------------------
+
+L5_ORACLE = """
+SELECT lang,
+       source,
+       COUNT(*)                                                    AS n_docs,
+       CAST(MIN(len(string_split(text, ' '))) AS BIGINT)           AS min_tokens,
+       CAST(MAX(len(string_split(text, ' '))) AS BIGINT)           AS max_tokens,
+       CAST(SUM(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))) AS BIGINT)
+                                                                   AS bpe_ish_tokens,
+       ROUND(AVG(CAST(n_chars AS DOUBLE)
+                 / len(string_split(text, ' '))), 6)               AS chars_per_token
+FROM documents
+GROUP BY lang, source
+"""
+
+
+@query("l05_token_char_stats", oracle=L5_ORACLE)
+def l05_token_char_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 — per (lang, source) token/char statistics with two
+    tokenizers: whitespace split and a BPE-ish regex (letter runs,
+    digit runs, single punctuation — the pre-tokenization most BPE
+    vocabularies apply). `regexp_count` stays JVM-side; no UDF."""
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    ws_tokens = F.size(F.split(F.col("text"), " "))
+    bpe_ish = F.regexp_count(F.col("text"), F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"))
+    return documents.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min(ws_tokens.cast("long")).alias("min_tokens"),
+        F.max(ws_tokens.cast("long")).alias("max_tokens"),
+        F.sum(bpe_ish.cast("long")).alias("bpe_ish_tokens"),
+        r6(F.avg(F.col("n_chars").cast("double") / ws_tokens)).alias("chars_per_token"),
+    )
+
+
+# --------------------------------------------------------------------------
+# L6 — TF-IDF top terms per language
+# --------------------------------------------------------------------------
+
+L6_ORACLE = """
+WITH tok AS (
+    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+    FROM documents
+),
+tf AS (
+    SELECT lang, term, doc_id, COUNT(*) AS tf
+    FROM tok GROUP BY lang, term, doc_id
+),
+df AS (
+    SELECT term, COUNT(DISTINCT doc_id) AS df
+    FROM tok GROUP BY term
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.lang, tf.term,
+           SUM(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df)) AS score
+    FROM tf, n
+    JOIN df ON tf.term = df.term
+    GROUP BY tf.lang, tf.term
+),
+ranked AS (
+    SELECT lang, term, ROUND(score, 6) AS tfidf,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY ROUND(score, 6) DESC, term) AS rn
+    FROM scored
+)
+SELECT lang, term, tfidf, CAST(rn AS INT) AS rn
+FROM ranked WHERE rn <= 3
+"""
+
+
+@query("l06_tfidf_top_terms", oracle=L6_ORACLE)
+def l06_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6 — TF-IDF, top-3 terms per language.
+
+    explode → two hash aggregates (per-doc TF, per-term DF) → join
+    on term → per-lang window top-k. DF per term is bounded by
+    vocabulary size, so the join's build side stays small enough to
+    broadcast at any corpus scale; the window partitions on lang
+    (bounded) *after* aggregation has collapsed cardinality to
+    |vocab × lang|. Ranking compares the 6dp-rounded score so both
+    engines cut ties identically (term is the final tiebreaker).
+    """
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    n_docs = documents.count()  # one scalar; computed once, folded as a literal
+    tok = documents.select(
+        "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    tf = tok.groupBy("lang", "term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .groupBy("lang", "term")
+        .agg(
+            F.sum(
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+            ).alias("score")
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(r6(F.col("score")).desc(), F.col("term"))
+    return (
+        scored.withColumn("tfidf", r6(F.col("score")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("lang", "term", "tfidf", F.col("rn").cast("int").alias("rn"))
+    )
+
+
+# --------------------------------------------------------------------------
+# L7 — language / source distribution
+# --------------------------------------------------------------------------
+
+L7_ORACLE = """
+WITH per AS (
+    SELECT lang, source, COUNT(*) AS n_docs,
+           ROUND(AVG(CAST(n_chars AS DOUBLE)), 6) AS avg_chars,
+           ROUND(stddev_samp(CAST(n_chars AS DOUBLE)), 6) AS sd_chars
+    FROM documents GROUP BY lang, source
+)
+SELECT lang, source, n_docs, avg_chars, sd_chars,
+       ROUND(CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (), 6) AS share
+FROM per
+"""
+
+
+@query("l07_lang_source_distribution", oracle=L7_ORACLE)
+def l07_lang_source_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L7 — corpus composition: doc share and length moments per
+    (lang, source). The global-total window runs over the ≤25
+    aggregated rows, not the corpus."""
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    per = documents.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        r6(F.avg(F.col("n_chars").cast("double"))).alias("avg_chars"),
+        r6(F.stddev_samp(F.col("n_chars").cast("double"))).alias("sd_chars"),
+    )
+    w = Window.partitionBy()
+    return per.select(
+        "lang",
+        "source",
+        "n_docs",
+        "avg_chars",
+        "sd_chars",
+        r6(F.col("n_docs").cast("double") / F.sum("n_docs").over(w)).alias("share"),
+    )
+
+
+# --------------------------------------------------------------------------
+# L9 — text quality filters + quality scoring
+# --------------------------------------------------------------------------
+
+L9_ORACLE = """
+SELECT lang,
+       COUNT(*)            AS n_kept,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+FROM documents
+WHERE lang IN ('en', 'es', 'de', 'fr')
+  AND n_chars BETWEEN 50 AND 5000
+  AND len(string_split(text, ' ')) >= 10
+  AND CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+      / length(text) < 0.10
+GROUP BY lang
+"""
+
+
+@query("l09_quality_filter", oracle=L9_ORACLE)
+def l09_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L9 — training-data quality gate: lang allowlist, length
+    bounds, minimum token count, punctuation-ratio ceiling. Pure
+    predicate composition (P3-P8) so the whole filter is sargable /
+    codegen'd; at scale this is the classic pre-tokenization corpus
+    filter and runs at scan speed."""
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    text = F.col("text")
+    punct_ratio = (
+        F.length(F.regexp_replace(text, "[a-z0-9 ]", "")).cast("double")
+        / F.length(text)
+    )
+    return (
+        documents.filter(
+            F.col("lang").isin("en", "es", "de", "fr")
+            & F.col("n_chars").between(50, 5000)
+            & (F.size(F.split(text, " ")) >= 10)
+            & (punct_ratio < 0.10)
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
+QUALITY_SCORE_ORACLE = """
+WITH scored AS (
+    SELECT doc_id, lang,
+           ROUND(
+             0.4 * LEAST(CAST(n_chars AS DOUBLE) / 500.0, 1.0)
+           + 0.3 * (1.0 - CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+                          / length(text))
+           + 0.3 * LEAST(CAST(len(string_split(text, ' ')) AS DOUBLE)
+                         / GREATEST(len(string_split(text, ' ')), 1) *
+                         (CAST((length(text) - length(replace(text, ' the ', ''))) / 5 AS DOUBLE)
+                          / len(string_split(text, ' ')) * 10.0), 1.0)
+           , 6) AS quality
+    FROM documents
+)
+SELECT doc_id, lang, quality
+FROM scored
+ORDER BY quality DESC, doc_id
+LIMIT 20
+"""
+
+
+@query("text_quality_score", oracle=QUALITY_SCORE_ORACLE)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score (length / punctuation / stopword-rate
+    components), global top-20. Arithmetic only; top-k plans as
+    TakeOrderedAndProject (no global sort materialized). Ordering is
+    on the 6dp-rounded score + doc_id so both engines select the
+    same rows."""
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_tokens = F.size(F.split(text, " "))
+    len_component = F.least(F.col("n_chars").cast("double") / 500.0, F.lit(1.0))
+    punct_component = F.lit(1.0) - (
+        F.length(F.regexp_replace(text, "[a-z0-9 ]", "")).cast("double")
+        / F.length(text)
+    )
+    # occurrences of ' the ' via length arithmetic — identical on both engines
+    the_count = (
+        (F.length(text) - F.length(F.replace(text, F.lit(" the ")))) / 5
+    ).cast("double")
+    stopword_component = F.least(
+        n_tokens.cast("double")
+        / F.greatest(n_tokens, F.lit(1))
+        * (the_count / n_tokens * 10.0),
+        F.lit(1.0),
+    )
+    quality = r6(
+        0.4 * len_component + 0.3 * punct_component + 0.3 * stopword_component
+    )
+    return (
+        documents.select("doc_id", "lang", quality.alias("quality"))
+        .orderBy(F.col("quality").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Language-ID heuristic (stopword-hit argmax)
+# --------------------------------------------------------------------------
+
+LANG_ID_ORACLE = """
+WITH hits AS (
+    SELECT doc_id, lang,
+           (length(text) - length(replace(text, ' the ', ''))) / 5 AS en_hits,
+           (length(text) - length(replace(text, ' la ',  ''))) / 4 AS es_hits,
+           (length(text) - length(replace(text, ' der ', ''))) / 5 AS de_hits,
+           (length(text) - length(replace(text, ' le ',  ''))) / 4 AS fr_hits
+    FROM documents
+),
+guessed AS (
+    SELECT lang,
+           CASE
+             WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits
+                  AND en_hits > 0 THEN 'en'
+             WHEN es_hits >= de_hits AND es_hits >= fr_hits AND es_hits > 0 THEN 'es'
+             WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de'
+             WHEN fr_hits > 0 THEN 'fr'
+             ELSE 'und'
+           END AS guess
+    FROM hits
+)
+SELECT lang, guess, COUNT(*) AS n
+FROM guessed
+GROUP BY lang, guess
+"""
+
+
+@query("text_language_id", oracle=LANG_ID_ORACLE)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID: argmax of per-language stopword hit
+    counts (occurrence counting via length arithmetic — no regex in
+    the hot loop), confusion-matrix style output vs the labeled
+    `lang` column. The fixed tie-break order (en>es>de>fr) makes
+    the classifier deterministic on both engines."""
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    text = F.col("text")
+
+    def hits(marker: str):
+        return (F.length(text) - F.length(F.replace(text, F.lit(marker)))) / len(marker)
+
+    en, es, de, fr = hits(" the "), hits(" la "), hits(" der "), hits(" le ")
+    guess = (
+        F.when((en >= es) & (en >= de) & (en >= fr) & (en > 0), "en")
+        .when((es >= de) & (es >= fr) & (es > 0), "es")
+        .when((de >= fr) & (de > 0), "de")
+        .when(fr > 0, "fr")
+        .otherwise("und")
+    )
+    return (
+        documents.select("lang", guess.alias("guess"))
+        .groupBy("lang", "guess")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Document fingerprinting (normalized-hash + min-shingle winnowing)
+# --------------------------------------------------------------------------
+
+FINGERPRINT_ORACLE = """
+WITH fp AS (
+    SELECT source,
+           md5(lower(text)) AS full_fp,
+           list_aggregate(
+             list_transform(range(1, GREATEST(length(text) - 7, 1) + 1),
+                            i -> md5(substring(lower(text), i, 8))),
+             'min') AS min_shingle_fp
+    FROM documents
+)
+SELECT source,
+       COUNT(*)                         AS n_docs,
+       COUNT(DISTINCT full_fp)          AS n_unique_full,
+       COUNT(DISTINCT min_shingle_fp)   AS n_unique_shingle
+FROM fp
+GROUP BY source
+"""
+
+
+@query("text_fingerprint", oracle=FINGERPRINT_ORACLE)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: whole-document hash (md5 of
+    lowercased text) and a winnowing-style min-hash over all 8-char
+    shingles (the rolling-hash fingerprint: min over the shingle
+    hash stream). Shingling is `transform` over `sequence` — a
+    higher-order function, so the O(len) shingle scan runs inside
+    codegen, not Python. At 100 TB the per-doc cost is linear and
+    embarrassingly parallel; the aggregate shuffles only 16-byte
+    hashes, never text."""
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    shingle_fp = F.array_min(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(F.col("text")) - 7, F.lit(1))),
+            lambda i: F.md5(F.substr(low, i, F.lit(8))),
+        )
+    )
+    fp = documents.select(
+        "source",
+        F.md5(low).alias("full_fp"),
+        shingle_fp.alias("min_shingle_fp"),
+    )
+    return fp.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("full_fp").alias("n_unique_full"),
+        F.countDistinct("min_shingle_fp").alias("n_unique_shingle"),
+    )
