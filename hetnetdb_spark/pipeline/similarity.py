@@ -1,1 +1,363 @@
-"""Placeholder — operators land in a subsequent commit."""
+"""Embedding similarity search — SURVEY §2.9 L3/L4 over the
+``embeddings`` table (64-dim float32, pre-normalized ⇒ cosine = dot).
+
+Three physical strategies, in increasing scale:
+
+- **brute force** (`emb_topk_cosine`, `l03_knn_batch`): broadcast
+  the tiny query side, scan all candidates once, `zip_with` +
+  `aggregate` dot product in codegen, TakeOrderedAndProject top-k.
+  O(N·d) per query batch, scan-bound, no shuffle of vectors —
+  the right baseline at any scale where a full scan is acceptable.
+- **LSH-bucketed join** (`l04_simjoin_lsh`): 16-bit random-
+  hyperplane signatures (deterministic seed), banded 4×4; candidate
+  pairs only within equal band values, then exact verification.
+  Replaces the O(N²) cross join with a shuffle on 4·N band keys —
+  the standard near-dup/similarity-join shape at corpus scale.
+- **IVF partition pruning** (`l03_knn_ivf`): assign vectors to the
+  nearest of K fixed centroids, probe only the `nprobe` closest
+  partitions for a query — scanned fraction ≈ nprobe/K.
+
+Oracle-checked where exact (brute force, exact threshold join);
+rows-only where approximate by construction (LSH, IVF).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hetnetdb_spark.catalog import load_tables
+from hetnetdb_spark.expr import dot, r6
+from hetnetdb_spark.registry import query
+
+DIM = 64
+
+# DuckDB-side double-accumulated dot product between two FLOAT[]
+# columns (list_dot_product accumulates in float32 — not hash-stable
+# against Spark's double accumulation, so it is spelled out).
+_DUCK_DOT = (
+    "list_aggregate(list_transform(range(1, {d} + 1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), 'sum')"
+)
+
+
+def duck_dot(a: str, b: str, d: int = DIM) -> str:
+    return _DUCK_DOT.format(a=a, b=b, d=d)
+
+
+# --------------------------------------------------------------------------
+# Headline: emb_topk_cosine (L3 + F5 + O3) — BASELINE.md row 8
+# --------------------------------------------------------------------------
+
+EMB_TOPK_ORACLE = f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       e.label,
+       ROUND({duck_dot("e.embedding", "q.qe")}, 6) AS cosine
+FROM embeddings e, q
+WHERE e.vec_id <> 0
+ORDER BY cosine DESC, e.vec_id
+LIMIT 10
+"""
+
+
+@query("emb_topk_cosine", oracle=EMB_TOPK_ORACLE)
+def emb_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Headline L3 — exact cosine top-10 for one query vector.
+
+    The 1-row query side is broadcast (hinted — AQE would pick it
+    anyway), so the plan is: scan candidates once, BroadcastNestedLoop
+    with a single build row, dot product in codegen, top-k via
+    TakeOrderedAndProject. No shuffle of embeddings at any scale.
+    Both engines order by the 6dp-rounded score + vec_id, so ties
+    cut identically.
+    """
+    (emb,) = load_tables(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            r6(dot(F.col("embedding"), F.col("qe"))).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# L3 — batched kNN (many query vectors at once)
+# --------------------------------------------------------------------------
+
+L3_BATCH_ORACLE = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
+scored AS (
+    SELECT q.qid, c.vec_id,
+           ROUND({duck_dot("c.embedding", "q.qe")}, 6) AS cosine
+    FROM c, q
+),
+ranked AS (
+    SELECT qid, vec_id, cosine,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY cosine DESC, vec_id) AS rn
+    FROM scored
+)
+SELECT CAST(qid AS BIGINT) AS qid, vec_id, cosine, CAST(rn AS INT) AS rn
+FROM ranked WHERE rn <= 3
+"""
+
+
+@query("l03_knn_batch", oracle=L3_BATCH_ORACLE)
+def l03_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 — top-3 neighbors for each of 5 query vectors in ONE pass.
+
+    Broadcast the query batch, score every (candidate × query) pair
+    in codegen, then per-query window top-k. One candidate scan
+    total — per-query scans would be Q× the IO. The window
+    partitions on qid (|Q| groups), so the final shuffle carries
+    only scored pairs, never raw vectors at N× scale.
+    """
+    (emb,) = load_tables(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    cand = emb.filter(F.col("vec_id") >= 5).select("vec_id", "embedding")
+    scored = cand.crossJoin(F.broadcast(q)).select(
+        "qid",
+        "vec_id",
+        r6(dot(F.col("embedding"), F.col("qe"))).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("qid", "vec_id", "cosine", F.col("rn").cast("int").alias("rn"))
+    )
+
+
+# --------------------------------------------------------------------------
+# L4 — exact pairwise similarity join above threshold
+# --------------------------------------------------------------------------
+
+SIM_THRESHOLD = 0.35
+
+L4_EXACT_ORACLE = f"""
+WITH p AS (
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label AS a_label, b.label AS b_label,
+           ROUND({duck_dot("a.embedding", "b.embedding")}, 6) AS cosine
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < b.vec_id
+)
+SELECT a_id, b_id, a_label, b_label, cosine
+FROM p
+WHERE cosine >= {SIM_THRESHOLD}
+"""
+
+
+@query("l04_simjoin_exact", oracle=L4_EXACT_ORACLE)
+def l04_simjoin_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 — exact all-pairs similarity join (cosine ≥ 0.35).
+
+    Honest O(N²/2): a broadcast nested-loop with the a_id < b_id
+    triangle predicate. Correct and fine at fixture scale; at corpus
+    scale the same semantics run through `l04_simjoin_lsh`, which
+    this query is the verification oracle for.
+    """
+    (emb,) = load_tables(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("label").alias("a_label"),
+        F.col("embedding").alias("a_emb"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("label").alias("b_label"),
+        F.col("embedding").alias("b_emb"),
+    )
+    return (
+        a.join(F.broadcast(b), F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            "a_label",
+            "b_label",
+            r6(dot(F.col("a_emb"), F.col("b_emb"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= SIM_THRESHOLD)
+    )
+
+
+# --------------------------------------------------------------------------
+# L4 scale path — LSH-bucketed similarity join (rows-only: approximate)
+# --------------------------------------------------------------------------
+
+N_PLANES = 16
+N_BANDS = 4
+BITS_PER_BAND = N_PLANES // N_BANDS
+
+
+def _hyperplanes() -> np.ndarray:
+    """Deterministic random hyperplanes (seed 42) — the 'trained'
+    LSH model. 16×64 floats ship as plan literals (4 KB)."""
+    rng = np.random.default_rng(42)
+    return rng.standard_normal((N_PLANES, DIM))
+
+
+def _signature(emb_col: F.Column) -> F.Column:
+    """16-bit signed-random-projection signature as a long."""
+    planes = _hyperplanes()
+    bits = [
+        F.when(
+            dot(emb_col, F.array(*[F.lit(float(x)) for x in planes[p]])) > 0,
+            F.lit(1 << p).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for p in range(N_PLANES)
+    ]
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig + b
+    return sig
+
+
+@query("l04_simjoin_lsh", oracle=None)
+def l04_simjoin_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 at scale (rows-only) — banded random-hyperplane LSH join.
+
+    Pipeline: signature (16 bits from 16 fixed hyperplanes, seed 42)
+    → 4 bands × 4 bits → explode to (band_id, band_val) keys →
+    self-join on the band key (equi-join ⇒ shuffle hash join on
+    4·N short rows, NOT a cross join) → distinct pairs → exact
+    cosine verification. Self-measuring output: candidate count,
+    verified count, exact count, and recall vs the exact join —
+    the number the LSH parameters are tuned against.
+    """
+    (emb,) = load_tables(spark, sf_dir, "embeddings")
+    sig = emb.select("vec_id", "embedding", _signature(F.col("embedding")).alias("sig"))
+    banded = sig.select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        (
+                            F.shiftright(F.col("sig"), b * BITS_PER_BAND)
+                            % (1 << BITS_PER_BAND)
+                        ).alias("band_val"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("vec_id", "embedding", "band.band_id", "band.band_val")
+
+    a = banded.select(
+        F.col("band_id"),
+        F.col("band_val"),
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_emb"),
+    )
+    b = banded.select(
+        F.col("band_id"),
+        F.col("band_val"),
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_emb"),
+    )
+    candidates = (
+        a.join(b, ["band_id", "band_val"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_emb", "b_emb")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    verified = candidates.select(
+        "a_id", "b_id", r6(dot(F.col("a_emb"), F.col("b_emb"))).alias("cosine")
+    ).filter(F.col("cosine") >= SIM_THRESHOLD)
+
+    n_candidates = candidates.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("lsh").alias("strategy"), F.col("n").alias("n_candidates")
+    )
+    n_verified = verified.agg(F.count(F.lit(1)).alias("n_verified"))
+    n_exact = l04_simjoin_exact(spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    return (
+        n_candidates.crossJoin(n_verified)
+        .crossJoin(n_exact)
+        .select(
+            "strategy",
+            "n_candidates",
+            "n_verified",
+            "n_exact",
+            r6(
+                F.col("n_verified").cast("double")
+                / F.greatest(F.col("n_exact"), F.lit(1)).cast("double")
+            ).alias("recall"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# L3 scale path — IVF partition-pruned kNN (rows-only: approximate)
+# --------------------------------------------------------------------------
+
+N_CENTROIDS = 8
+N_PROBE = 2
+
+
+@query("l03_knn_ivf", oracle=None)
+def l03_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 at scale (rows-only) — IVF-style partition-pruned top-10.
+
+    'Centroids' are the first 8 vectors (a deterministic stand-in
+    for a k-means pass — the assignment/probe plumbing is the real
+    subject). Every vector is assigned to its nearest centroid via
+    one broadcast scoring pass; the query probes its 2 nearest
+    centroids and scans only those inverted lists — scanned
+    fraction ≈ nprobe/K. At 100 TB the assignment is the partition
+    key for a bucketed layout, so a probe touches 2/8 of the files.
+    """
+    (emb,) = load_tables(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    # assign every vector to argmax-dot centroid (one broadcast pass)
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("cscore").desc(), F.col("cid")
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "embedding",
+            "cid",
+            dot(F.col("embedding"), F.col("ce")).alias("cscore"),
+        )
+        .withColumn("arn", F.row_number().over(w_assign))
+        .filter(F.col("arn") == 1)
+        .select("vec_id", "embedding", F.col("cid").alias("cluster"))
+    )
+    # probe: the query vector's N_PROBE nearest centroids
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    probe = (
+        cent.crossJoin(F.broadcast(q))
+        .select("cid", dot(F.col("ce"), F.col("qe")).alias("qscore"))
+        .orderBy(F.col("qscore").desc(), "cid")
+        .limit(N_PROBE)
+        .select("cid")
+    )
+    return (
+        assigned.join(
+            F.broadcast(probe), assigned["cluster"] == probe["cid"], "left_semi"
+        )
+        .filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", r6(dot(F.col("embedding"), F.col("qe"))).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(10)
+    )
