@@ -1,1 +1,310 @@
-"""Placeholder — operators land in a subsequent commit."""
+"""Deduplication pipeline — SURVEY §2.9 L1/L2 over ``documents``.
+
+Four dedup strategies a training-data pipeline runs, in increasing
+fuzziness:
+
+- **exact** (`l01_exact_dedup`): group on a content hash, keep the
+  first-crawled row. The shuffle key is the 16-byte md5, never the
+  text — at 100 TB the shuffle carries hashes + ids only.
+- **n-gram Jaccard** (`l02_ngram_jaccard`): exact shingle-set
+  overlap, the verification metric every approximate method below
+  is tuned against. Oracle-checked.
+- **MinHash + banded LSH** (`l02_minhash_neardup`): 32 deterministic
+  hash "permutations" (xxhash64 seeded by permutation index), 8
+  bands × 4 rows, candidates bucket-join on band keys — the
+  standard sub-quadratic near-dup join. Rows-only (xxhash64 is
+  engine-defined).
+- **SimHash** (`l02_simhash_neardup`): 64-bit sign-vote fingerprint,
+  band-blocked hamming-distance pairs. Rows-only.
+
+Embedding-cosine near-dup is the same operator as the L4 similarity
+joins in `hetnetdb_spark.pipeline.similarity` (exact + LSH-bucketed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hetnetdb_spark.catalog import load_tables
+from hetnetdb_spark.expr import r6
+from hetnetdb_spark.registry import query
+
+# --------------------------------------------------------------------------
+# L1 — exact dedup (hash-groupBy, deterministic keeper)
+# --------------------------------------------------------------------------
+
+L1_ORACLE = """
+WITH crawl AS (
+    SELECT doc_id, text, source FROM documents
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id, text, source FROM documents
+),
+kept AS (
+    SELECT source, doc_id,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM crawl
+)
+SELECT source,
+       COUNT(*)                            AS n_input,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(MIN(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT)   AS first_kept_id
+FROM kept
+GROUP BY source
+"""
+
+
+@query("l01_exact_dedup", oracle=L1_ORACLE)
+def l01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1 — exact dedup over a simulated re-crawl (the corpus
+    unioned with itself under new ids, so every text has exactly one
+    duplicate). Keeper selection is deterministic — `row_number()`
+    over (hash, doc_id), NOT `dropDuplicates`, whose survivor
+    depends on partition order. Partitioning on `md5(text)` means
+    the shuffle moves 16-byte keys; text stays columnar at the
+    scan."""
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    base = documents.select("doc_id", "text", "source")
+    crawl = base.unionByName(
+        base.withColumn("doc_id", F.col("doc_id") + 100000)
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    kept = crawl.withColumn("rn", F.row_number().over(w))
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_input"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
+        F.min(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("first_kept_id"),
+    )
+
+
+# --------------------------------------------------------------------------
+# L2 (exact metric) — n-gram Jaccard similarity, oracle-checked
+# --------------------------------------------------------------------------
+
+_SHINGLE_SPARK = (
+    "array_distinct(transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)), "
+    "i -> concat_ws(' ', slice(split(text, ' '), i, 3))))"
+)
+
+L2_JACCARD_ORACLE = """
+WITH s AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+             range(1, GREATEST(len(string_split(text, ' ')) - 2, 1) + 1),
+             i -> string_split(text, ' ')[i] || ' ' ||
+                  string_split(text, ' ')[i+1] || ' ' ||
+                  string_split(text, ' ')[i+2])) AS sh
+    FROM documents WHERE doc_id < 60
+),
+pairs AS (
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           ROUND(CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+                 / (len(a.sh) + len(b.sh)
+                    - len(list_filter(a.sh, x -> list_contains(b.sh, x)))), 6) AS jaccard
+    FROM s a, s b WHERE a.doc_id < b.doc_id
+)
+SELECT a_id, b_id, jaccard
+FROM pairs
+ORDER BY jaccard DESC, a_id, b_id
+LIMIT 20
+"""
+
+
+@query("l02_ngram_jaccard", oracle=L2_JACCARD_ORACLE)
+def l02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 exact metric — 3-token shingle Jaccard, top-20 pairs on a
+    bounded doc range. Shingling is a higher-order `transform` over
+    `sequence` (codegen, no UDF); the last shingle of a <3-token doc
+    degenerates to the remaining tokens, identically on both
+    engines. This exact metric is what the MinHash estimate below
+    converges to."""
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    s = documents.filter(F.col("doc_id") < 60).select(
+        "doc_id", F.expr(_SHINGLE_SPARK).alias("sh")
+    )
+    a = s.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh"))
+    b = s.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh"))
+    inter = F.size(F.array_intersect(F.col("a_sh"), F.col("b_sh")))
+    union = F.size(F.col("a_sh")) + F.size(F.col("b_sh")) - inter
+    return (
+        a.join(F.broadcast(b), F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            r6(inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "a_id", "b_id")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# L2 — MinHash + banded LSH near-dup join (rows-only: engine hashes)
+# --------------------------------------------------------------------------
+
+N_HASHES = 32
+N_BANDS = 8
+ROWS_PER_BAND = N_HASHES // N_BANDS
+JACCARD_THRESHOLD = 0.5
+
+
+@query("l02_minhash_neardup", oracle=None)
+def l02_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 scale path (rows-only) — MinHash signatures + banded LSH.
+
+    Signature: for permutation j (0..31), min over distinct shingles
+    of ``xxhash64(j, shingle)`` — deterministic, seedable, no ml-lib
+    model object to ship. Bands: 8 × 4 minhashes hashed to one
+    bucket key; pairs sharing any band bucket are candidates
+    (P[candidate] ≈ 1-(1-j⁴)⁸ — >0.96 for j≥0.7). Candidates then
+    verify with exact Jaccard ≥ 0.5. The join is an equi-join on
+    (band_id, bucket) — shuffle of 8·N short rows, never N².
+    Output is the self-measuring summary: candidates, verified, and
+    the exact-metric pair count on the same doc range.
+    """
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    docs = documents.select("doc_id", F.expr(_SHINGLE_SPARK).alias("sh"))
+    minhashes = docs.select(
+        "doc_id",
+        "sh",
+        *[
+            F.array_min(
+                F.transform(F.col("sh"), lambda s, j=j: F.xxhash64(F.lit(j), s))
+            ).alias(f"mh{j}")
+            for j in range(N_HASHES)
+        ],
+    )
+    banded = minhashes.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            *[
+                                F.col(f"mh{b * ROWS_PER_BAND + r}")
+                                for r in range(ROWS_PER_BAND)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "sh", "band.band_id", "band.bucket")
+
+    a = banded.select(
+        "band_id", "bucket", F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh")
+    )
+    b = banded.select(
+        "band_id", "bucket", F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh")
+    )
+    candidates = (
+        a.join(b, ["band_id", "bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_sh", "b_sh")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    inter = F.size(F.array_intersect(F.col("a_sh"), F.col("b_sh")))
+    union = F.size(F.col("a_sh")) + F.size(F.col("b_sh")) - inter
+    verified = candidates.filter(
+        inter.cast("double") / union.cast("double") >= JACCARD_THRESHOLD
+    )
+    return (
+        candidates.agg(F.count(F.lit(1)).alias("n_candidates"))
+        .crossJoin(verified.agg(F.count(F.lit(1)).alias("n_verified")))
+        .select(
+            F.lit("minhash-lsh").alias("strategy"),
+            "n_candidates",
+            "n_verified",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# L2 — SimHash near-dup (rows-only: engine hashes)
+# --------------------------------------------------------------------------
+
+SIMHASH_BITS = 64
+SIMHASH_BANDS = 4
+BITS_PER_SIMHASH_BAND = SIMHASH_BITS // SIMHASH_BANDS
+MAX_HAMMING = 8
+
+
+@query("l02_simhash_neardup", oracle=None)
+def l02_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 alternative (rows-only) — 64-bit SimHash with band-blocked
+    hamming search.
+
+    Fingerprint: explode tokens once, hash each token, then 64
+    conditional sign-sums in ONE hash aggregate per doc (map-side
+    partial — the explode never shuffles raw tokens, only the
+    per-doc partial vote vector). Bits pack into a single long;
+    near-dup pairs must share one of 4 16-bit bands (pigeonhole: any
+    pair within hamming 8 shares a band when distance spreads over
+    4 bands... a standard blocking heuristic), then verify with
+    `bit_count(a XOR b) <= 8`.
+    """
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    toks = documents.select(
+        "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("tok")
+    ).select("doc_id", F.xxhash64("tok").alias("h"))
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftrightunsigned(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(SIMHASH_BITS)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for i in range(SIMHASH_BITS):
+        sig = sig + F.when(
+            F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+    fps = votes.select("doc_id", sig.alias("simhash"))
+
+    banded = fps.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftrightunsigned(
+                            F.col("simhash"), b * BITS_PER_SIMHASH_BAND
+                        )
+                        .bitwiseAND(F.lit((1 << BITS_PER_SIMHASH_BAND) - 1))
+                        .alias("band_val"),
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.band_id", "band.band_val")
+
+    a = banded.select(
+        "band_id", "band_val", F.col("doc_id").alias("a_id"), F.col("simhash").alias("a_sig")
+    )
+    b = banded.select(
+        "band_id", "band_val", F.col("doc_id").alias("b_id"), F.col("simhash").alias("b_sig")
+    )
+    pairs = (
+        a.join(b, ["band_id", "band_val"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    near = pairs.filter(
+        F.bit_count(F.col("a_sig").bitwiseXOR(F.col("b_sig"))) <= MAX_HAMMING
+    )
+    return (
+        pairs.agg(F.count(F.lit(1)).alias("n_candidates"))
+        .crossJoin(near.agg(F.count(F.lit(1)).alias("n_near")))
+        .select(F.lit("simhash").alias("strategy"), "n_candidates", "n_near")
+    )
