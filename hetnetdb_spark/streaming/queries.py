@@ -1,1 +1,449 @@
-"""Placeholder — operators land in a subsequent commit."""
+"""Structured Streaming surface — SURVEY §2.8 (T1–T8) + S7/S8.
+
+Every streaming query here runs the real streaming machinery —
+``readStream`` file source (S7), stateful operators, memory/
+foreachBatch sinks (S8) — bounded by ``trigger(availableNow=True)``
+so a driver invocation terminates. Determinism argument, per query:
+with availableNow over a fixed file set, Spark processes all input
+and emits the final state, so the *complete-mode* results equal the
+batch formulation — which is exactly the DuckDB oracle attached
+where possible (the batch-parity strategy from SURVEY §5.3).
+
+Scale posture: at a real 100 TB/day ingest these same plans run
+unbounded with `maxFilesPerTrigger` pacing; state stores are keyed
+by (window × group) or dedup key — bounded by watermarks, never by
+input size. The memory sink is a test harness; production sinks are
+partitioned parquet (S6) via `foreachBatch` or kafka.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from hetnetdb_spark.catalog import load_tables, table_path
+from hetnetdb_spark.registry import query
+
+SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), ".scratch")
+
+# Physical schema of events.parquet under `nanosAsLong` (the file
+# stream source requires an explicit schema — no inference pass).
+EVENTS_PHYSICAL = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # epoch-nanos (TIMESTAMP(NANOS) in footer)
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def _events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """S7 — streaming file source over the events parquet, with the
+    same ns→µs timestamp conversion as the batch catalog. The file
+    source requires a *directory*, so the scan targets the sf dir
+    with a glob filter selecting the events file."""
+    raw = (
+        spark.readStream.schema(EVENTS_PHYSICAL)
+        .option("pathGlobFilter", os.path.basename(path))
+        .parquet(os.path.dirname(path))
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_to_memory(df: DataFrame, name: str, mode: str) -> None:
+    """S8 — memory sink, bounded by availableNow; blocks until done."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+# --------------------------------------------------------------------------
+# Headline: events_tumbling_1h — T1's batch form (BASELINE.md row 6)
+# --------------------------------------------------------------------------
+
+TUMBLING_ORACLE = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       event_type,
+       COUNT(*)                AS n,
+       ROUND(SUM(value), 6)    AS sum_value
+FROM events
+GROUP BY window_start, event_type
+"""
+
+
+@query("events_tumbling_1h", oracle=TUMBLING_ORACLE)
+def events_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Headline T1 (batch form) — 1-hour tumbling count/sum by
+    event_type. `F.window` is a projection (bucket arithmetic), so
+    the plan is scan → partial agg → one shuffle on (window,
+    event_type) — cardinality = hours × 5, independent of row
+    count."""
+    (events,) = load_tables(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+# --------------------------------------------------------------------------
+# T1 — the same tumbling aggregate through the streaming engine
+# --------------------------------------------------------------------------
+
+
+@query("t01_stream_tumbling_1h", oracle=TUMBLING_ORACLE)
+def t01_stream_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 — tumbling window through readStream + availableNow +
+    complete-mode memory sink. Same oracle as the batch form: with
+    all input consumed, complete-mode state equals the batch
+    aggregate (SURVEY §5.3 batch-parity)."""
+    stream = _events_stream(spark, table_path(sf_dir, "events"))
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+    _run_to_memory(agg, "t01_tumbling", "complete")
+    return spark.table("t01_tumbling")
+
+
+# --------------------------------------------------------------------------
+# T2 — sliding window (1 h window, 15 min slide)
+# --------------------------------------------------------------------------
+
+T2_ORACLE = """
+SELECT time_bucket(INTERVAL '15 minutes', ts) - k.k * INTERVAL '15 minutes'
+         AS window_start,
+       COUNT(*)             AS n,
+       ROUND(SUM(value), 6) AS sum_value
+FROM events, (SELECT unnest(range(4)) AS k) k
+GROUP BY window_start
+"""
+
+
+@query("t02_stream_sliding", oracle=T2_ORACLE)
+def t02_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 — sliding 1h/15m window, streamed. Each event lands in 4
+    overlapping windows; the oracle expands the same 4 buckets with
+    a range join. State size = windows × 1 row, bounded by the time
+    span, not input size."""
+    stream = _events_stream(spark, table_path(sf_dir, "events"))
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n", "sum_value")
+    )
+    _run_to_memory(agg, "t02_sliding", "complete")
+    return spark.table("t02_sliding")
+
+
+# --------------------------------------------------------------------------
+# T3 — session window (30 min gap)
+# --------------------------------------------------------------------------
+
+T3_ORACLE = """
+SELECT user_id, session_start, session_end, n_events
+FROM (
+  SELECT user_id,
+         MIN(ts)                            AS session_start,
+         MAX(ts) + INTERVAL 30 MINUTE       AS session_end,
+         COUNT(*)                           AS n_events
+  FROM (
+    SELECT user_id, ts,
+           CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+    FROM (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ) flagged
+  ) numbered
+  GROUP BY user_id, sid
+) s
+"""
+
+
+@query("t03_stream_session_30m", oracle=T3_ORACLE)
+def t03_stream_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 — `session_window` (30-minute gap) through the streaming
+    engine. Oracle is the batch lag+cumsum sessionization with the
+    *session_window* gap convention: a gap of exactly 30 min starts
+    a new session (merge condition is next_start < prev_end), and
+    session_end = last_ts + gap. Note the deliberate difference
+    from the batch headline `events_sessionize_30m`, which uses the
+    strict-> convention; both conventions exist in the wild and the
+    two queries document which is which."""
+    stream = _events_stream(spark, table_path(sf_dir, "events"))
+    agg = (
+        stream.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    _run_to_memory(agg, "t03_session", "complete")
+    return spark.table("t03_session")
+
+
+# --------------------------------------------------------------------------
+# T4 — watermark + late-data drop (rows-only: depends on batch pacing)
+# --------------------------------------------------------------------------
+
+
+@query("t04_watermark_latedrop", oracle=None)
+def t04_watermark_latedrop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 (rows-only) — a 10-minute watermark dropping late rows.
+
+    The fixture is one file, so lateness is *manufactured*: run 1
+    streams the recent half of events (advancing the checkpointed
+    watermark to max(ts) − 10 min), then the old half lands in the
+    source directory and run 2 resumes from the same checkpoint —
+    every old row is now behind the persisted watermark and is
+    dropped before the aggregation (verified via
+    `numRowsDroppedByWatermark` during development). The sink is
+    the S8 parquet file sink in append mode. Output: windows and
+    rows that reached the sink — exactly the on-time half; the late
+    file contributes nothing."""
+    import shutil
+
+    (events,) = load_tables(spark, sf_dir, "events")
+    split_ts = events.agg(
+        F.percentile_approx("ts", 0.5, 10000).alias("m")
+    ).collect()[0]["m"]  # one scalar for the file split — not a data path
+    base = os.path.join(SCRATCH, "t04_late")
+    shutil.rmtree(base, ignore_errors=True)
+    src = os.path.join(base, "src")
+    ckpt = os.path.join(base, "ckpt")
+    out = os.path.join(base, "out")
+
+    def run_available_now() -> None:
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("window_start"), "n")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # run 1: on-time half only
+    events.filter(F.col("ts") >= F.lit(split_ts)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    run_available_now()
+    # the old half arrives after the watermark has advanced
+    events.filter(F.col("ts") < F.lit(split_ts)).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_available_now()
+
+    emitted = spark.read.parquet(out)
+    return emitted.agg(
+        F.count(F.lit(1)).alias("n_windows_emitted"),
+        F.coalesce(F.sum("n"), F.lit(0)).alias("n_rows_counted"),
+    )
+
+
+# --------------------------------------------------------------------------
+# T5 — stateful dedup across micro-batches
+# --------------------------------------------------------------------------
+
+T5_ORACLE = """
+SELECT event_type, COUNT(DISTINCT event_id) AS n_unique
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("t05_stream_dedup", oracle=T5_ORACLE)
+def t05_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 — `dropDuplicatesWithinWatermark` on a stream that
+    replays every event twice (the fixture file copied into two
+    scratch files, one micro-batch each), so dedup state must
+    survive across batches. The watermark delay (48 h) exceeds the
+    fixture's time span, so no key is evicted mid-run and the
+    result equals batch COUNT(DISTINCT) — which is the oracle."""
+    (events,) = load_tables(spark, sf_dir, "events")
+    dup_dir = os.path.join(SCRATCH, "t05_dup")
+    for copy in ("copy1", "copy2"):
+        events.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(dup_dir, copy)
+        )
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(dup_dir, "*", "*.parquet"))
+    )
+    deduped = (
+        stream.withWatermark("ts", "48 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+    )
+    _run_to_memory(deduped, "t05_dedup", "complete")
+    return spark.table("t05_dedup")
+
+
+# --------------------------------------------------------------------------
+# T6 — stream–static join
+# --------------------------------------------------------------------------
+
+T6_ORACLE = """
+SELECT c.c_mktsegment,
+       COUNT(*)             AS n_events,
+       ROUND(SUM(e.value), 6) AS sum_value
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+@query("t06_stream_static_join", oracle=T6_ORACLE)
+def t06_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 — streaming events ⋈ static customer dimension, then
+    windowless aggregate. The static side is a plain batch
+    DataFrame: Spark broadcasts it into every micro-batch (the
+    standard enrichment join — no state store involved for the
+    join itself)."""
+    (customer,) = load_tables(spark, sf_dir, "customer")
+    stream = _events_stream(spark, table_path(sf_dir, "events"))
+    joined = (
+        stream.join(
+            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            stream["user_id"] == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
+    )
+    _run_to_memory(joined, "t06_static_join", "complete")
+    return spark.table("t06_static_join")
+
+
+# --------------------------------------------------------------------------
+# T7 — stream–stream join with a time-range condition
+# --------------------------------------------------------------------------
+
+T7_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'click'
+ AND b.event_type = 'purchase'
+ AND b.ts >= a.ts
+ AND b.ts <= a.ts + INTERVAL 1 HOUR
+"""
+
+
+@query("t07_stream_stream_join", oracle=T7_ORACLE)
+def t07_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 — click→purchase attribution: two watermarked streams of
+    the same source joined on user with a 1-hour range condition.
+    The range bound + watermarks are what let the state store evict
+    rows at scale (without them a stream-stream join buffers
+    forever). availableNow over a fixed file set emits exactly the
+    batch theta-join matches — the oracle."""
+    path = table_path(sf_dir, "events")
+    clicks = (
+        _events_stream(spark, path)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    purchases = (
+        _events_stream(spark, path)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    pairs = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    _run_to_memory(pairs, "t07_pairs", "append")
+    emitted = spark.table("t07_pairs")
+    return emitted.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("c_user").alias("n_users"),
+    )
+
+
+# --------------------------------------------------------------------------
+# T8 — output modes and triggers (rows-only: harness-shaped output)
+# --------------------------------------------------------------------------
+
+
+@query("t08_output_modes", oracle=None)
+def t08_output_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8 (rows-only) — the same aggregate run in complete and
+    update modes plus a foreachBatch sink, all under availableNow.
+    Output: one row per (mode) with the rows observed at the sink —
+    complete re-emits full state, update emits only changed keys,
+    foreachBatch sees per-batch DataFrames (S8's programmable
+    sink)."""
+    path = table_path(sf_dir, "events")
+
+    def agg_of(stream: DataFrame) -> DataFrame:
+        return stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+    results = []
+    for mode in ("complete", "update"):
+        name = f"t08_{mode}"
+        _run_to_memory(agg_of(_events_stream(spark, path)), name, mode)
+        results.append((mode, spark.table(name).count()))
+
+    seen: list[int] = []
+    q = (
+        agg_of(_events_stream(spark, path))
+        .writeStream.outputMode("update")
+        .foreachBatch(lambda batch_df, _bid: seen.append(batch_df.count()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    results.append(("foreachBatch", sum(seen)))
+    return spark.createDataFrame(results, "mode string, rows_at_sink long")
