@@ -1,1 +1,200 @@
-"""Placeholder — operators land in a subsequent commit."""
+"""Sources and sinks — SURVEY §2.1 (S2–S6).
+
+S2/S3/S6 are *round-trip* queries: write the base table through the
+format under test into a scratch directory, read it back with an
+explicit schema, and aggregate. The oracle computes the same
+aggregate from the original parquet view — so the check certifies
+format fidelity end-to-end without depending on the sink's file
+layout. All scratch writes are `mode("overwrite")` and keyed by
+query name, so re-invocation is idempotent.
+
+Scale posture: CSV/JSON ingest are schema-explicit (never
+`inferSchema` — that is a second full scan at 100 TB); the
+partitioned sink writes `partitionBy` so downstream readers get
+partition pruning (verified in the plan: PartitionFilters, not a
+post-scan filter).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hetnetdb_spark.catalog import load_tables, register_views
+from hetnetdb_spark.expr import r6
+from hetnetdb_spark.registry import query
+
+SCRATCH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".scratch",
+)
+
+# --------------------------------------------------------------------------
+# S2 — CSV ingest (the reference's native upload format)
+# --------------------------------------------------------------------------
+
+S2_ORACLE = """
+SELECT n_regionkey,
+       CAST(COUNT(*) AS BIGINT)          AS n_nations,
+       MIN(n_name)                       AS first_name,
+       CAST(SUM(n_nationkey) AS BIGINT)  AS key_sum
+FROM nation
+GROUP BY n_regionkey
+"""
+
+
+@query("s02_csv_roundtrip", oracle=S2_ORACLE)
+def s02_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 — nation → CSV (header) → read with explicit schema →
+    aggregate. The read declares the schema up front; header=True
+    binds by position+name with no inference scan."""
+    (nation,) = load_tables(spark, sf_dir, "nation")
+    path = os.path.join(SCRATCH, "s02_nation_csv")
+    nation.write.mode("overwrite").option("header", True).csv(path)
+    back = (
+        spark.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .option("header", True)
+        .csv(path)
+    )
+    return back.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.min("n_name").alias("first_name"),
+        F.sum("n_nationkey").alias("key_sum"),
+    )
+
+
+# --------------------------------------------------------------------------
+# S3 — JSON-lines ingest (timestamps included)
+# --------------------------------------------------------------------------
+
+S3_ORACLE = """
+SELECT CAST(date_part('year', o_orderdate) AS BIGINT) AS yr,
+       CAST(COUNT(*) AS BIGINT)                       AS n_orders,
+       ROUND(SUM(o_totalprice), 6)                    AS sum_price
+FROM orders
+GROUP BY yr
+"""
+
+
+@query("s03_json_roundtrip", oracle=S3_ORACLE)
+def s03_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 — orders → JSON lines → schema-explicit read → aggregate.
+    The timestamp column survives the round trip because both sides
+    run in UTC (session.timeZone pinned) and the declared schema
+    parses Spark's own ISO-8601 output."""
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    path = os.path.join(SCRATCH, "s03_orders_json")
+    orders.write.mode("overwrite").json(path)
+    back = spark.read.schema(
+        "o_orderkey LONG, o_custkey LONG, o_orderstatus STRING, "
+        "o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING"
+    ).json(path)
+    return back.groupBy(
+        F.year("o_orderdate").cast("long").alias("yr")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        r6(F.sum("o_totalprice")).alias("sum_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# S4 — in-memory table create (createDataFrame ⟷ VALUES)
+# --------------------------------------------------------------------------
+
+_REGION_META = [
+    (0, "AFRICA", "south"),
+    (1, "AMERICA", "west"),
+    (2, "ASIA", "east"),
+    (3, "EUROPE", "north"),
+    (4, "MIDDLE EAST", "central"),
+]
+
+S4_ORACLE = """
+SELECT m.hemisphere,
+       CAST(COUNT(*) AS BIGINT) AS n_nations
+FROM nation n
+JOIN (VALUES (0, 'south'), (1, 'west'), (2, 'east'), (3, 'north'), (4, 'central'))
+     AS m(r_regionkey, hemisphere)
+  ON n.n_regionkey = m.r_regionkey
+GROUP BY m.hemisphere
+"""
+
+
+@query("s04_in_memory_table", oracle=S4_ORACLE)
+def s04_in_memory_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 — a driver-side literal table (`createDataFrame`) joined
+    to a base table. Literal tables are LocalRelations: Catalyst
+    folds them and the join broadcasts — the idiomatic way to ship
+    small lookup/config tables to a big cluster."""
+    (nation,) = load_tables(spark, sf_dir, "nation")
+    meta = spark.createDataFrame(
+        _REGION_META, "r_regionkey INT, r_name STRING, hemisphere STRING"
+    )
+    return (
+        nation.join(
+            F.broadcast(meta), nation["n_regionkey"] == meta["r_regionkey"]
+        )
+        .groupBy("hemisphere")
+        .agg(F.count(F.lit(1)).alias("n_nations"))
+    )
+
+
+# --------------------------------------------------------------------------
+# S5 — SQL entry path over registered temp views
+# --------------------------------------------------------------------------
+
+S5_SQL = """
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.08)
+GROUP BY o.o_orderpriority
+"""
+
+
+@query("s05_sql_entry", oracle=S5_SQL)
+def s05_sql_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 — the SQL entry point: base tables registered as temp
+    views, then one ANSI query string executed verbatim by BOTH
+    engines (the oracle *is* this SQL). The EXISTS decorrelates to
+    a left-semi join in Catalyst — same plan the DataFrame API
+    would produce."""
+    register_views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(S5_SQL)
+
+
+# --------------------------------------------------------------------------
+# S6 — partitioned parquet sink
+# --------------------------------------------------------------------------
+
+S6_ORACLE = """
+SELECT CAST(date_part('year', o_orderdate) AS BIGINT) AS o_year,
+       CAST(COUNT(*) AS BIGINT)                       AS n_orders,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT)      AS n_customers
+FROM orders
+GROUP BY o_year
+"""
+
+
+@query("s06_partitioned_sink", oracle=S6_ORACLE)
+def s06_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 — orders written `partitionBy(o_year)`, read back, and
+    aggregated per partition. The partition column round-trips via
+    directory names; a reader filtering on o_year prunes whole
+    directories (PartitionFilters in the scan node) — the layout
+    every 100 TB fact table should have on its dominant filter
+    key."""
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    path = os.path.join(SCRATCH, "s06_orders_by_year")
+    orders.withColumn("o_year", F.year("o_orderdate").cast("long")).write.mode(
+        "overwrite"
+    ).partitionBy("o_year").parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy("o_year").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
