@@ -1,1 +1,248 @@
-"""Placeholder — operators land in a subsequent commit."""
+"""UDF / UDAF / UDTF surface — SURVEY §2.10 (U1–U6).
+
+House rule: UDFs are the slow path. Every query in this module
+exists to prove the extension surface works and how it should be
+used when built-ins genuinely cannot express the logic; each
+docstring states what the built-in alternative would be. Ranking of
+crossings, fastest first: (a) no crossing (everything else in this
+repo), (b) Arrow-vectorized pandas_udf / applyInPandas / mapInPandas
+(U2–U5 — one Arrow batch per crossing), (c) row-at-a-time Python
+UDF (U1 — ~10-100× slower; never in a hot path).
+
+Oracle story: U1–U5 compute deterministic, SQL-expressible
+semantics, so each carries a full DuckDB twin — the strongest
+possible check that the UDF machinery (serialization, batching,
+grouping) does not corrupt data. U6's UDTF is likewise twinned via
+a lateral range join.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udf, udtf
+
+from hetnetdb_spark.catalog import load_tables
+from hetnetdb_spark.expr import r6
+from hetnetdb_spark.registry import query
+
+# --------------------------------------------------------------------------
+# U1 — scalar Python UDF (row-at-a-time; the slow path, proven once)
+# --------------------------------------------------------------------------
+
+_PRIORITY_WEIGHT = {"1-URGENT": 5, "2-HIGH": 4, "3-MEDIUM": 3, "4-NOT SPECIFIED": 2, "5-LOW": 1}
+
+U1_ORACLE = """
+SELECT CASE o_orderpriority
+         WHEN '1-URGENT' THEN 5 WHEN '2-HIGH' THEN 4 WHEN '3-MEDIUM' THEN 3
+         WHEN '4-NOT SPECIFIED' THEN 2 WHEN '5-LOW' THEN 1 ELSE 0
+       END                         AS weight,
+       CAST(COUNT(*) AS BIGINT)    AS n_orders,
+       ROUND(SUM(o_totalprice), 6) AS sum_price
+FROM orders
+GROUP BY weight
+"""
+
+
+@query("u01_python_udf", oracle=U1_ORACLE)
+def u01_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 — a row-at-a-time Python UDF mapping priority → weight.
+    The built-in alternative is the CASE expression the oracle uses
+    (or a broadcast lookup join — see S4); this query exists to
+    certify the plain-UDF path end-to-end, not to recommend it."""
+
+    @udf("int")
+    def priority_weight(p: str) -> int:
+        return _PRIORITY_WEIGHT.get(p, 0)
+
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    return orders.groupBy(
+        priority_weight(F.col("o_orderpriority")).alias("weight")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        r6(F.sum("o_totalprice")).alias("sum_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# U2 — vectorized scalar pandas_udf (Arrow batches)
+# --------------------------------------------------------------------------
+
+U2_ORACLE = """
+SELECT lang,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       CAST(MAX(len(string_split(text, ' '))) AS BIGINT) AS max_tokens
+FROM documents
+GROUP BY lang
+"""
+
+
+@query("u02_pandas_udf_scalar", oracle=U2_ORACLE)
+def u02_pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 — Arrow-vectorized token counting (one pandas call per
+    Arrow batch, ~10-100× faster than U1's shape). The built-in
+    equivalent is `size(split(...))` — used by docs_token_counts;
+    the oracle proves this path computes the identical answer."""
+
+    @pandas_udf("long")
+    def tok_count(s: pd.Series) -> pd.Series:
+        return s.str.split(" ").str.len().astype("int64")
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    return documents.select(
+        "lang", tok_count(F.col("text")).alias("nt")
+    ).groupBy("lang").agg(
+        F.sum("nt").alias("total_tokens"), F.max("nt").alias("max_tokens")
+    )
+
+
+# --------------------------------------------------------------------------
+# U3 — grouped-aggregate pandas_udf (custom UDAF)
+# --------------------------------------------------------------------------
+
+U3_ORACLE = """
+SELECT l_returnflag,
+       ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 6)
+         AS weighted_avg_price
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("u03_pandas_udaf", oracle=U3_ORACLE)
+def u03_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3 — a custom aggregate (quantity-weighted mean price) as a
+    grouped-agg pandas_udf. Unlike built-in aggs there is NO
+    partial/map-side combine: every group's full column ships to one
+    executor — fine for bounded groups, a skew hazard on 100 TB
+    facts, which is why the oracle's SUM/SUM formulation (two
+    partial-aggregatable sums) is the production recommendation."""
+
+    @pandas_udf("double")
+    def weighted_avg(price: pd.Series, qty: pd.Series) -> float:
+        return float((price * qty).sum() / qty.sum())
+
+    (lineitem,) = load_tables(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.round(
+            weighted_avg(F.col("l_extendedprice"), F.col("l_quantity")), 6
+        ).alias("weighted_avg_price")
+    )
+
+
+# --------------------------------------------------------------------------
+# U4 — grouped-map applyInPandas (per-group normalize)
+# --------------------------------------------------------------------------
+
+U4_ORACLE = """
+SELECT c_custkey,
+       c_nationkey,
+       ROUND((c_acctbal - AVG(c_acctbal) OVER (PARTITION BY c_nationkey))
+             / stddev_samp(c_acctbal) OVER (PARTITION BY c_nationkey), 6) AS z
+FROM customer
+"""
+
+
+@query("u04_apply_in_pandas", oracle=U4_ORACLE)
+def u04_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4 — per-nation z-score via `applyInPandas`. Each group
+    arrives as ONE pandas DataFrame (shuffle on the group key, group
+    must fit in executor memory — the documented contract). The
+    window-function twin in the oracle is the scale-safe builtin
+    formulation; pandas `std(ddof=1)` matches `stddev_samp`."""
+
+    def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        z = (pdf["c_acctbal"] - pdf["c_acctbal"].mean()) / pdf["c_acctbal"].std(ddof=1)
+        return pd.DataFrame(
+            {
+                "c_custkey": pdf["c_custkey"],
+                "c_nationkey": pdf["c_nationkey"],
+                "z": z.round(6),
+            }
+        )
+
+    (customer,) = load_tables(spark, sf_dir, "customer")
+    return customer.groupBy("c_nationkey").applyInPandas(
+        normalize, "c_custkey long, c_nationkey int, z double"
+    )
+
+
+# --------------------------------------------------------------------------
+# U5 — mapInPandas (batch-iterator transform)
+# --------------------------------------------------------------------------
+
+U5_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT)     AS n,
+       ROUND(SUM(value * 1.1), 6)   AS adjusted_sum
+FROM events
+WHERE value > 5.0
+GROUP BY event_type
+"""
+
+
+@query("u05_map_in_pandas", oracle=U5_ORACLE)
+def u05_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5 — `mapInPandas`: an iterator of Arrow batches in, an
+    iterator out. The 1:N batch shape (filter + compute here) is
+    what multimodal decode uses (pipeline.multimodal); built-in
+    filter/select would of course do THIS job without a crossing —
+    the oracle certifies the iterator plumbing."""
+
+    def adjust(batches):
+        for pdf in batches:
+            keep = pdf[pdf["value"] > 5.0]
+            out = keep[["event_type"]].copy()
+            out["adjusted"] = keep["value"] * 1.1
+            yield out
+
+    (events,) = load_tables(spark, sf_dir, "events")
+    return (
+        events.mapInPandas(adjust, "event_type string, adjusted double")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            r6(F.sum("adjusted")).alias("adjusted_sum"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# U6 — Python UDTF (table function)
+# --------------------------------------------------------------------------
+
+U6_ORACLE = """
+WITH d AS (
+    SELECT doc_id, string_split(text, ' ') AS sp
+    FROM documents WHERE doc_id < 10
+),
+e AS (
+    SELECT doc_id, sp, unnest(range(1, len(sp) + 1)) AS i FROM d
+)
+SELECT doc_id, CAST(i AS INT) AS pos, sp[i] AS token FROM e
+"""
+
+
+@query("u06_python_udtf", oracle=U6_ORACLE)
+def u06_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U6 — a Python UDTF exploding documents into (doc_id, pos,
+    token) rows, invoked through SQL with a TABLE() argument. The
+    built-in equivalent is `posexplode(split(...))`; the UDTF form
+    is for genuinely imperative row→rows logic (parsers, decoders).
+    """
+
+    @udtf(returnType="doc_id bigint, pos int, token string")
+    class SplitTokens:
+        def eval(self, row):
+            for i, tok in enumerate(row["text"].split(" ")):
+                yield row["doc_id"], i + 1, tok
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    documents.filter(F.col("doc_id") < 10).select(
+        "doc_id", "text"
+    ).createOrReplaceTempView("u06_docs")
+    spark.udtf.register("split_tokens", SplitTokens)
+    return spark.sql(
+        "SELECT * FROM split_tokens(TABLE(SELECT doc_id, text FROM u06_docs))"
+    )
