@@ -1,1 +1,206 @@
-"""Placeholder — operators land in a subsequent commit."""
+"""Multimodal columns — SURVEY §2.9 L8.
+
+Media assets are opaque ``binary`` payloads inside a typed struct
+``media: struct<mime string, data binary, width int, height int,
+n_frames int>`` — schema-on-read for bytes, schema-enforced for
+metadata. This container has no image/audio codecs installed, so
+DECODE IS STUBBED: `_decode_bytes` tries the real libraries and
+falls back to a deterministic byte-level fake (documented inline).
+Everything Spark-side — struct schema, parquet round-trip of binary
+columns, Arrow batch shape through mapInPandas, 1:N frame
+explosion, partition posture — is real and oracle/structurally
+tested; swapping the stub for PIL/ffmpeg changes no plan.
+
+Scale posture: payload bytes travel INSIDE the column store
+(parquet binary), so scans prune them unless the query touches
+`media.data`; feature extraction is `mapInPandas` (one Arrow batch
+per crossing) and its output is a fixed-width vector — the classic
+shape for a 100 TB media→embedding pipeline.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hetnetdb_spark.catalog import load_tables
+from hetnetdb_spark.registry import query
+
+import os
+
+SCRATCH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".scratch",
+)
+
+_MIMES = ["image/png", "audio/wav", "video/mp4"]
+
+
+def _with_media(documents: DataFrame) -> DataFrame:
+    """Attach the typed media struct. Payload bytes are the UTF-8
+    encoding of `text` — a deterministic stand-in for real assets
+    (the fixtures carry no binaries); metadata derives from doc_id
+    so every field is reproducible."""
+    mime = F.element_at(
+        F.array(*[F.lit(m) for m in _MIMES]), (F.col("doc_id") % 3 + 1).cast("int")
+    )
+    return documents.withColumn(
+        "media",
+        F.struct(
+            mime.alias("mime"),
+            F.encode(F.col("text"), "UTF-8").alias("data"),
+            (F.col("doc_id") % 640 + 16).cast("int").alias("width"),
+            (F.col("doc_id") % 480 + 16).cast("int").alias("height"),
+            (F.col("doc_id") % 30 + 1).cast("int").alias("n_frames"),
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# L8 — schema + parquet round-trip of binary media columns
+# --------------------------------------------------------------------------
+
+L8_SCHEMA_ORACLE = """
+SELECT CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+            ELSE 'video/mp4' END        AS mime,
+       CAST(COUNT(*) AS BIGINT)         AS n_assets,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes
+FROM documents
+GROUP BY mime
+"""
+
+
+@query("l08_multimodal_schema", oracle=L8_SCHEMA_ORACLE)
+def l08_multimodal_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L8 — the typed media struct written through the partitioned
+    parquet sink (S6) and read back: binary payloads and struct
+    metadata must survive the round trip byte-for-byte. The oracle
+    recomputes byte lengths from the source text — a fidelity check
+    on the whole write/read path. The sink partitions by mime, the
+    natural pruning key for modality-specific pipelines."""
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    path = os.path.join(SCRATCH, "l08_media")
+    media = _with_media(documents).select("doc_id", "media")
+    media.withColumn("mime", F.col("media.mime")).write.mode(
+        "overwrite"
+    ).partitionBy("mime").parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy(F.col("media.mime").alias("mime")).agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.sum(F.octet_length(F.col("media.data"))).alias("total_bytes"),
+        F.max(F.octet_length(F.col("media.data"))).alias("max_bytes"),
+    )
+
+
+# --------------------------------------------------------------------------
+# decode stub — the ONLY piece a codec-equipped cluster would replace
+# --------------------------------------------------------------------------
+
+
+def _decode_bytes(data: bytes, width: int, height: int) -> list[float]:
+    """STUB DECODER. Real deployments: `PIL.Image.open(BytesIO(data))
+    .resize(...)` / torchaudio / pyav — none installed here. The
+    fallback is a deterministic byte-histogram 'feature vector'
+    (4 coarse bins + normalized length), so tests assert exact
+    values and the Arrow plumbing is exercised with realistic
+    shapes."""
+    try:  # pragma: no cover — codec libs absent in this container
+        import PIL.Image  # noqa: F401
+
+        raise NotImplementedError("real decode path not wired in this container")
+    except ImportError:
+        pass
+    counts = [0, 0, 0, 0]
+    for b in data:
+        counts[b >> 6] += 1
+    n = max(len(data), 1)
+    return [c / n for c in counts] + [float(min(width, height))]
+
+
+@query("l08_image_features", oracle=None)
+def l08_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L8 (rows-only) — decode + feature-extract 'images' through
+    mapInPandas: binary in, fixed-width `array<float>` out, one
+    Arrow batch per crossing. Column pruning matters: only
+    image-mime rows reach Python, and the projection carries just
+    (doc_id, data, width, height)."""
+
+    def extract(batches):
+        for pdf in batches:
+            feats = [
+                _decode_bytes(d, w, h)
+                for d, w, h in zip(pdf["data"], pdf["width"], pdf["height"])
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    images = (
+        _with_media(documents)
+        .filter(F.col("media.mime") == "image/png")
+        .select(
+            "doc_id",
+            F.col("media.data").alias("data"),
+            F.col("media.width").alias("width"),
+            F.col("media.height").alias("height"),
+        )
+    )
+    feats = images.mapInPandas(extract, "doc_id long, features array<float>")
+    return feats.agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.avg(F.element_at("features", 1)).alias("avg_bin0"),
+        F.min(F.size("features")).alias("feat_dim"),
+    )
+
+
+# --------------------------------------------------------------------------
+# L8 — frame sampling (1:N batch explosion for 'video')
+# --------------------------------------------------------------------------
+
+FRAME_BYTES = 32  # stub 'frame' = 32-byte slice of the payload
+
+
+@query("l08_frame_sample", oracle=None)
+def l08_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L8 (rows-only) — sample every 5th 'frame' from 'video'
+    payloads: a 1:N mapInPandas explosion (one input row → many
+    frame rows), the batch shape real video frame-sampling has.
+    Frames here are byte slices (stub decoder); each output row
+    carries the frame index and a content hash so downstream exact
+    dedup (L1) composes directly."""
+
+    def sample(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_sha": []}
+            for doc_id, data, n_frames in zip(
+                pdf["doc_id"], pdf["data"], pdf["n_frames"]
+            ):
+                for idx in range(0, int(n_frames), 5):
+                    start = (idx * FRAME_BYTES) % max(len(data) - FRAME_BYTES, 1)
+                    frame = bytes(data[start : start + FRAME_BYTES])
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["frame_sha"].append(hashlib.sha256(frame).hexdigest())
+            yield pd.DataFrame(out)
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    videos = (
+        _with_media(documents)
+        .filter(F.col("media.mime") == "video/mp4")
+        .select(
+            "doc_id",
+            F.col("media.data").alias("data"),
+            F.col("media.n_frames").alias("n_frames"),
+        )
+    )
+    frames = videos.mapInPandas(
+        sample, "doc_id long, frame_idx int, frame_sha string"
+    )
+    return frames.agg(
+        F.count(F.lit(1)).alias("n_frames_sampled"),
+        F.countDistinct("doc_id").alias("n_videos"),
+        F.countDistinct("frame_sha").alias("n_unique_frames"),
+    )
