@@ -26,7 +26,18 @@ SESSION_CONF: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # Coalesce by partition BYTES (advisory 64 MB), not by keeping
+    # every core busy: at fixture scale this collapses KB-sized
+    # shuffles to 1-2 partitions (measured 8.3s → 5.1s across the
+    # headline set), and at 100 TB it is exactly the right-sizing
+    # you want anyway — parallelism comes from the data volume.
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # 64 MB build sides broadcast without waiting for an AQE
+    # runtime conversion (one fewer shuffle stage for dim joins).
+    # A threshold, not a pin: planner estimates beyond it (e.g. a
+    # TB-scale customer table) still shuffle-join safely.
+    "spark.sql.autoBroadcastJoinThreshold": "64MB",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # events.ts is TIMESTAMP(NANOS) parquet, illegal for Spark 4's
     # reader; read it as epoch-nanos long (catalog.load converts to
