@@ -1,0 +1,70 @@
+"""Cross-scale consistency checks (SURVEY §5.2).
+
+Invariants that must hold at every scale factor: dimension tables
+are constant-size, fact tables grow, schemas are identical, and
+scale-invariant query outputs (group counts, dimensionality) do not
+change between sf0.001 and sf0.01.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from hetnetdb_spark import registry
+from hetnetdb_spark.catalog import load, load_tables
+
+registry.load_all()
+
+SF_SMALL = "/root/testdata/sf0.001"
+SF_MED = "/root/testdata/sf0.01"
+
+needs_both = pytest.mark.skipif(
+    not (os.path.isdir(SF_SMALL) and os.path.isdir(SF_MED)),
+    reason="both fixture scales required",
+)
+
+
+@needs_both
+def test_dimension_tables_constant_across_sf(spark):
+    for name, expected in [("region", 5), ("nation", 25)]:
+        assert load(spark, SF_SMALL, name).count() == expected
+        assert load(spark, SF_MED, name).count() == expected
+
+
+@needs_both
+def test_fact_tables_grow_with_sf(spark):
+    for name in ["lineitem", "orders", "events"]:
+        small = load(spark, SF_SMALL, name).count()
+        med = load(spark, SF_MED, name).count()
+        assert med >= 5 * small, f"{name}: {small} -> {med} did not scale"
+
+
+@needs_both
+def test_schemas_identical_across_sf(spark):
+    from hetnetdb_spark.schemas import TABLE_NAMES
+
+    for name in TABLE_NAMES:
+        assert (
+            load(spark, SF_SMALL, name).schema == load(spark, SF_MED, name).schema
+        ), f"{name} schema drifts between scales"
+
+
+@needs_both
+def test_scale_invariant_query_shapes(spark):
+    """Outputs whose cardinality is a function of the dimensions,
+    not the facts: q1's 6 flag/status groups, q5's ≤25 nations,
+    64-dim embeddings."""
+    q1 = registry.QUERIES["q1_pricing_summary"]
+    assert q1(spark, SF_SMALL).count() == q1(spark, SF_MED).count() == 6
+
+    q5 = registry.QUERIES["q5_local_supplier"]
+    assert q5(spark, SF_MED).count() <= 25
+
+    from pyspark.sql import functions as F
+
+    for sf in (SF_SMALL, SF_MED):
+        (emb,) = load_tables(spark, sf, "embeddings")
+        dims = emb.select(F.size("embedding").alias("d")).distinct().collect()
+        assert [r["d"] for r in dims] == [64]

@@ -1,0 +1,105 @@
+"""Property-based differential spot checks (SURVEY §5.4).
+
+Hypothesis generates random predicate/aggregation shapes; each is
+compiled to BOTH a PySpark DataFrame pipeline and a DuckDB SQL
+string and the results must match. This catches operator-semantics
+drift beyond the golden query set — comparison direction, boundary
+inclusivity, null ordering, grouping of empty results.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from hetnetdb_spark.catalog import load_tables
+from tests.conftest import SF_DIR
+from tests.oracle_compare import assert_frames_match
+
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+STATUSES = ["O", "F", "P"]
+
+predicates = st.fixed_dictionaries(
+    {
+        "lo": st.floats(min_value=0.0, max_value=200000.0, allow_nan=False),
+        "span": st.floats(min_value=1.0, max_value=300000.0, allow_nan=False),
+        "priority": st.sampled_from(PRIORITIES),
+        "negate": st.booleans(),
+        "status": st.sampled_from(STATUSES),
+        "use_status": st.booleans(),
+    }
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(p=predicates)
+def test_random_predicate_agg_matches_oracle(spark, oracle, p):
+    """filter(price BETWEEN lo..hi [, priority][, status]) →
+    groupBy(status) → count/sum — same answer from both engines."""
+    (orders,) = load_tables(spark, SF_DIR, "orders")
+    hi = p["lo"] + p["span"]
+    cond = F.col("o_totalprice").between(p["lo"], hi)
+    prio = F.col("o_orderpriority") == p["priority"]
+    cond = cond & (~prio if p["negate"] else prio)
+    sql_prio = ("NOT " if p["negate"] else "") + f"(o_orderpriority = '{p['priority']}')"
+    sql = (
+        "SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n, "
+        "ROUND(SUM(o_totalprice), 6) AS s FROM orders "
+        f"WHERE o_totalprice BETWEEN {p['lo']!r} AND {hi!r} AND {sql_prio}"
+    )
+    if p["use_status"]:
+        cond = cond & (F.col("o_orderstatus") != p["status"])
+        sql += f" AND o_orderstatus <> '{p['status']}'"
+    sql += " GROUP BY o_orderstatus"
+    spark_pdf = (
+        orders.filter(cond)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 6).alias("s"),
+        )
+        .toPandas()
+    )
+    assert_frames_match(spark_pdf, oracle.execute(sql).fetchdf(), "property")
+
+
+group_keys = st.sampled_from(
+    [
+        ("l_returnflag",),
+        ("l_linestatus",),
+        ("l_returnflag", "l_linestatus"),
+        ("l_linenumber",),
+    ]
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(keys=group_keys, qty=st.floats(min_value=0.0, max_value=60.0, allow_nan=False))
+def test_random_groupby_matches_oracle(spark, oracle, keys, qty):
+    """Random group-key subsets with a quantity floor."""
+    (lineitem,) = load_tables(spark, SF_DIR, "lineitem")
+    spark_pdf = (
+        lineitem.filter(F.col("l_quantity") >= qty)
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6).alias("rev"),
+        )
+        .toPandas()
+    )
+    cols = ", ".join(keys)
+    sql = (
+        f"SELECT {cols}, CAST(COUNT(*) AS BIGINT) AS n, "
+        "ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS rev "
+        f"FROM lineitem WHERE l_quantity >= {qty!r} GROUP BY {cols}"
+    )
+    assert_frames_match(spark_pdf, oracle.execute(sql).fetchdf(), "property-groupby")
