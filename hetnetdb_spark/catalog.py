@@ -22,6 +22,13 @@ from hetnetdb_spark.session import configure
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
+#: Loaded-table cache, keyed by (applicationId, sf_dir, name).
+#: DataFrames are immutable logical plans, so reuse is safe; what
+#: this saves is the parquet footer read + plan construction that
+#: `spark.read.parquet` pays on every call — the catalog-metadata
+#: caching every long-lived engine does.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
 
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
@@ -37,6 +44,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         # events.ts is TIMESTAMP(NANOS) in parquet, which Spark 4
@@ -47,6 +58,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # native timestamp precision and DuckDB's read of the same
         # column. Fixture values are µs-aligned, so this is lossless.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    _TABLE_CACHE[key] = df
     return df
 
 
