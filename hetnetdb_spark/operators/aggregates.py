@@ -332,3 +332,45 @@ def a11_first_in_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderdate").alias("first_orderdate"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# A12 (beyond contract) — salted two-phase aggregation for skewed keys
+# --------------------------------------------------------------------------
+
+A12_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 6)     AS sum_value,
+       ROUND(MAX(value), 6)     AS max_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("a12_salted_agg", oracle=A12_ORACLE)
+def a12_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond SURVEY §2 — the manual salting pattern for aggregation
+    over pathologically skewed keys (events has only 5 event_types,
+    so one reducer per key at 100 TB would hot-spot).
+
+    Phase 1 groups by (key, salt=crc32(event_id)%16): 80 groups
+    spread over all reducers; phase 2 merges the 80 partials on the
+    bare key. Every aggregate must be decomposable (count→sum,
+    sum→sum, max→max — avg would ship as sum+count). Same answer,
+    same oracle, no hot partition. Spark's own AQE skew-join
+    handles *join* skew at runtime; aggregation salt remains a
+    hand-applied pattern, hence this named operator.
+    """
+    (events,) = load_tables(spark, sf_dir, "events")
+    salted = events.withColumn("salt", F.crc32(F.col("event_id").cast("string")) % 16)
+    phase1 = salted.groupBy("event_type", "salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum("value").alias("psum"),
+        F.max("value").alias("pmax"),
+    )
+    return phase1.groupBy("event_type").agg(
+        F.sum("pn").alias("n"),
+        F.round(F.sum("psum"), 6).alias("sum_value"),
+        F.round(F.max("pmax"), 6).alias("max_value"),
+    )

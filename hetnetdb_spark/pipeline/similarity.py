@@ -310,22 +310,49 @@ N_CENTROIDS = 8
 N_PROBE = 2
 
 
+def _lloyd_refine(emb: DataFrame, seeds: DataFrame) -> DataFrame:
+    """One Lloyd (k-means) iteration, entirely in DataFrame ops:
+    assign every vector to its nearest seed (broadcast argmax pass),
+    then recompute each cluster's centroid as the element-wise mean
+    — expressed as DIM simultaneous `avg(element_at(...))`
+    aggregates in ONE hash aggregate (partial/map-side combined), so
+    the shuffle carries K×DIM partial sums, never vectors. More
+    iterations = a `for` loop over this function; one suffices to
+    demonstrate the iterative-algorithm shape."""
+    w = Window.partitionBy("vec_id").orderBy(F.col("s").desc(), F.col("cid"))
+    assigned = (
+        emb.crossJoin(F.broadcast(seeds))
+        .select("vec_id", "embedding", "cid", dot(F.col("embedding"), F.col("ce")).alias("s"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return assigned.groupBy("cid").agg(
+        F.array(
+            *[
+                F.avg(F.element_at("embedding", i + 1).cast("double")).cast("float")
+                for i in range(DIM)
+            ]
+        ).alias("ce")
+    )
+
+
 @query("l03_knn_ivf", oracle=None)
 def l03_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L3 at scale (rows-only) — IVF-style partition-pruned top-10.
 
-    'Centroids' are the first 8 vectors (a deterministic stand-in
-    for a k-means pass — the assignment/probe plumbing is the real
-    subject). Every vector is assigned to its nearest centroid via
+    Centroids are trained with one Lloyd iteration from the first 8
+    vectors as seeds (`_lloyd_refine` — deterministic, all
+    JVM-side). Every vector is assigned to its nearest centroid via
     one broadcast scoring pass; the query probes its 2 nearest
     centroids and scans only those inverted lists — scanned
     fraction ≈ nprobe/K. At 100 TB the assignment is the partition
     key for a bucketed layout, so a probe touches 2/8 of the files.
     """
     (emb,) = load_tables(spark, sf_dir, "embeddings")
-    cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+    seeds = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
     )
+    cent = _lloyd_refine(emb.select("vec_id", "embedding"), seeds)
     # assign every vector to argmax-dot centroid (one broadcast pass)
     w_assign = Window.partitionBy("vec_id").orderBy(
         F.col("cscore").desc(), F.col("cid")

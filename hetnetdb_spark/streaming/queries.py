@@ -447,3 +447,51 @@ def t08_output_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     results.append(("foreachBatch", sum(seen)))
     return spark.createDataFrame(results, "mode string, rows_at_sink long")
+
+
+# --------------------------------------------------------------------------
+# T9 (beyond contract) — custom stateful operator via applyInPandasWithState
+# --------------------------------------------------------------------------
+
+T9_ORACLE = """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 6)     AS total_value
+FROM events
+GROUP BY user_id
+"""
+
+
+@query("t09_custom_stateful", oracle=T9_ORACLE)
+def t09_custom_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond SURVEY §2.8 — an arbitrary per-key state machine via
+    `applyInPandasWithState`: the escape hatch when built-in
+    windows/dedup can't express the stateful logic (session funnels,
+    fraud counters, CDC merge). Here the state is a per-user
+    (count, sum) accumulator — deliberately equivalent to a
+    group-by so the DuckDB oracle can certify the state machinery
+    end-to-end: grouping, multiple Arrow chunks per key, state
+    read/update, update-mode emission."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    import pandas as pd
+
+    def track(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 6)]}
+        )
+
+    stream = _events_stream(spark, table_path(sf_dir, "events"))
+    tracked = stream.groupBy("user_id").applyInPandasWithState(
+        track,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    _run_to_memory(tracked, "t09_stateful", "update")
+    return spark.table("t09_stateful")
