@@ -1,0 +1,72 @@
+"""Plan auditing — machine-checkable physical-plan properties.
+
+PLANS.md documents the plan each headline query should produce; this
+module makes those claims *enforceable*: extract facts from the
+executed (post-AQE) plan and assert them in tests
+(`tests/test_plans.py`), so a regression that un-pushes a filter,
+re-pins a broadcast, or adds a shuffle fails CI instead of silently
+costing a factor at scale.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+from pyspark.sql import DataFrame
+
+
+def explain_string(df: DataFrame, mode: str = "formatted") -> str:
+    """The plan text `df.explain(mode)` prints, captured."""
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def executed_plan(df: DataFrame) -> str:
+    """Run the query (noop sink — no driver collect) and return the
+    FINAL adaptive plan, which is the one that actually executed."""
+    df.write.format("noop").mode("overwrite").save()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def shuffle_exchange_count(plan: str) -> int:
+    """Shuffle exchanges only (broadcast exchanges move dim-sized
+    data and are counted separately)."""
+    return len(re.findall(r"Exchange (?:hash|range|single|round)", plan, re.IGNORECASE))
+
+
+def broadcast_exchange_count(plan: str) -> int:
+    return plan.count("BroadcastExchange")
+
+
+def has_pushed_filter(plan: str, fragment: str) -> bool:
+    """True if a scan's pushed/data filters mention `fragment`."""
+    for m in re.finditer(r"(?:PushedFilters|DataFilters): \[[^\]]*\]", plan):
+        if fragment in m.group(0):
+            return True
+    return False
+
+
+def scan_read_columns(plan: str, table: str) -> list[str] | None:
+    """Columns actually read from `table`'s parquet scan (column-
+    pruning check). Returns None if no scan of that table appears."""
+    for m in re.finditer(r"FileScan parquet \[([^\]]*)\][^\n]*", plan):
+        if f"/{table}.parquet" in m.group(0):
+            cols = m.group(1)
+            return [c.split("#")[0].strip() for c in cols.split(",") if c.strip()]
+    return None
+
+
+def has_top_k(plan: str) -> bool:
+    """Global top-k planned as TakeOrderedAndProject (bounded
+    heaps), not a full sort."""
+    return "TakeOrderedAndProject" in plan
+
+
+def has_window_group_limit(plan: str) -> bool:
+    """Per-group top-k pushed below the shuffle (Spark 4's
+    WindowGroupLimit partial mode)."""
+    return "WindowGroupLimit" in plan

@@ -1,0 +1,86 @@
+"""Physical-plan property tests — PLANS.md, enforced.
+
+Each assertion pins a scale-critical plan property: pushed filters,
+column pruning, shuffle counts, top-k strategies. A regression here
+means a silent factor lost at 100 TB even if answers stay correct.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from hetnetdb_spark import registry
+from hetnetdb_spark.plans.audit import (
+    executed_plan,
+    has_pushed_filter,
+    has_top_k,
+    has_window_group_limit,
+    scan_read_columns,
+    shuffle_exchange_count,
+)
+from tests.conftest import SF_DIR
+
+registry.load_all()
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    """Executed (post-AQE) plans for the audited queries."""
+    names = [
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "events_sessionize_30m",
+        "window_top3_orders_per_cust",
+        "docs_token_counts",
+        "emb_topk_cosine",
+    ]
+    return {n: executed_plan(registry.QUERIES[n](spark, SF_DIR)) for n in names}
+
+
+def test_q1_filter_pushed_and_columns_pruned(plans):
+    plan = plans["q1_pricing_summary"]
+    assert has_pushed_filter(plan, "l_shipdate"), "shipdate filter must reach the scan"
+    cols = scan_read_columns(plan, "lineitem")
+    assert cols is not None and "l_orderkey" not in cols, (
+        f"q1 needs no join key; scan reads {cols}"
+    )
+
+
+def test_q3_filters_pushed_before_joins(plans):
+    plan = plans["q3_shipping_priority"]
+    assert has_pushed_filter(plan, "c_mktsegment"), "segment filter must reach customer scan"
+    assert has_pushed_filter(plan, "o_orderdate"), "date filter must reach orders scan"
+    assert has_top_k(plan), "top-10 must plan as TakeOrderedAndProject"
+
+
+def test_sessionize_single_shuffle(plans):
+    plan = plans["events_sessionize_30m"]
+    assert shuffle_exchange_count(plan) == 1, (
+        "one user_id shuffle must serve both windows AND the final aggregate"
+    )
+    cols = scan_read_columns(plan, "events")
+    assert cols is not None and set(cols) <= {"event_id", "ts", "user_id"}, (
+        f"sessionize must not read payload columns; scan reads {cols}"
+    )
+
+
+def test_window_top3_limits_below_shuffle(plans):
+    plan = plans["window_top3_orders_per_cust"]
+    assert has_window_group_limit(plan), (
+        "per-group top-k must push a WindowGroupLimit below the exchange"
+    )
+
+
+def test_docs_token_counts_partial_agg_and_pruning(plans):
+    plan = plans["docs_token_counts"]
+    assert shuffle_exchange_count(plan) == 1
+    cols = scan_read_columns(plan, "documents")
+    assert cols is not None and "doc_id" not in cols and "source" not in cols, (
+        f"token counting reads only text/lang/n_chars; scan reads {cols}"
+    )
+
+
+def test_emb_topk_no_vector_shuffle(plans):
+    plan = plans["emb_topk_cosine"]
+    assert shuffle_exchange_count(plan) == 0, "embeddings must never shuffle"
+    assert has_top_k(plan)
