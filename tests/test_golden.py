@@ -1,0 +1,101 @@
+"""Golden-value tests for *(rows-only)* operators (SURVEY §5.5).
+
+Rows-only queries get a weaker driver check (no oracle hash), so
+their determinism is pinned here instead: exact expected outputs at
+sf0.001, captured once and asserted forever. All of these are
+deterministic by construction — seeded hyperplanes, xxhash64
+signatures, HLL sketches (merge-order independent), fixed file
+splits — so any drift is a real semantic change.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from hetnetdb_spark import registry
+from tests.conftest import SF_DIR
+
+registry.load_all()
+
+pinned = pytest.mark.skipif(
+    not SF_DIR.endswith("sf0.001"), reason="golden values are pinned at sf0.001"
+)
+
+
+def rows(spark, name):
+    return [r.asDict() for r in registry.QUERIES[name](spark, SF_DIR).collect()]
+
+
+@pinned
+def test_minhash_neardup_golden(spark):
+    assert rows(spark, "l02_minhash_neardup") == [
+        {"strategy": "minhash-lsh", "n_candidates": 27, "n_verified": 26}
+    ]
+
+
+@pinned
+def test_simhash_neardup_golden(spark):
+    assert rows(spark, "l02_simhash_neardup") == [
+        {"strategy": "simhash", "n_candidates": 14284, "n_near": 8985}
+    ]
+
+
+@pinned
+def test_lsh_simjoin_golden(spark):
+    assert rows(spark, "l04_simjoin_lsh") == [
+        {
+            "strategy": "lsh",
+            "n_candidates": 29400,
+            "n_verified": 125,
+            "n_exact": 257,
+            "recall": 0.486381,
+        }
+    ]
+
+
+@pinned
+def test_ivf_knn_golden(spark):
+    got = rows(spark, "l03_knn_ivf")
+    assert [r["vec_id"] for r in got] == [17, 225, 12, 483, 73, 212, 347, 402, 299, 232]
+    assert got[0]["cosine"] == pytest.approx(0.334456, abs=1e-6)
+
+
+@pinned
+def test_watermark_latedrop_golden(spark):
+    assert rows(spark, "t04_watermark_latedrop") == [
+        {"n_windows_emitted": 280, "n_rows_counted": 500}
+    ]
+
+
+@pinned
+def test_engine_hashes_golden(spark):
+    assert rows(spark, "f09_engine_hashes") == [
+        {"n_distinct_hash": 150, "n_distinct_id": 150, "n_rows": 150}
+    ]
+
+
+@pinned
+def test_approx_count_distinct_golden(spark):
+    got = {r["l_returnflag"]: r for r in rows(spark, "a04_approx_count_distinct")}
+    assert got["N"]["approx_n_orders"] == 1115
+    assert got["A"]["approx_n_orders"] == 1074
+    assert got["R"]["approx_n_orders"] == 1083
+
+
+@pinned
+def test_multimodal_golden(spark):
+    (feat,) = rows(spark, "l08_image_features")
+    assert feat["n_images"] == 167 and feat["feat_dim"] == 5
+    assert feat["avg_bin0"] == pytest.approx(0.178863, abs=1e-6)
+    (frames,) = rows(spark, "l08_frame_sample")
+    assert frames == {
+        "n_frames_sampled": 607,
+        "n_videos": 166,
+        "n_unique_frames": 596,
+    }
+
+
+@pinned
+def test_output_modes_golden(spark):
+    got = {r["mode"]: r["rows_at_sink"] for r in rows(spark, "t08_output_modes")}
+    assert got == {"complete": 5, "update": 5, "foreachBatch": 5}
