@@ -198,3 +198,58 @@ def s06_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.countDistinct("o_custkey").alias("n_customers"),
     )
+
+
+# --------------------------------------------------------------------------
+# S9 (beyond contract) — bucketed tables: co-located, shuffle-free joins
+# --------------------------------------------------------------------------
+
+S9_ORACLE = """
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT)                           AS n_lines,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)) / 1000000, 4)
+         AS revenue_m
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
+@query("s09_bucketed_join", oracle=S9_ORACLE)
+def s09_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond SURVEY §2.1 — the bucketed-layout pattern: lineitem
+    and orders both written `bucketBy(8, orderkey)` + sorted, then
+    joined on the bucket key. Both scans report their bucketing, so
+    the sort-merge join needs NO exchange on either side (asserted
+    in tests/test_plans.py) — at 100 TB this is THE layout for a
+    fact-to-fact join that would otherwise shuffle both tables on
+    every query. The `merge` hint keeps the demo honest at fixture
+    scale (the planner would otherwise broadcast the small side).
+    """
+    lineitem, orders = load_tables(spark, sf_dir, "lineitem", "orders")
+    warehouse_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    lt, ot = f"bkt_lineitem_{warehouse_tag}", f"bkt_orders_{warehouse_tag}"
+    for name, df, key in ((lt, lineitem, "l_orderkey"), (ot, orders, "o_orderkey")):
+        if not spark.catalog.tableExists(name):
+            (
+                df.write.bucketBy(8, key)
+                .sortBy(key)
+                .option("path", os.path.join(SCRATCH, f"s09_{name}"))
+                .mode("overwrite")
+                .saveAsTable(name)
+            )
+    bl, bo = spark.table(lt), spark.table(ot)
+    return (
+        bl.hint("merge")
+        .join(bo, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            # revenue reported in millions at 4dp: the raw sum is ~1e9
+            # and summation-order drift across 8 buckets exceeds the
+            # 6-decimal window; the scaled form is drift-immune.
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) / 1e6, 4
+            ).alias("revenue_m"),
+        )
+    )

@@ -84,3 +84,12 @@ def test_emb_topk_no_vector_shuffle(plans):
     plan = plans["emb_topk_cosine"]
     assert shuffle_exchange_count(plan) == 0, "embeddings must never shuffle"
     assert has_top_k(plan)
+
+
+def test_bucketed_join_no_join_shuffle(spark):
+    """s09: both sides bucketed on the join key — the sort-merge
+    join itself must not exchange; the only shuffle is the final
+    5-group aggregate."""
+    plan = executed_plan(registry.QUERIES["s09_bucketed_join"](spark, SF_DIR))
+    assert "SortMergeJoin" in plan
+    assert shuffle_exchange_count(plan) == 1, plan
