@@ -374,3 +374,30 @@ def a12_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("psum"), 6).alias("sum_value"),
         F.round(F.max("pmax"), 6).alias("max_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# A10 — GROUPING SETS (SQL entry; arbitrary grouping combinations)
+# --------------------------------------------------------------------------
+
+A10_GSETS_SQL = """
+SELECT COALESCE(l_returnflag, 'ALL')           AS returnflag,
+       COALESCE(CAST(l_linenumber AS BIGINT), -1)   AS lineno,
+       CAST(COUNT(*) AS BIGINT)                AS n,
+       ROUND(SUM(l_quantity), 6)               AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linenumber), ())
+"""
+
+
+@query("a10_grouping_sets", oracle=A10_GSETS_SQL)
+def a10_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 — explicit GROUPING SETS (flag margins, line-number
+    margins, grand total — a combination neither rollup nor cube
+    produces). Runs through the SQL entry path; the oracle IS the
+    same statement. Spark plans one Expand + single hash aggregate,
+    so the input is read once for all three groupings."""
+    from hetnetdb_spark.catalog import register_views
+
+    register_views(spark, sf_dir, "lineitem")
+    return spark.sql(A10_GSETS_SQL)
