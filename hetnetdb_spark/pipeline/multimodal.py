@@ -74,7 +74,7 @@ GROUP BY mime
 """
 
 
-@query("l08_multimodal_schema", oracle=L8_SCHEMA_ORACLE)
+@query("l08_multimodal_schema", oracle=L8_SCHEMA_ORACLE, impure=True)
 def l08_multimodal_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L8 — the typed media struct written through the partitioned
     parquet sink (S6) and read back: binary payloads and struct

@@ -27,9 +27,14 @@ def explain_string(df: DataFrame, mode: str = "formatted") -> str:
 
 def executed_plan(df: DataFrame) -> str:
     """Run the query (noop sink — no driver collect) and return the
-    FINAL adaptive plan, which is the one that actually executed."""
+    FINAL adaptive plan, which is the one that actually executed.
+
+    A finalized AdaptiveSparkPlan prints BOTH its final and initial
+    plans; only the final section is returned so node counts aren't
+    doubled."""
     df.write.format("noop").mode("overwrite").save()
-    return df._jdf.queryExecution().executedPlan().toString()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.split("== Initial Plan ==")[0]
 
 
 def shuffle_exchange_count(plan: str) -> int:

@@ -45,7 +45,7 @@ GROUP BY n_regionkey
 """
 
 
-@query("s02_csv_roundtrip", oracle=S2_ORACLE)
+@query("s02_csv_roundtrip", oracle=S2_ORACLE, impure=True)
 def s02_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2 — nation → CSV (header) → read with explicit schema →
     aggregate. The read declares the schema up front; header=True
@@ -78,7 +78,7 @@ GROUP BY yr
 """
 
 
-@query("s03_json_roundtrip", oracle=S3_ORACLE)
+@query("s03_json_roundtrip", oracle=S3_ORACLE, impure=True)
 def s03_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3 — orders → JSON lines → schema-explicit read → aggregate.
     The timestamp column survives the round trip because both sides
@@ -156,7 +156,7 @@ GROUP BY o.o_orderpriority
 """
 
 
-@query("s05_sql_entry", oracle=S5_SQL)
+@query("s05_sql_entry", oracle=S5_SQL, impure=True)
 def s05_sql_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5 — the SQL entry point: base tables registered as temp
     views, then one ANSI query string executed verbatim by BOTH
@@ -180,7 +180,7 @@ GROUP BY o_year
 """
 
 
-@query("s06_partitioned_sink", oracle=S6_ORACLE)
+@query("s06_partitioned_sink", oracle=S6_ORACLE, impure=True)
 def s06_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6 — orders written `partitionBy(o_year)`, read back, and
     aggregated per partition. The partition column round-trips via
@@ -215,7 +215,7 @@ GROUP BY o.o_orderpriority
 """
 
 
-@query("s09_bucketed_join", oracle=S9_ORACLE)
+@query("s09_bucketed_join", oracle=S9_ORACLE, impure=True)
 def s09_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Beyond SURVEY §2.1 — the bucketed-layout pattern: lineitem
     and orders both written `bucketBy(8, orderkey)` + sorted, then

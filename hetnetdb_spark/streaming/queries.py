@@ -111,7 +111,7 @@ def events_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@query("t01_stream_tumbling_1h", oracle=TUMBLING_ORACLE)
+@query("t01_stream_tumbling_1h", oracle=TUMBLING_ORACLE, impure=True)
 def t01_stream_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1 — tumbling window through readStream + availableNow +
     complete-mode memory sink. Same oracle as the batch form: with
@@ -141,7 +141,7 @@ GROUP BY window_start
 """
 
 
-@query("t02_stream_sliding", oracle=T2_ORACLE)
+@query("t02_stream_sliding", oracle=T2_ORACLE, impure=True)
 def t02_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T2 — sliding 1h/15m window, streamed. Each event lands in 4
     overlapping windows; the oracle expands the same 4 buckets with
@@ -187,7 +187,7 @@ FROM (
 """
 
 
-@query("t03_stream_session_30m", oracle=T3_ORACLE)
+@query("t03_stream_session_30m", oracle=T3_ORACLE, impure=True)
 def t03_stream_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T3 — `session_window` (30-minute gap) through the streaming
     engine. Oracle is the batch lag+cumsum sessionization with the
@@ -219,7 +219,7 @@ def t03_stream_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@query("t04_watermark_latedrop", oracle=None)
+@query("t04_watermark_latedrop", oracle=None, impure=True)
 def t04_watermark_latedrop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4 (rows-only) — a 10-minute watermark dropping late rows.
 
@@ -292,7 +292,7 @@ GROUP BY event_type
 """
 
 
-@query("t05_stream_dedup", oracle=T5_ORACLE)
+@query("t05_stream_dedup", oracle=T5_ORACLE, impure=True)
 def t05_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T5 — `dropDuplicatesWithinWatermark` on a stream that
     replays every event twice (the fixture file copied into two
@@ -335,7 +335,7 @@ GROUP BY c.c_mktsegment
 """
 
 
-@query("t06_stream_static_join", oracle=T6_ORACLE)
+@query("t06_stream_static_join", oracle=T6_ORACLE, impure=True)
 def t06_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T6 — streaming events ⋈ static customer dimension, then
     windowless aggregate. The static side is a plain batch
@@ -373,7 +373,7 @@ JOIN events b
 """
 
 
-@query("t07_stream_stream_join", oracle=T7_ORACLE)
+@query("t07_stream_stream_join", oracle=T7_ORACLE, impure=True)
 def t07_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T7 — click→purchase attribution: two watermarked streams of
     the same source joined on user with a 1-hour range condition.
@@ -417,7 +417,7 @@ def t07_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@query("t08_output_modes", oracle=None)
+@query("t08_output_modes", oracle=None, impure=True)
 def t08_output_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T8 (rows-only) — the same aggregate run in complete and
     update modes plus a foreachBatch sink, all under availableNow.
@@ -462,7 +462,7 @@ GROUP BY user_id
 """
 
 
-@query("t09_custom_stateful", oracle=T9_ORACLE)
+@query("t09_custom_stateful", oracle=T9_ORACLE, impure=True)
 def t09_custom_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Beyond SURVEY §2.8 — an arbitrary per-key state machine via
     `applyInPandasWithState`: the escape hatch when built-in

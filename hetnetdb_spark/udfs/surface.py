@@ -224,7 +224,7 @@ SELECT doc_id, CAST(i AS INT) AS pos, sp[i] AS token FROM e
 """
 
 
-@query("u06_python_udtf", oracle=U6_ORACLE)
+@query("u06_python_udtf", oracle=U6_ORACLE, impure=True)
 def u06_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U6 — a Python UDTF exploding documents into (doc_id, pos,
     token) rows, invoked through SQL with a TABLE() argument. The
