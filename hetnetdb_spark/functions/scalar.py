@@ -349,3 +349,35 @@ def f09_engine_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("mid").alias("n_distinct_id"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+F7B_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT json_extract_string(props, '$.k')) AS BIGINT) AS n_distinct_k,
+       MAX(json_extract_string(props, '$.k'))                            AS max_k_str
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("f07b_json_tuple", oracle=F7B_ORACLE)
+def f07b_json_tuple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 (rest of the group) — `json_tuple` (generator form: one
+    parse extracting many paths at once — cheaper than N
+    `get_json_object` calls on wide JSON) plus `schema_of_json` on a
+    LITERAL sample only: inferring over the data column would be a
+    second full scan at 100 TB, so the inferred schema is folded at
+    plan time and merely validated here."""
+    (events,) = load_tables(spark, sf_dir, "events")
+    inferred = F.schema_of_json(F.lit('{"k": 42}'))  # constant-folded
+    tupled = events.select(
+        "event_type",
+        F.json_tuple(F.col("props"), "k").alias("k_str"),
+        inferred.alias("schema_str"),
+    )
+    # schema_str is engine-specific text; assert it resolved, then drop it.
+    tupled = tupled.filter(F.col("schema_str").isNotNull())
+    return tupled.groupBy("event_type").agg(
+        F.countDistinct("k_str").alias("n_distinct_k"),
+        F.max("k_str").alias("max_k_str"),
+    )
