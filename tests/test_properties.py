@@ -103,3 +103,48 @@ def test_random_groupby_matches_oracle(spark, oracle, keys, qty):
         f"FROM lineitem WHERE l_quantity >= {qty!r} GROUP BY {cols}"
     )
     assert_frames_match(spark_pdf, oracle.execute(sql).fetchdf(), "property-groupby")
+
+
+join_shapes = st.fixed_dictionaries(
+    {
+        "how": st.sampled_from(["inner", "left", "left_semi", "left_anti"]),
+        "bal": st.floats(min_value=-1000.0, max_value=10000.0, allow_nan=False),
+    }
+)
+
+_JOIN_SQL = {
+    "inner": "JOIN",
+    "left": "LEFT JOIN",
+    "left_semi": "SEMI JOIN",
+    "left_anti": "ANTI JOIN",
+}
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(p=join_shapes)
+def test_random_join_shape_matches_oracle(spark, oracle, p):
+    """Random join type × account-balance threshold in the ON
+    clause — pins null semantics of outer joins and the row
+    multiplicity of semi/anti vs inner."""
+    orders, customer = load_tables(spark, SF_DIR, "orders", "customer")
+    cond = (F.col("o_custkey") == F.col("c_custkey")) & (
+        F.col("c_acctbal") > p["bal"]
+    )
+    joined = orders.join(customer, cond, p["how"])
+    aggs = [F.count(F.lit(1)).alias("n")]
+    sql_aggs = "CAST(COUNT(*) AS BIGINT) AS n"
+    if p["how"] in ("inner", "left"):
+        aggs.append(F.count("c_custkey").alias("n_matched"))
+        sql_aggs += ", CAST(COUNT(c.c_custkey) AS BIGINT) AS n_matched"
+    spark_pdf = joined.groupBy("o_orderstatus").agg(*aggs).toPandas()
+    sql = (
+        f"SELECT o.o_orderstatus, {sql_aggs} FROM orders o "
+        f"{_JOIN_SQL[p['how']]} customer c "
+        f"ON o.o_custkey = c.c_custkey AND c.c_acctbal > {p['bal']!r} "
+        "GROUP BY o.o_orderstatus"
+    )
+    assert_frames_match(spark_pdf, oracle.execute(sql).fetchdf(), "property-join")
