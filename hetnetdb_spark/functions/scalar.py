@@ -151,7 +151,7 @@ SELECT CAST(l_linenumber AS BIGINT)                              AS line_no,
        ROUND(SUM(LOG10(l_extendedprice)), 6)                     AS sum_log10,
        ROUND(SUM(POW(l_discount, 2)), 6)                         AS sum_pow2,
        ROUND(SUM(SIGN(l_discount - 0.05)), 6)                    AS sum_sign,
-       SUM(CAST(l_orderkey % 7 AS BIGINT))                       AS sum_mod7
+       CAST(SUM(CAST(l_orderkey % 7 AS BIGINT)) AS BIGINT)       AS sum_mod7
 FROM lineitem
 GROUP BY CAST(l_linenumber AS BIGINT)
 """
@@ -227,7 +227,7 @@ def f05_array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 F6_ORACLE = """
 SELECT event_type,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        COUNT(*)                                               AS n
 FROM events
 GROUP BY event_type
@@ -282,8 +282,8 @@ F8_ORACLE = """
 SELECT c_nationkey,
        ROUND(SUM(GREATEST(c_acctbal, 0)), 6)        AS sum_pos_bal,
        ROUND(SUM(LEAST(c_acctbal, 0)), 6)           AS sum_neg_bal,
-       SUM(CASE WHEN NULLIF(c_mktsegment, 'BUILDING') IS NULL THEN 1 ELSE 0 END)
-                                                    AS n_building,
+       CAST(SUM(CASE WHEN NULLIF(c_mktsegment, 'BUILDING') IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT)                               AS n_building,
        ROUND(SUM(COALESCE(NULLIF(c_acctbal, 0.0), -1.0)), 6) AS sum_coalesced
 FROM customer
 GROUP BY c_nationkey

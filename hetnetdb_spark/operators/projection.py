@@ -151,8 +151,8 @@ def p06_like_rlike(spark: SparkSession, sf_dir: str) -> DataFrame:
 P7_ORACLE = """
 SELECT COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'SUPPRESSED') AS segment,
        COUNT(*)                                                 AS n_cust,
-       SUM(CASE WHEN NULLIF(c_mktsegment, 'BUILDING') IS NULL
-                THEN 1 ELSE 0 END)                              AS n_nulled
+       CAST(SUM(CASE WHEN NULLIF(c_mktsegment, 'BUILDING') IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT)                   AS n_nulled
 FROM customer
 GROUP BY COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'SUPPRESSED')
 """
@@ -218,7 +218,7 @@ P9_ORACLE = """
 SELECT CAST(l_linenumber AS BIGINT)            AS line_no,
        COUNT(*)                                AS n_rows,
        ROUND(SUM(CAST(l_orderkey AS DOUBLE)), 6) AS sum_key_dbl,
-       SUM(CAST(FLOOR(l_quantity) AS BIGINT))  AS sum_qty_int,
+       CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty_int,
        MIN(CAST(l_linenumber AS VARCHAR))      AS min_line_str
 FROM lineitem
 GROUP BY CAST(l_linenumber AS BIGINT)

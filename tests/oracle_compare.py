@@ -44,7 +44,20 @@ def assert_frames_match(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: s
     s, d = _canonical(spark_pdf), _canonical(duck_pdf)
     for c in s.columns:
         sv, dv = s[c], d[c]
-        if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(dv):
+        # Strict dtype parity: the driver hashes the raw pandas values,
+        # so int64-vs-float64 is a hash mismatch even when the numbers
+        # are equal (DuckDB widens uncast integer SUMs to HUGEINT →
+        # float64 via fetchdf). Mirror that here instead of silently
+        # promoting to a tolerant float compare.
+        si, di = pd.api.types.is_integer_dtype(sv), pd.api.types.is_integer_dtype(dv)
+        sf, df_ = pd.api.types.is_float_dtype(sv), pd.api.types.is_float_dtype(dv)
+        if (si and df_) or (sf and di):
+            raise AssertionError(
+                f"{name}: column {c!r} dtype mismatch: spark={sv.dtype} "
+                f"oracle={dv.dtype} — cast the oracle aggregate "
+                f"(e.g. CAST(SUM(...) AS BIGINT)) so both sides agree"
+            )
+        if sf or df_:
             sa = sv.astype("float64").to_numpy()
             da = dv.astype("float64").to_numpy()
             ok = np.isclose(sa, da, rtol=0.0, atol=1e-9, equal_nan=True)
