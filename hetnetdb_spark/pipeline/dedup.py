@@ -175,9 +175,12 @@ def l02_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(N_HASHES)
         ],
     )
+    # The 8× banding explode and band join carry ONLY (band key,
+    # doc_id) — shingle sets are re-joined onto the deduplicated
+    # candidate pairs for verification, so at corpus scale the band
+    # shuffle moves ids, never shingle arrays.
     banded = minhashes.select(
         "doc_id",
-        "sh",
         F.explode(
             F.array(
                 *[
@@ -194,24 +197,24 @@ def l02_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("band"),
-    ).select("doc_id", "sh", "band.band_id", "band.bucket")
+    ).select("doc_id", "band.band_id", "band.bucket")
 
-    a = banded.select(
-        "band_id", "bucket", F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh")
-    )
-    b = banded.select(
-        "band_id", "bucket", F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh")
-    )
+    a = banded.select("band_id", "bucket", F.col("doc_id").alias("a_id"))
+    b = banded.select("band_id", "bucket", F.col("doc_id").alias("b_id"))
     candidates = (
         a.join(b, ["band_id", "bucket"])
         .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", "a_sh", "b_sh")
+        .select("a_id", "b_id")
         .dropDuplicates(["a_id", "b_id"])
     )
+    sh_a = docs.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh"))
+    sh_b = docs.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh"))
     inter = F.size(F.array_intersect(F.col("a_sh"), F.col("b_sh")))
     union = F.size(F.col("a_sh")) + F.size(F.col("b_sh")) - inter
-    verified = candidates.filter(
-        inter.cast("double") / union.cast("double") >= JACCARD_THRESHOLD
+    verified = (
+        candidates.join(sh_a, "a_id")
+        .join(sh_b, "b_id")
+        .filter(inter.cast("double") / union.cast("double") >= JACCARD_THRESHOLD)
     )
     return (
         candidates.agg(F.count(F.lit(1)).alias("n_candidates"))

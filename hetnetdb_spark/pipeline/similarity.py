@@ -196,88 +196,88 @@ def l04_simjoin_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # L4 scale path — LSH-bucketed similarity join (rows-only: approximate)
 # --------------------------------------------------------------------------
 
-N_PLANES = 16
-N_BANDS = 4
+N_PLANES = 64
+N_BANDS = 16
 BITS_PER_BAND = N_PLANES // N_BANDS
+
+# Recall target the banding is parameterized against (asserted by the
+# golden test). For cosine ≥ 0.35 (θ ≈ 69.5°) a random hyperplane
+# agrees with p = 1 - θ/π ≈ 0.61; P[share ≥1 of 16 4-bit bands]
+# = 1 - (1 - p⁴)¹⁶ ≈ 0.91. The old 16-plane/4-band setup gave ≈ 0.49.
+LSH_RECALL_TARGET = 0.9
 
 
 def _hyperplanes() -> np.ndarray:
     """Deterministic random hyperplanes (seed 42) — the 'trained'
-    LSH model. 16×64 floats ship as plan literals (4 KB)."""
+    LSH model. 64×64 floats ship as plan literals (16 KB)."""
     rng = np.random.default_rng(42)
     return rng.standard_normal((N_PLANES, DIM))
 
 
-def _signature(emb_col: F.Column) -> F.Column:
-    """16-bit signed-random-projection signature as a long."""
+def _band_structs() -> list[F.Column]:
+    """One (band_id, band_val) struct per band, band_val built
+    directly from that band's plane signs. Per-band values avoid
+    packing 64 bits into one signed long (bit 63 would overflow) and
+    keep every expression inside codegen."""
     planes = _hyperplanes()
-    bits = [
-        F.when(
-            dot(emb_col, F.array(*[F.lit(float(x)) for x in planes[p]])) > 0,
-            F.lit(1 << p).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
-        for p in range(N_PLANES)
-    ]
-    sig = bits[0]
-    for b in bits[1:]:
-        sig = sig + b
-    return sig
+    out = []
+    for b in range(N_BANDS):
+        val = F.lit(0)
+        for r in range(BITS_PER_BAND):
+            p = b * BITS_PER_BAND + r
+            plane = F.array(*[F.lit(float(x)) for x in planes[p]])
+            val = val + F.when(
+                dot(F.col("embedding"), plane) > 0, F.lit(1 << r)
+            ).otherwise(F.lit(0))
+        out.append(F.struct(F.lit(b).alias("band_id"), val.alias("band_val")))
+    return out
 
 
 @query("l04_simjoin_lsh", oracle=None)
 def l04_simjoin_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L4 at scale (rows-only) — banded random-hyperplane LSH join.
 
-    Pipeline: signature (16 bits from 16 fixed hyperplanes, seed 42)
-    → 4 bands × 4 bits → explode to (band_id, band_val) keys →
-    self-join on the band key (equi-join ⇒ shuffle hash join on
-    4·N short rows, NOT a cross join) → distinct pairs → exact
-    cosine verification. Self-measuring output: candidate count,
-    verified count, exact count, and recall vs the exact join —
-    the number the LSH parameters are tuned against.
+    Pipeline: 64 fixed hyperplanes (seed 42) → 16 bands × 4 bits →
+    explode to (band_id, band_val) keys → self-join on the band key
+    (equi-join ⇒ shuffle hash join on 16·N short rows, NOT a cross
+    join) → distinct pairs → exact cosine verification. The band
+    join carries ONLY (band_id, band_val, vec_id) — embeddings are
+    re-joined onto the deduplicated candidate pairs afterwards, so
+    at corpus scale the 16× banding shuffle moves ids, not vectors.
+    Self-measuring output: candidate count, verified count, exact
+    count, and recall vs the exact join; parameters are sized for
+    recall ≥ 0.9 at the 0.35 threshold (see LSH_RECALL_TARGET).
+
+    Honest selectivity note: at this deliberately weak threshold
+    (θ ≈ 69.5°, barely off random's 90°) a 0.9-recall banding admits
+    ~64% of random pairs as candidates — hyperplane LSH cannot
+    separate what cosine barely separates. At the thresholds real
+    near-dup pipelines run (≥ 0.8, θ ≤ 37°, per-plane agreement
+    ≈ 0.8) the SAME 16×4 banding keeps recall > 0.99 with a ~2%
+    background rate; for low-threshold scans, prune with IVF
+    (`l03_knn_ivf`) instead.
     """
     (emb,) = load_tables(spark, sf_dir, "embeddings")
-    sig = emb.select("vec_id", "embedding", _signature(F.col("embedding")).alias("sig"))
-    banded = sig.select(
-        "vec_id",
-        "embedding",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        (
-                            F.shiftright(F.col("sig"), b * BITS_PER_BAND)
-                            % (1 << BITS_PER_BAND)
-                        ).alias("band_val"),
-                    )
-                    for b in range(N_BANDS)
-                ]
-            )
-        ).alias("band"),
-    ).select("vec_id", "embedding", "band.band_id", "band.band_val")
+    banded = emb.select(
+        "vec_id", F.explode(F.array(*_band_structs())).alias("band")
+    ).select("vec_id", "band.band_id", "band.band_val")
 
-    a = banded.select(
-        F.col("band_id"),
-        F.col("band_val"),
-        F.col("vec_id").alias("a_id"),
-        F.col("embedding").alias("a_emb"),
-    )
-    b = banded.select(
-        F.col("band_id"),
-        F.col("band_val"),
-        F.col("vec_id").alias("b_id"),
-        F.col("embedding").alias("b_emb"),
-    )
+    a = banded.select("band_id", "band_val", F.col("vec_id").alias("a_id"))
+    b = banded.select("band_id", "band_val", F.col("vec_id").alias("b_id"))
     candidates = (
         a.join(b, ["band_id", "band_val"])
         .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", "a_emb", "b_emb")
+        .select("a_id", "b_id")
         .dropDuplicates(["a_id", "b_id"])
     )
-    verified = candidates.select(
-        "a_id", "b_id", r6(dot(F.col("a_emb"), F.col("b_emb"))).alias("cosine")
-    ).filter(F.col("cosine") >= SIM_THRESHOLD)
+    ea = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"))
+    eb = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"))
+    verified = (
+        candidates.join(ea, "a_id")
+        .join(eb, "b_id")
+        .select("a_id", "b_id", r6(dot(F.col("a_emb"), F.col("b_emb"))).alias("cosine"))
+        .filter(F.col("cosine") >= SIM_THRESHOLD)
+    )
 
     n_candidates = candidates.agg(F.count(F.lit(1)).alias("n")).select(
         F.lit("lsh").alias("strategy"), F.col("n").alias("n_candidates")

@@ -42,15 +42,15 @@ def test_simhash_neardup_golden(spark):
 
 @pinned
 def test_lsh_simjoin_golden(spark):
-    assert rows(spark, "l04_simjoin_lsh") == [
-        {
-            "strategy": "lsh",
-            "n_candidates": 29400,
-            "n_verified": 125,
-            "n_exact": 257,
-            "recall": 0.486381,
-        }
-    ]
+    from hetnetdb_spark.pipeline.similarity import LSH_RECALL_TARGET
+
+    (got,) = rows(spark, "l04_simjoin_lsh")
+    # Deterministic (seeded hyperplanes) — pin the counts, and assert
+    # the recall floor the banding is parameterized against so a
+    # future re-tune can't silently regress below target.
+    assert got["n_exact"] == 257
+    assert got["n_candidates"] == 79361 and got["n_verified"] == 233
+    assert got["recall"] >= LSH_RECALL_TARGET
 
 
 @pinned
