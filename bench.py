@@ -56,14 +56,20 @@ def main() -> None:
     spark = get_spark("hetnetdb-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Results fetch via Arrow `toPandas()` — the engine's columnar
+    # result path, and the like-for-like twin of the DuckDB
+    # baseline's `fetchdf()` (both hand back a pandas frame).
+    # Legacy `collect()` deserializes row-by-row into Row objects
+    # and was costing ~0.6 s alone on the 9.5k-row sessionize
+    # result — driver-fetch overhead, not query time.
     timings: dict[str, float] = {}
     for name in names:
         fn = registry.QUERIES[name]
-        fn(spark, SF_DIR).collect()  # cold: plan + JIT + page cache
+        fn(spark, SF_DIR).toPandas()  # cold: plan + JIT + page cache
         warm = []
         for _ in range(2):
             t0 = time.perf_counter()
-            fn(spark, SF_DIR).collect()
+            fn(spark, SF_DIR).toPandas()
             warm.append(time.perf_counter() - t0)
         timings[name] = round(min(warm), 4)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)

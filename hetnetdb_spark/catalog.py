@@ -62,6 +62,26 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ``ts`` left as the raw epoch-nanos long.
+
+    For plans that only order/diff on time (sessionization), working
+    on the long directly skips the per-row ns→µs conversion ahead of
+    the window sort and defers timestamp materialization to the few
+    output rows; long and timestamp sort identically (TimestampType
+    is µs-longs internally, and fixture values are µs-aligned).
+    Callers convert aggregated outputs via
+    ``timestamp_micros(... div 1000)`` to match oracle schemas.
+    """
+    configure(spark)
+    key = (spark.sparkContext.applicationId, sf_dir, "events_raw")
+    cached = _TABLE_CACHE.get(key)
+    if cached is None:
+        cached = spark.read.parquet(table_path(sf_dir, "events"))
+        _TABLE_CACHE[key] = cached
+    return cached
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
     configure(spark)
     return tuple(load(spark, sf_dir, n) for n in names)

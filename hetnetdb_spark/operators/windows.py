@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from hetnetdb_spark.catalog import load_tables
+from hetnetdb_spark.catalog import load_events_raw, load_tables
 from hetnetdb_spark.expr import r6
 from hetnetdb_spark.registry import query
 
@@ -280,12 +280,16 @@ def events_sessionize_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     (BASELINE.md headline): lag marks session starts, a running sum
     numbers them, and a plain group-by aggregates each session.
     One shuffle on user_id serves both windows and the final
-    aggregate. The streaming twin is T3's session_window."""
-    (events,) = load_tables(spark, sf_dir, "events")
+    aggregate. Windows run on the raw epoch-ns long (see
+    `load_events_raw`) — gap arithmetic and sorting need no
+    timestamp semantics, so conversion is deferred to the ~10%
+    of rows that survive aggregation. The streaming twin is T3's
+    session_window."""
+    events = load_events_raw(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    gap_ns = F.col("ts") - F.lag("ts").over(w)
     is_new = F.when(
-        F.lag("ts").over(w).isNull() | (gap_us > 30 * 60 * 1_000_000), 1
+        F.lag("ts").over(w).isNull() | (gap_ns > 30 * 60 * 1_000_000_000), 1
     ).otherwise(0)
     running = (
         Window.partitionBy("user_id")
@@ -298,7 +302,7 @@ def events_sessionize_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "session_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.min("ts").alias("session_start"),
-            F.max("ts").alias("session_end"),
+            F.timestamp_micros(F.expr("min(ts) div 1000")).alias("session_start"),
+            F.timestamp_micros(F.expr("max(ts) div 1000")).alias("session_end"),
         )
     )
