@@ -87,8 +87,67 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFram
     return tuple(load(spark, sf_dir, n) for n in names)
 
 
+#: sf_dir each catalog table is currently bound to, per
+#: (applicationId, name) — registration + ANALYZE run once per
+#: binding and again only when the binding changes (the table is
+#: session-global state, so a guard keyed on sf_dir alone would skip
+#: repointing after a switch back to an earlier sf).
+_BOUND_SF: dict[tuple[str, str], str] = {}
+
+
+def _catalog_table_location(spark: SparkSession, name: str) -> str | None:
+    if not spark.catalog.tableExists(name):
+        return None
+    rows = spark.sql(f"DESCRIBE FORMATTED {name}").collect()
+    for r in rows:
+        if r.col_name.strip() == "Location":
+            return r.data_type.strip().removeprefix("file:")
+    return None
+
+
 def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
-    """S5 — register base tables as temp views for the SQL entry path."""
+    """S5 — expose base tables to the SQL entry path.
+
+    Non-events tables register as EXTERNAL parquet catalog tables
+    followed by ``ANALYZE TABLE ... COMPUTE STATISTICS`` (SURVEY §4:
+    CBO join reordering reads metastore stats). Spark 4 refuses
+    ANALYZE on temp views (EXPECT_PERMANENT_VIEW_NOT_TEMP), and a
+    temp view would shadow the catalog table anyway — so the SQL
+    path resolves the analyzed catalog tables directly. ``events``
+    stays a temp view because it needs the ns→µs cast from `load`
+    (a view body can't be ANALYZEd; events is not on the SQL join
+    path). A stale metastore entry pointing at another sf_dir is
+    dropped and recreated.
+    """
     configure(spark)
     for n in names or TABLE_NAMES:
-        load(spark, sf_dir, n).createOrReplaceTempView(n)
+        if n == "events":
+            load(spark, sf_dir, n).createOrReplaceTempView(n)
+            continue
+        key = (spark.sparkContext.applicationId, n)
+        if _BOUND_SF.get(key) == sf_dir:
+            continue
+        path = table_path(sf_dir, n)
+        spark.catalog.dropTempView(n)  # a temp view would shadow the table
+        if _catalog_table_location(spark, n) != path:
+            spark.sql(f"DROP TABLE IF EXISTS {n}")
+            spark.sql(f"CREATE TABLE {n} USING parquet LOCATION '{path}'")
+        # Table-level stats (size/rows) plus per-column NDV/min/max —
+        # without column stats CBO falls back to worst-case join
+        # cardinalities and reordering has nothing to work with.
+        # ANALYZE FOR COLUMNS rejects nested types (array/map/struct).
+        # timestamp_ntz is excluded as a workaround: Spark 4.1's CBO
+        # FilterEstimation has no case for TimestampNTZType and throws
+        # scala.MatchError at plan time if such a column carries stats
+        # and appears in a comparison filter.
+        spark.sql(f"ANALYZE TABLE {n} COMPUTE STATISTICS")
+        atomic = [
+            f.name
+            for f in spark.table(n).schema.fields
+            if f.dataType.typeName()
+            not in ("array", "map", "struct", "variant", "udt", "timestamp_ntz")
+        ]
+        if atomic:
+            cols = ", ".join(atomic)
+            spark.sql(f"ANALYZE TABLE {n} COMPUTE STATISTICS FOR COLUMNS {cols}")
+        _BOUND_SF[key] = sf_dir

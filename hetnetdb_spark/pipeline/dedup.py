@@ -95,7 +95,8 @@ WITH s AS (
              i -> string_split(text, ' ')[i] || ' ' ||
                   string_split(text, ' ')[i+1] || ' ' ||
                   string_split(text, ' ')[i+2])) AS sh
-    FROM documents WHERE doc_id < 60
+    FROM documents
+    WHERE doc_id < 60 AND len(string_split(text, ' ')) >= 3
 ),
 pairs AS (
     SELECT a.doc_id AS a_id, b.doc_id AS b_id,
@@ -115,14 +116,16 @@ LIMIT 20
 def l02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 exact metric — 3-token shingle Jaccard, top-20 pairs on a
     bounded doc range. Shingling is a higher-order `transform` over
-    `sequence` (codegen, no UDF); the last shingle of a <3-token doc
-    degenerates to the remaining tokens, identically on both
-    engines. This exact metric is what the MinHash estimate below
-    converges to."""
+    `sequence` (codegen, no UDF). Docs under 3 tokens are excluded
+    on BOTH sides: the engines degenerate differently there (DuckDB's
+    out-of-range list index nulls the concat and list_distinct drops
+    it; Spark's slice keeps the partial shingle), and a <3-token doc
+    has no 3-gram shingle set to speak of anyway. This exact metric
+    is what the MinHash estimate below converges to."""
     (documents,) = load_tables(spark, sf_dir, "documents")
-    s = documents.filter(F.col("doc_id") < 60).select(
-        "doc_id", F.expr(_SHINGLE_SPARK).alias("sh")
-    )
+    s = documents.filter(
+        (F.col("doc_id") < 60) & (F.size(F.split(F.col("text"), " ")) >= 3)
+    ).select("doc_id", F.expr(_SHINGLE_SPARK).alias("sh"))
     a = s.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh"))
     b = s.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh"))
     inter = F.size(F.array_intersect(F.col("a_sh"), F.col("b_sh")))

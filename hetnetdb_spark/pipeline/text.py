@@ -140,7 +140,9 @@ def l06_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines cut ties identically (term is the final tiebreaker).
     """
     (documents,) = load_tables(spark, sf_dir, "documents")
-    n_docs = documents.count()  # one scalar; computed once, folded as a literal
+    # corpus size as a broadcast 1-row aggregate — part of the DAG,
+    # so building this query triggers no action
+    n = documents.agg(F.count(F.lit(1)).alias("n_docs"))
     tok = documents.select(
         "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("term")
     )
@@ -148,10 +150,11 @@ def l06_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     scored = (
         tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
         .groupBy("lang", "term")
         .agg(
             F.sum(
-                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))
             ).alias("score")
         )
     )

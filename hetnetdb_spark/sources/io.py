@@ -230,7 +230,11 @@ def s09_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     warehouse_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     lt, ot = f"bkt_lineitem_{warehouse_tag}", f"bkt_orders_{warehouse_tag}"
     for name, df, key in ((lt, lineitem, "l_orderkey"), (ot, orders, "o_orderkey")):
-        if not spark.catalog.tableExists(name):
+        # The metastore entry (spark-warehouse/derby) can outlive the
+        # gitignored scratch data dir, so trust tableExists only when
+        # the backing files are actually present.
+        data_path = os.path.join(SCRATCH, f"s09_{name}")
+        if not (spark.catalog.tableExists(name) and os.path.isdir(data_path)):
             (
                 df.write.bucketBy(8, key)
                 .sortBy(key)
