@@ -68,3 +68,39 @@ def test_scale_invariant_query_shapes(spark):
         (emb,) = load_tables(spark, sf, "embeddings")
         dims = emb.select(F.size("embedding").alias("d")).distinct().collect()
         assert [r["d"] for r in dims] == [64]
+
+
+def test_verify_first_window_covers_unverified():
+    """The driver checks a bounded prefix of the registry in
+    registration order; the first 50 slots must stay exactly the
+    round-2-unverified queries plus the four whose oracles were
+    fixed in round 3 (see registry._VERIFY_FIRST). A drive-by
+    registration edit that displaces one of them would silently
+    push it out of the verification window."""
+    names = list(registry.QUERIES)
+    assert len(registry._VERIFY_FIRST) == 50
+    assert names[: len(registry._VERIFY_FIRST)] == list(registry._VERIFY_FIRST)
+    # oracle dict preserves the same relative order
+    assert list(registry.ORACLE) == [n for n in names if n in registry.ORACLE]
+
+
+@needs_both
+def test_register_views_rebinds_on_sf_switch(spark):
+    """Catalog tables are session-global state: switching sf_dirs
+    back and forth must repoint the table (and its stats) every
+    time, not only on first registration per sf."""
+    from hetnetdb_spark.catalog import register_views
+
+    register_views(spark, SF_SMALL, "supplier")
+    n_small = spark.sql("SELECT COUNT(*) AS n FROM supplier").collect()[0]["n"]
+    register_views(spark, SF_MED, "supplier")
+    n_med = spark.sql("SELECT COUNT(*) AS n FROM supplier").collect()[0]["n"]
+    register_views(spark, SF_SMALL, "supplier")
+    n_back = spark.sql("SELECT COUNT(*) AS n FROM supplier").collect()[0]["n"]
+    assert n_small == n_back and n_med > n_small
+    stats = [
+        r.data_type
+        for r in spark.sql("DESCRIBE EXTENDED supplier").collect()
+        if r.col_name.strip() == "Statistics"
+    ]
+    assert stats and "rows" in stats[0]
