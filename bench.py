@@ -67,7 +67,7 @@ def main() -> None:
         fn = registry.QUERIES[name]
         fn(spark, SF_DIR).toPandas()  # cold: plan + JIT + page cache
         warm = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, SF_DIR).toPandas()
             warm.append(time.perf_counter() - t0)

@@ -39,11 +39,6 @@ SESSION_CONF: dict[str, str] = {
     # TB-scale customer table) still shuffle-join safely.
     "spark.sql.autoBroadcastJoinThreshold": "64MB",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # Cost-based optimizer + join reordering, fed by the ANALYZE
-    # TABLE stats catalog.register_views maintains (SURVEY §4). Off
-    # by default in Spark; without it the stats are dead weight.
-    "spark.sql.cbo.enabled": "true",
-    "spark.sql.cbo.joinReorder.enabled": "true",
     # events.ts is TIMESTAMP(NANOS) parquet, illegal for Spark 4's
     # reader; read it as epoch-nanos long (catalog.load converts to
     # a µs timestamp column).
