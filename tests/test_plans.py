@@ -93,3 +93,26 @@ def test_bucketed_join_no_join_shuffle(spark):
     plan = executed_plan(registry.QUERIES["s09_bucketed_join"](spark, SF_DIR))
     assert "SortMergeJoin" in plan
     assert shuffle_exchange_count(plan) == 1, plan
+
+
+def test_lsh_band_exchanges_carry_no_payload(spark):
+    """Round-3 invariant: the banding fan-out in the LSH joins must
+    shuffle only (band key, id) rows — embeddings and shingle sets
+    re-join onto deduplicated candidate pairs afterwards. A payload
+    column named in any hash-partitioning exchange means the 8x/16x
+    band explode is shipping vectors/arrays again."""
+    for name, payload_markers in [
+        ("l04_simjoin_lsh", ("emb", "embedding")),
+        ("l02_minhash_neardup", ("_sh", "sh#")),
+    ]:
+        plan = executed_plan(registry.QUERIES[name](spark, SF_DIR))
+        exchanges = [
+            line
+            for line in plan.splitlines()
+            if "Exchange hashpartitioning" in line
+        ]
+        assert exchanges, f"{name}: expected at least one hash exchange"
+        for line in exchanges:
+            assert not any(m in line for m in payload_markers), (
+                f"{name}: payload column crosses a shuffle: {line.strip()[:160]}"
+            )
