@@ -148,3 +148,50 @@ def test_random_join_shape_matches_oracle(spark, oracle, p):
         "GROUP BY o.o_orderstatus"
     )
     assert_frames_match(spark_pdf, oracle.execute(sql).fetchdf(), "property-join")
+
+
+frames = st.fixed_dictionaries(
+    {
+        "prec": st.integers(min_value=0, max_value=5),
+        "foll": st.integers(min_value=0, max_value=5),
+        "func": st.sampled_from(["sum", "min", "max", "count"]),
+    }
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(p=frames)
+def test_random_window_frame_matches_oracle(spark, oracle, p):
+    """Random ROWS frame bounds × aggregate over a unique-ordered
+    window — pins frame-boundary inclusivity and empty-frame
+    semantics of the window exec against DuckDB."""
+    from pyspark.sql.window import Window
+
+    (orders,) = load_tables(spark, SF_DIR, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(-p["prec"], p["foll"])
+    )
+    fn = {"sum": F.sum, "min": F.min, "max": F.max, "count": F.count}[p["func"]]
+    expr = fn(F.col("o_totalprice")).over(w)
+    if p["func"] == "sum":
+        expr = F.round(expr, 6)
+    elif p["func"] == "count":
+        expr = expr.cast("long")
+    spark_pdf = orders.select("o_orderkey", expr.alias("v")).toPandas()
+    sql_expr = (
+        f"{p['func'].upper()}(o_totalprice) OVER (PARTITION BY o_custkey "
+        f"ORDER BY o_orderkey ROWS BETWEEN {p['prec']} PRECEDING "
+        f"AND {p['foll']} FOLLOWING)"
+    )
+    if p["func"] == "sum":
+        sql_expr = f"ROUND({sql_expr}, 6)"
+    elif p["func"] == "count":
+        sql_expr = f"CAST({sql_expr} AS BIGINT)"
+    sql = f"SELECT o_orderkey, {sql_expr} AS v FROM orders"
+    assert_frames_match(spark_pdf, oracle.execute(sql).fetchdf(), "property-window")
