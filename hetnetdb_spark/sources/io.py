@@ -257,3 +257,59 @@ def s09_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue_m"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# S10 (beyond contract) — time-sorted layout + min/max pruning
+# --------------------------------------------------------------------------
+
+# [2024-01-10, 2024-01-13) UTC — 3 of the fixture's 30 event days.
+S10_LO_NS = 1_704_844_800 * 1_000_000_000
+S10_HI_NS = 1_705_104_000 * 1_000_000_000
+
+S10_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT)  AS n,
+       ROUND(SUM(value), 6)      AS sum_value,
+       MIN(ts)                   AS first_ts
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+  AND ts <  TIMESTAMP '2024-01-13 00:00:00'
+GROUP BY event_type
+"""
+
+
+@query("s10_sorted_layout_pruning", oracle=S10_ORACLE, impure=True)
+def s10_sorted_layout_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond SURVEY §2.1 — the time-sorted data layout.
+
+    events is rewritten `repartitionByRange(8, ts)` +
+    `sortWithinPartitions(ts)`: each parquet file owns a disjoint
+    time slice, so every file's (and row group's) ts min/max stats
+    are tight. A ts-bounded query then skips non-overlapping row
+    groups entirely via the pushed range filter — at 100 TB this
+    layout is what makes a time-range scan touch GB, not TB.
+    `ts` stays the raw epoch-ns long in the layout (plain BIGINT
+    min/max stats); outputs convert to µs timestamps. Layout
+    disjointness + the pushed filter are asserted in
+    tests/test_plans.py.
+    """
+    from hetnetdb_spark.catalog import load_events_raw
+
+    raw = load_events_raw(spark, sf_dir)  # ts as epoch-ns long
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    path = os.path.join(SCRATCH, f"s10_events_by_ts_{tag}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            raw.repartitionByRange(8, "ts")
+            .sortWithinPartitions("ts")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    back = spark.read.parquet(path)
+    sel = back.filter((F.col("ts") >= S10_LO_NS) & (F.col("ts") < S10_HI_NS))
+    return sel.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+        F.timestamp_micros(F.expr("min(ts) div 1000")).alias("first_ts"),
+    )

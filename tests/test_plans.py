@@ -116,3 +116,47 @@ def test_lsh_band_exchanges_carry_no_payload(spark):
             assert not any(m in line for m in payload_markers), (
                 f"{name}: payload column crosses a shuffle: {line.strip()[:160]}"
             )
+
+
+def test_sorted_layout_enables_pruning(spark):
+    """s10: the range-partitioned, sorted-by-ts layout must (a) push
+    the ts range filter to the scan and (b) actually produce files
+    with tight disjoint ts ranges, most of which miss the 3-day
+    query window — the file/row-group skipping evidence."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from hetnetdb_spark.sources.io import S10_HI_NS, S10_LO_NS, SCRATCH
+
+    plan = executed_plan(registry.QUERIES["s10_sorted_layout_pruning"](spark, SF_DIR))
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(ts" in plan, (
+        "ts range must reach the parquet reader as a pushed filter"
+    )
+
+    tag = SF_DIR.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    files = sorted(glob.glob(f"{SCRATCH}/s10_events_by_ts_{tag}/*.parquet"))
+    assert len(files) >= 4, f"expected a multi-file layout, got {files}"
+    spans = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = next(
+            i for i in range(len(md.schema))
+            if md.schema.column(i).name == "ts"
+        )
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        spans.append((min(mins), max(maxs)))
+    spans.sort()
+    for (lo_a, hi_a), (lo_b, hi_b) in zip(spans, spans[1:]):
+        assert hi_a <= lo_b, "files must own disjoint time slices"
+    overlapping = [
+        s for s in spans if s[0] < S10_HI_NS and s[1] >= S10_LO_NS
+    ]
+    assert len(overlapping) <= len(spans) // 2, (
+        f"a 3-of-30-day window should prune most files; "
+        f"{len(overlapping)}/{len(spans)} overlap"
+    )
