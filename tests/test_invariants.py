@@ -72,14 +72,28 @@ def test_scale_invariant_query_shapes(spark):
 
 def test_verify_first_window_covers_unverified():
     """The driver checks a bounded prefix of the registry in
-    registration order; the first 50 slots must stay exactly the
-    round-2-unverified queries plus the four whose oracles were
-    fixed in round 3 (see registry._VERIFY_FIRST). A drive-by
-    registration edit that displaces one of them would silently
-    push it out of the verification window."""
+    registration order; every query without a green row in the
+    recorded CORRECTNESS_r*.json files must sort ahead of every
+    already-verified one, so the driver's bounded window always
+    verifies new or regressed work first."""
     names = list(registry.QUERIES)
-    assert len(registry._VERIFY_FIRST) == 50
-    assert names[: len(registry._VERIFY_FIRST)] == list(registry._VERIFY_FIRST)
+    verified = registry._verified_names()
+    tiers = [n in verified for n in names]
+    assert tiers == sorted(tiers), (
+        "an unverified query is registered after a verified one: "
+        f"{[n for i, n in enumerate(names) if tiers[i] and not all(tiers[i:])]}"
+    )
+    # Pin the known round-2 outcomes: the four hash-fixed oracles are
+    # re-queued for verification; the relational core stays verified.
+    assert {"p07_null_handling", "p09_cast", "f04_math", "f06_from_json_struct"}.isdisjoint(
+        verified
+    )
+    assert {"q1_pricing_summary", "a05_having", "j09_asof_join"} <= verified
+    # Within each tier, pure queries come before impure (side-effecting)
+    # ones, keeping the verification window cheap.
+    for group in (names[: len(names) - len(verified)], names[len(names) - len(verified) :]):
+        impure_flags = [n in registry.IMPURE for n in group]
+        assert impure_flags == sorted(impure_flags)
     # oracle dict preserves the same relative order
     assert list(registry.ORACLE) == [n for n in names if n in registry.ORACLE]
 
