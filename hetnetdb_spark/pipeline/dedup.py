@@ -17,8 +17,10 @@ fuzziness:
 - **SimHash** (`l02_simhash_neardup`): 64-bit sign-vote fingerprint,
   band-blocked hamming-distance pairs. Rows-only.
 
-Embedding-cosine near-dup is the same operator as the L4 similarity
-joins in `hetnetdb_spark.pipeline.similarity` (exact + LSH-bucketed).
+- **embedding-cosine** (`l02_embedding_neardup`): semantic dedup —
+  drop a doc when any lower-id doc's embedding has cosine ≥ 0.35.
+  Oracle-checked; pair generation shares the L4 similarity-join
+  machinery in `hetnetdb_spark.pipeline.similarity`.
 """
 
 from __future__ import annotations
@@ -28,7 +30,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from hetnetdb_spark.catalog import load_tables
-from hetnetdb_spark.expr import r6
+from hetnetdb_spark.expr import dot, r6
+from hetnetdb_spark.pipeline.similarity import duck_dot
 from hetnetdb_spark.registry import query
 
 # --------------------------------------------------------------------------
@@ -313,4 +316,74 @@ def l02_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.agg(F.count(F.lit(1)).alias("n_candidates"))
         .crossJoin(near.agg(F.count(F.lit(1)).alias("n_near")))
         .select(F.lit("simhash").alias("strategy"), "n_candidates", "n_near")
+    )
+
+
+# --------------------------------------------------------------------------
+# L2 — embedding-cosine near-dup (oracle-checked greedy keeper)
+# --------------------------------------------------------------------------
+
+EMB_TAU = 0.35
+
+EMB_NEARDUP_ORACLE = f"""
+WITH dup AS (
+    SELECT DISTINCT a.vec_id AS doc_id
+    FROM embeddings a JOIN embeddings b ON a.vec_id > b.vec_id
+    WHERE ROUND({{dot}}, 6) >= {EMB_TAU}
+)
+SELECT d.source,
+       COUNT(*)                                                      AS n_total,
+       CAST(SUM(CASE WHEN dup.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(MIN(CASE WHEN dup.doc_id IS NULL THEN d.doc_id END) AS BIGINT) AS first_kept_id
+FROM documents d LEFT JOIN dup USING (doc_id)
+GROUP BY d.source
+"""
+
+
+@query(
+    "l02_embedding_neardup",
+    oracle=EMB_NEARDUP_ORACLE.format(dot=duck_dot("a.embedding", "b.embedding")),
+)
+def l02_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 — embedding-cosine near-dup with a greedy lowest-id keeper.
+
+    Semantic dedup: a document is dropped when ANY lower-id document's
+    embedding has cosine ≥ 0.35 with it (fixture embeddings are
+    pre-normalized and 1:1 with documents, vec_id = doc_id). Greedy
+    first-keeper — no transitive closure — so the kept set is
+    deterministic and SQL-expressible; output is the per-source
+    funnel (total → kept → first kept id).
+
+    Physical shape: the pair generation here is the exact O(N²/2)
+    broadcast triangle — the honest, oracle-checkable baseline. At
+    corpus scale the identical keep/drop semantics run off
+    `l04_simjoin_lsh`'s banded candidates (cosine verified exactly
+    after the band join), which this query is the correctness oracle
+    for. The dup-id set (≤ N ids, no vectors) broadcasts into the
+    documents-side anti-probe, so the wide ``text`` column never
+    shuffles.
+    """
+    (emb,) = load_tables(spark, sf_dir, "embeddings")
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    a = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"))
+    b = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"))
+    dup_ids = (
+        a.join(F.broadcast(b), F.col("a_id") > F.col("b_id"))
+        .filter(r6(dot(F.col("a_emb"), F.col("b_emb"))) >= EMB_TAU)
+        .select(F.col("a_id").alias("doc_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    return (
+        documents.join(F.broadcast(dup_ids), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(F.col("is_dup").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.min(F.when(F.col("is_dup").isNull(), F.col("doc_id"))).alias(
+                "first_kept_id"
+            ),
+        )
     )
