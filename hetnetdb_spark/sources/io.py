@@ -313,3 +313,64 @@ def s10_sorted_layout_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 6).alias("sum_value"),
         F.timestamp_micros(F.expr("min(ts) div 1000")).alias("first_ts"),
     )
+
+
+# --------------------------------------------------------------------------
+# S11 — dynamic partition pruning (runtime partition skipping)
+# --------------------------------------------------------------------------
+
+S11_ORACLE = """
+WITH dim(dim_year, segment) AS (
+    VALUES (1992, 'other'), (1993, 'other'), (1994, 'other'),
+           (1995, 'other'), (1996, 'target'), (1997, 'target'),
+           (1998, 'other')
+),
+fact AS (
+    SELECT CAST(date_part('year', o_orderdate) AS INT) AS o_year,
+           o_totalprice
+    FROM orders
+)
+SELECT f.o_year,
+       CAST(COUNT(*) AS BIGINT)    AS n_orders,
+       ROUND(SUM(o_totalprice), 6) AS sum_total
+FROM fact f JOIN dim d ON f.o_year = d.dim_year
+WHERE d.segment = 'target'
+GROUP BY f.o_year
+"""
+
+
+@query("s11_dynamic_partition_pruning", oracle=S11_ORACLE, impure=True)
+def s11_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 — SURVEY §4's DPP row, exercised end to end.
+
+    The fact side (orders, partitioned by year on disk) joins a
+    7-row year dim on the partition column with a selective filter
+    on the DIM side only — so no static filter can reach the fact
+    scan, and only *dynamic* partition pruning saves the scan of the
+    5 non-target years. Catalyst reuses the dim's broadcast exchange
+    as a runtime IN-subquery on the fact's partition directories
+    (`dynamicpruningexpression` in PartitionFilters — asserted in
+    tests/test_plans.py). At 100 TB this is the difference between
+    scanning 7 years and 2.
+    """
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    fact_path = os.path.join(SCRATCH, "s11_orders_by_year")
+    orders.select(
+        F.year("o_orderdate").alias("o_year"), "o_totalprice"
+    ).write.mode("overwrite").partitionBy("o_year").parquet(fact_path)
+    dim_path = os.path.join(SCRATCH, "s11_year_dim")
+    spark.createDataFrame(
+        [(y, "target" if y in (1996, 1997) else "other") for y in range(1992, 1999)],
+        "dim_year int, segment string",
+    ).write.mode("overwrite").parquet(dim_path)
+
+    fact = spark.read.parquet(fact_path)
+    dim = spark.read.parquet(dim_path).filter(F.col("segment") == "target")
+    return (
+        fact.join(dim, fact.o_year == dim.dim_year)
+        .groupBy("o_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            r6(F.sum("o_totalprice")).alias("sum_total"),
+        )
+    )

@@ -160,3 +160,16 @@ def test_sorted_layout_enables_pruning(spark):
         f"a 3-of-30-day window should prune most files; "
         f"{len(overlapping)}/{len(spans)} overlap"
     )
+
+
+def test_s11_dynamic_partition_pruning_fires(spark):
+    """s11: the fact scan's PartitionFilters must carry a
+    dynamicpruningexpression — the dim-side filter reaches the
+    partitioned fact only at runtime, so without DPP every year
+    directory would be scanned."""
+    plan = executed_plan(
+        registry.QUERIES["s11_dynamic_partition_pruning"](spark, SF_DIR)
+    )
+    assert "dynamicpruning" in plan.lower(), (
+        "fact scan must be pruned by a runtime subquery on the dim side"
+    )
