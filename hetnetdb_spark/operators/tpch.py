@@ -171,3 +171,176 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(r6(F.sum(revenue())).alias("revenue"))
         .orderBy(F.col("revenue").desc(), "n_name")
     )
+
+
+Q10_ORACLE = """
+SELECT
+  c_custkey,
+  c_name,
+  ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+  ROUND(c_acctbal, 6)                               AS c_acctbal,
+  n_name
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@query("q10_returned_items", oracle=Q10_ORACLE)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: top-20 customers by revenue lost to returns in one
+    quarter (J1,J3,A2,O3).
+
+    Both fact-side filters (order date window, return flag) are
+    sargable and reach their parquet scans; nation (bounded, 25
+    rows) is pinned broadcast while customer↔orders↔lineitem are
+    FK shuffle joins AQE may convert. The global top-20 plans as
+    TakeOrderedAndProject — bounded heaps per partition, no full
+    sort at any scale.
+    """
+    customer, orders, lineitem, nation = load_tables(
+        spark, sf_dir, "customer", "orders", "lineitem", "nation"
+    )
+    orders_f = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    return (
+        customer.join(orders_f, F.col("c_custkey") == F.col("o_custkey"))
+        .join(
+            lineitem.filter(F.col("l_returnflag") == "R"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(r6(F.sum(revenue())).alias("revenue"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            r6(F.col("c_acctbal")).alias("c_acctbal"),
+            "n_name",
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+Q17_ORACLE = """
+SELECT
+  ROUND(SUM(l_extendedprice) / 7.0, 6) AS avg_yearly,
+  CAST(COUNT(*) AS BIGINT)             AS n_small_lots
+FROM lineitem l
+JOIN part p ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#4'
+  AND l_quantity < (
+      SELECT 0.5 * AVG(l_quantity)
+      FROM lineitem l2
+      WHERE l2.l_partkey = l.l_partkey
+  )
+"""
+
+
+@query("q17_small_quantity_order", oracle=Q17_ORACLE)
+def q17_small_quantity_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: small-lot revenue for one brand — the
+    correlated-scalar-subquery benchmark (SURVEY §4 "subquery
+    decorrelation" row).
+
+    The subquery (per-part average over ALL of lineitem) is
+    decorrelated by hand into an aggregate + equi-join, and — the
+    part that matters at 100 TB — its input is first semi-joined to
+    the brand's partkeys: the correlation point only ever evaluates
+    at outer partkeys, so averaging the other ~95% of lineitem is
+    provably dead work. The brand filter reaches the part scan; the
+    small part side broadcasts into both the probe and the
+    per-partkey aggregate, so the partkey agg is the only
+    data-bearing shuffle (the final ungrouped aggregate's
+    single-partition exchange moves one partial row per task).
+    Plan-asserted in tests/test_plans.py.
+    """
+    lineitem, part = load_tables(spark, sf_dir, "lineitem", "part")
+    brand_parts = part.filter(F.col("p_brand") == "Brand#4").select("p_partkey")
+    brand_lines = lineitem.join(
+        F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey")
+    )
+    qty_caps = brand_lines.groupBy("l_partkey").agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("qty_cap")
+    )
+    return (
+        brand_lines.join(F.broadcast(qty_caps), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_cap"))
+        .agg(
+            r6(F.sum("l_extendedprice") / 7.0).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small_lots"),
+        )
+    )
+
+
+Q18_ORACLE = """
+WITH big AS (
+    SELECT l_orderkey
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING SUM(l_quantity) > 300
+)
+SELECT
+  c_name,
+  c_custkey,
+  o_orderkey,
+  o_orderdate,
+  ROUND(o_totalprice, 6)      AS o_totalprice,
+  ROUND(SUM(l_quantity), 6)   AS sum_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+@query("q18_large_volume_customer", oracle=Q18_ORACLE)
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: customers with orders above 300 total units — the
+    IN-over-grouped-HAVING shape, planned as an aggregate feeding a
+    left-semi join (no correlated re-evaluation).
+
+    Scale posture: the HAVING aggregate reduces lineitem to order
+    keys BEFORE anything joins — the semi-join probe carries only
+    qualifying keys, and re-aggregating quantity afterwards touches
+    just the surviving orders' lines. Shuffles: the orderkey agg and
+    the final group-by; customer broadcasts under AQE.
+    """
+    customer, orders, lineitem = load_tables(spark, sf_dir, "customer", "orders", "lineitem")
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi")
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(r6(F.sum("l_quantity")).alias("sum_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            r6(F.col("o_totalprice")).alias("o_totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )

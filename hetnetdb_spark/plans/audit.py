@@ -26,21 +26,34 @@ def explain_string(df: DataFrame, mode: str = "formatted") -> str:
 
 
 def executed_plan(df: DataFrame) -> str:
-    """Run the query (noop sink — no driver collect) and return the
-    FINAL adaptive plan, which is the one that actually executed.
+    """Run the query and return the FINAL adaptive plan — the one
+    that actually executed.
+
+    The action must go through the DataFrame's OWN QueryExecution:
+    a `.write` (even noop) plans a separate execution and leaves
+    this one's AdaptiveSparkPlan un-finalized, silently auditing the
+    *initial* plan. `executeCollect()` on the adaptive root runs it
+    JVM-side (rows never cross to Python) and finalizes it.
 
     A finalized AdaptiveSparkPlan prints BOTH its final and initial
     plans; only the final section is returned so node counts aren't
     doubled."""
-    df.write.format("noop").mode("overwrite").save()
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    jplan = df._jdf.queryExecution().executedPlan()
+    jplan.executeCollect()
+    plan = jplan.toString()
     return plan.split("== Initial Plan ==")[0]
 
 
 def shuffle_exchange_count(plan: str) -> int:
     """Shuffle exchanges only (broadcast exchanges move dim-sized
-    data and are counted separately)."""
-    return len(re.findall(r"Exchange (?:hash|range|single|round)", plan, re.IGNORECASE))
+    data and are counted separately). The lookbehind keeps
+    `BroadcastExchange HashedRelationBroadcastMode` — whose tail
+    reads "Exchange Hashed..." — out of the shuffle count."""
+    return len(
+        re.findall(
+            r"(?<![A-Za-z])Exchange (?:hash|range|single|round)", plan, re.IGNORECASE
+        )
+    )
 
 
 def broadcast_exchange_count(plan: str) -> int:

@@ -173,3 +173,25 @@ def test_s11_dynamic_partition_pruning_fires(spark):
     assert "dynamicpruning" in plan.lower(), (
         "fact scan must be pruned by a runtime subquery on the dim side"
     )
+
+
+def test_q17_decorrelated_subquery_shape(spark):
+    """q17: the correlated scalar subquery must run as ONE
+    per-partkey aggregate joined back (2 shuffles total: the partkey
+    agg + the final single-partition partial-row merge), with the
+    brand filter pushed to the part scan and the part side
+    broadcast — never a per-row re-evaluation or a cartesian."""
+    plan = executed_plan(registry.QUERIES["q17_small_quantity_order"](spark, SF_DIR))
+    from hetnetdb_spark.plans.audit import has_pushed_filter as pushed
+
+    assert shuffle_exchange_count(plan) == 2, plan
+    assert pushed(plan, "p_brand"), "brand filter must reach the part scan"
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_q18_having_semi_join_shape(spark):
+    """q18: the IN-over-grouped-HAVING plans as an aggregate feeding
+    a semi-join, and the top-100 is a bounded TakeOrderedAndProject."""
+    plan = executed_plan(registry.QUERIES["q18_large_volume_customer"](spark, SF_DIR))
+    assert has_top_k(plan), "top-100 must plan as TakeOrderedAndProject"
+    assert "LeftSemi" in plan, "HAVING subquery must probe as a semi-join"
