@@ -302,3 +302,75 @@ def j10_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.user_id").alias("user_id"))
         .agg(F.count(F.lit(1)).alias("n_pairs_1h"))
     )
+
+
+# --------------------------------------------------------------------------
+# J11 — runtime Bloom-filter join pruning (SURVEY §4 runtime filters)
+# --------------------------------------------------------------------------
+
+J11_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT)                          AS n_lines,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY o_orderpriority
+"""
+
+
+@query("j11_runtime_bloom_join", oracle=J11_ORACLE, impure=True)
+def j11_runtime_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J11 — big-to-big join pruned by a runtime Bloom filter.
+
+    lineitem ⋈ orders where the selective predicate lives ONLY on
+    the orders side: Catalyst's InjectRuntimeFilter builds a Bloom
+    filter over the filtered orders' keys and pushes a
+    `might_contain` predicate into the lineitem scan filter, so
+    ~80% of lineitem rows drop BEFORE the join shuffle instead of
+    after it (plan-asserted in tests/test_plans.py). This is the
+    non-partition-column sibling of s11's dynamic partition pruning
+    and the key runtime optimization for fact-to-fact joins at
+    100 TB, where neither side broadcasts.
+
+    The injection thresholds default to cluster scale (10 GB
+    application-side scan), so they are lowered — and the broadcast
+    path disabled, as a 100 TB orders side could never broadcast —
+    only while THIS query's plan is optimized and physically
+    planned; the session confs are restored before returning (the
+    plan pins its own optimized tree, so later actions reuse it).
+    """
+    lineitem, orders = load_tables(spark, sf_dir, "lineitem", "orders")
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        df = (
+            lineitem.join(
+                orders.filter(F.col("o_orderpriority") == "1-URGENT"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_lines"),
+                r6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                    "revenue"
+                ),
+            )
+        )
+        # Force logical optimization + physical planning NOW, while
+        # the scoped confs are in effect; both are cached on this
+        # DataFrame's QueryExecution.
+        df._jdf.queryExecution().executedPlan()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return df

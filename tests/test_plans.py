@@ -195,3 +195,13 @@ def test_q18_having_semi_join_shape(spark):
     plan = executed_plan(registry.QUERIES["q18_large_volume_customer"](spark, SF_DIR))
     assert has_top_k(plan), "top-100 must plan as TakeOrderedAndProject"
     assert "LeftSemi" in plan, "HAVING subquery must probe as a semi-join"
+
+
+def test_j11_bloom_filter_reaches_fact_scan(spark):
+    """j11: the orders-side predicate must materialize as a Bloom
+    filter probed in the lineitem scan's filter (might_contain fed
+    by a bloom_filter_agg subquery) — rows drop before the join
+    shuffle, not after it."""
+    plan = executed_plan(registry.QUERIES["j11_runtime_bloom_join"](spark, SF_DIR))
+    assert "might_contain" in plan, "lineitem filter must probe the Bloom filter"
+    assert "bloom_filter_agg" in plan, "orders side must build the Bloom filter"
