@@ -374,3 +374,35 @@ def s11_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame
             r6(F.sum("o_totalprice")).alias("sum_total"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# S12 — ORC round-trip (second columnar format besides parquet)
+# --------------------------------------------------------------------------
+
+S12_ORACLE = """
+SELECT p_brand,
+       CAST(COUNT(*) AS BIGINT)        AS n_parts,
+       CAST(SUM(p_size) AS BIGINT)     AS size_sum,
+       ROUND(SUM(p_retailprice), 6)    AS price_sum
+FROM part
+GROUP BY p_brand
+"""
+
+
+@query("s12_orc_roundtrip", oracle=S12_ORACLE, impure=True)
+def s12_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 — part → ORC → read back → aggregate. ORC is Spark's
+    second built-in columnar format (vectorized reader, predicate
+    pushdown, min/max stripes like parquet row groups); the oracle
+    aggregates the original parquet, so the check certifies type
+    fidelity through the ORC writer/reader pair end to end."""
+    (part,) = load_tables(spark, sf_dir, "part")
+    path = os.path.join(SCRATCH, "s12_part_orc")
+    part.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("p_size").cast("long").alias("size_sum"),
+        r6(F.sum("p_retailprice")).alias("price_sum"),
+    )
