@@ -401,3 +401,64 @@ def a10_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, "lineitem")
     return spark.sql(A10_GSETS_SQL)
+
+
+# --------------------------------------------------------------------------
+# A13 — pivot (wide conditional aggregation)
+# --------------------------------------------------------------------------
+
+A13_ORACLE = """
+SELECT l_returnflag,
+       ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 6) AS "F",
+       ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 6) AS "O"
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("a13_pivot", oracle=A13_ORACLE)
+def a13_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 — `groupBy().pivot()` with EXPLICIT pivot values.
+
+    Passing the value list up front matters at scale: without it
+    Spark runs a separate distinct scan over the input just to
+    discover the columns. With it, the pivot compiles to one hash
+    aggregate of conditional sums — exactly the oracle's CASE WHEN
+    formulation, read the input once."""
+    (lineitem,) = load_tables(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(r6(F.sum("l_quantity")))
+    )
+
+
+# --------------------------------------------------------------------------
+# A14 — unpivot / melt (wide → long)
+# --------------------------------------------------------------------------
+
+A14_ORACLE = """
+WITH agg AS (
+    SELECT l_returnflag,
+           ROUND(SUM(l_quantity), 6)      AS sum_qty,
+           ROUND(SUM(l_extendedprice), 6) AS sum_price
+    FROM lineitem
+    GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM agg
+UNION ALL
+SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value FROM agg
+"""
+
+
+@query("a14_unpivot", oracle=A14_ORACLE)
+def a14_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14 — `unpivot` (melt): one row per (group, metric). Spark's
+    Expand node emits both long rows per input row in one pass — the
+    oracle's UNION ALL shape without the second scan."""
+    (lineitem,) = load_tables(spark, sf_dir, "lineitem")
+    agg = lineitem.groupBy("l_returnflag").agg(
+        r6(F.sum("l_quantity")).alias("sum_qty"),
+        r6(F.sum("l_extendedprice")).alias("sum_price"),
+    )
+    return agg.unpivot("l_returnflag", ["sum_qty", "sum_price"], "metric", "value")

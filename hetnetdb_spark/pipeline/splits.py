@@ -1,0 +1,60 @@
+"""Dataset splitting — deterministic train/test assignment over
+``documents``.
+
+A training pipeline needs splits that are (a) reproducible across
+runs and engines, (b) stable under re-partitioning and re-crawls,
+and (c) leak-free: the SAME content must always land in the same
+split, or near-duplicate leakage silently inflates eval scores.
+Random `df.sample`/`randomSplit` give none of these — the split here
+hashes the content itself (md5, engine-portable, unlike xxhash64) so
+assignment is a pure function of the row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hetnetdb_spark.catalog import load_tables
+from hetnetdb_spark.expr import r6
+from hetnetdb_spark.registry import query
+
+TRAIN_PCT = 80
+
+L10_ORACLE = f"""
+WITH t AS (
+    SELECT source, n_chars,
+           CASE WHEN CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 100 < {TRAIN_PCT}
+                THEN 'train' ELSE 'test' END AS split
+    FROM documents
+)
+SELECT split, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(n_chars), 6)   AS avg_chars
+FROM t
+GROUP BY split, source
+"""
+
+
+@query("l10_train_test_split", oracle=L10_ORACLE)
+def l10_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L10 — 80/20 content-hash split, summarized per (split, source).
+
+    The first 8 md5 hex digits parse as an unsigned 32-bit int on
+    both engines (`conv(_, 16, 10)` here, `CAST('0x'||_ AS BIGINT)`
+    in the oracle); `% 100` buckets it into a stable percentage.
+    Fully map-side until the tiny summary aggregate — at 100 TB the
+    split column costs one hash per row and no shuffle at all when
+    written back alongside the data."""
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long") % 100
+    return (
+        documents.withColumn(
+            "split", F.when(bucket < TRAIN_PCT, "train").otherwise("test")
+        )
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            r6(F.avg("n_chars")).alias("avg_chars"),
+        )
+    )

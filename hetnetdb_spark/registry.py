@@ -174,7 +174,13 @@ def load_all() -> None:
         windows,
     )
     from hetnetdb_spark.functions import scalar  # noqa: F401
-    from hetnetdb_spark.pipeline import dedup, multimodal, similarity, text  # noqa: F401
+    from hetnetdb_spark.pipeline import (  # noqa: F401
+        dedup,
+        multimodal,
+        similarity,
+        splits,
+        text,
+    )
     from hetnetdb_spark.sources import io  # noqa: F401
     from hetnetdb_spark.streaming import queries  # noqa: F401
     from hetnetdb_spark.udfs import surface  # noqa: F401
