@@ -406,3 +406,62 @@ def s12_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("p_size").cast("long").alias("size_sum"),
         r6(F.sum("p_retailprice")).alias("price_sum"),
     )
+
+
+# --------------------------------------------------------------------------
+# S13 — compaction (small-files repair)
+# --------------------------------------------------------------------------
+
+S13_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT)           AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       ROUND(SUM(value), 6)               AS value_sum
+FROM events
+GROUP BY event_type
+"""
+
+#: Compaction target. 128 MB matches the parquet row-group /
+#: HDFS-block sweet spot; the fixture's whole table is smaller than
+#: one target file, which is exactly the point — 64 shards of a
+#: tiny table is the pathological layout this repairs.
+S13_TARGET_BYTES = 128 * 1024 * 1024
+
+
+@query("s13_compaction", oracle=S13_ORACLE, impure=True)
+def s13_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 — repair a small-files layout by size-targeted rewrite.
+
+    Streaming ingest and per-partition writers leave fact tables as
+    thousands of KB-sized files; every later scan then pays one task
+    + one footer read per file, and at 100 TB the NameNode/listing
+    cost alone dominates. The repair: read the fragmented table,
+    ask the filesystem (Hadoop FS API — works on HDFS/S3A too, not
+    just local) for its total size, and rewrite with
+    ``ceil(bytes / 128 MB)`` output files via a round-robin
+    `repartition` (full-width shuffle, no key skew). The oracle
+    aggregates the original events, certifying the rewrite lost
+    nothing; the file-count collapse is asserted in
+    tests/test_invariants.py.
+    """
+    (events,) = load_tables(spark, sf_dir, "events")
+    frag_path = os.path.join(SCRATCH, "s13_events_fragmented")
+    compact_path = os.path.join(SCRATCH, "s13_events_compacted")
+    # manufacture the pathology: 64 shards of a small table
+    events.repartition(64).write.mode("overwrite").parquet(frag_path)
+
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(frag_path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    total_bytes = fs.getContentSummary(jpath).getLength()
+    n_files = max(1, -(-int(total_bytes) // S13_TARGET_BYTES))  # ceil
+
+    fragmented = spark.read.parquet(frag_path)
+    fragmented.repartition(n_files).write.mode("overwrite").parquet(compact_path)
+
+    back = spark.read.parquet(compact_path)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        r6(F.sum("value")).alias("value_sum"),
+    )

@@ -118,3 +118,19 @@ def test_register_views_rebinds_on_sf_switch(spark):
         if r.col_name.strip() == "Statistics"
     ]
     assert stats and "rows" in stats[0]
+
+
+@needs_both
+def test_s13_compaction_collapses_files(spark):
+    """s13: the rewrite must actually repair the layout — 64
+    fragment files in, ceil(bytes/128MB) (= 1 at fixture scale)
+    data file out."""
+    import glob
+
+    from hetnetdb_spark.sources.io import SCRATCH
+
+    registry.QUERIES["s13_compaction"](spark, SF_SMALL).count()
+    frag = glob.glob(f"{SCRATCH}/s13_events_fragmented/*.parquet")
+    compact = glob.glob(f"{SCRATCH}/s13_events_compacted/*.parquet")
+    assert len(frag) == 64
+    assert len(compact) == 1
