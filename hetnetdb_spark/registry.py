@@ -131,27 +131,55 @@ def _verified_names() -> set[str]:
     return {name for name, ok in status.items() if ok}
 
 
+#: Queries added in the CURRENT round, i.e. after the newest recorded
+#: CORRECTNESS file. They yield window priority to queries that have
+#: already waited a full round unverified (the round-2 driver stopped
+#: at 50 entries; round 2's L/T/S/U tail must not be displaced
+#: again). Once the next CORRECTNESS file lands, survivors of this
+#: list sort first automatically and the list should be rotated.
+NEW_THIS_ROUND: frozenset[str] = frozenset(
+    {
+        "l02_embedding_neardup",
+        "s11_dynamic_partition_pruning",
+        "s12_orc_roundtrip",
+        "s13_compaction",
+        "q10_returned_items",
+        "q17_small_quantity_order",
+        "q18_large_volume_customer",
+        "j11_runtime_bloom_join",
+        "a13_pivot",
+        "a14_unpivot",
+        "l10_train_test_split",
+    }
+)
+
+
 def _prioritize() -> None:
     """Reorder QUERIES/ORACLE so unverified queries register first.
 
     Python dicts iterate in insertion order, and the driver walks the
     registry in that order — rebuilding the dicts is how we control
-    which queries land in a bounded verification window. Four tiers:
+    which queries land in a bounded verification window. Tiers:
 
-    1. unverified, pure   (fast batch plans — cheapest to check)
-    2. unverified, impure (scratch-dir / warehouse / streaming runs)
-    3. verified, pure     (already green — re-check last)
-    4. verified, impure
+    1. unverified since a prior round, pure (cheapest to check)
+    2. unverified since a prior round, impure (scratch/streaming)
+    3. added this round (locally verified only; waited zero rounds)
+    4. verified, pure (already green — re-check last)
+    5. verified, impure
 
-    Pure-before-impure within each tier keeps the window cheap in
-    case the driver's cutoff is time-based rather than count-based.
-    Registration order is preserved within each tier, so the
-    ordering is deterministic for a given set of CORRECTNESS files.
+    Pure-before-impure keeps the window cheap in case the driver's
+    cutoff is time-based rather than count-based. Registration order
+    is preserved within each tier, so the ordering is deterministic
+    for a given set of CORRECTNESS files.
     """
     verified = _verified_names()
 
     def tier(name: str) -> int:
-        return 2 * (name in verified) + (name in IMPURE)
+        if name in verified:
+            return 3 + (name in IMPURE)
+        if name in NEW_THIS_ROUND:
+            return 2
+        return name in IMPURE
 
     ordered = sorted(QUERIES, key=tier)  # stable: keeps registration order
     for d in (QUERIES, ORACLE):

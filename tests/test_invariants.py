@@ -89,9 +89,20 @@ def test_verify_first_window_covers_unverified():
         verified
     )
     assert {"q1_pricing_summary", "a05_having", "j09_asof_join"} <= verified
-    # Within each tier, pure queries come before impure (side-effecting)
-    # ones, keeping the verification window cheap.
-    for group in (names[: len(names) - len(verified)], names[len(names) - len(verified) :]):
+    # Queries that already waited a full round unverified outrank
+    # this round's additions — nothing new may displace the round-2
+    # backlog (T/L/S/U tail) from the driver's bounded window.
+    n_unverified = len(names) - len(verified)
+    unverified = names[:n_unverified]
+    old_idx = [i for i, n in enumerate(unverified) if n not in registry.NEW_THIS_ROUND]
+    new_idx = [i for i, n in enumerate(unverified) if n in registry.NEW_THIS_ROUND]
+    assert not new_idx or not old_idx or max(old_idx) < min(new_idx)
+    # Within the backlog, pure queries come before impure
+    # (side-effecting) ones, keeping the window cheap.
+    for group in (
+        [n for n in unverified if n not in registry.NEW_THIS_ROUND],
+        names[n_unverified:],
+    ):
         impure_flags = [n in registry.IMPURE for n in group]
         assert impure_flags == sorted(impure_flags)
     # oracle dict preserves the same relative order
