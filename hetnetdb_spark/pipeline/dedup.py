@@ -387,3 +387,102 @@ def l02_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# L11 — near-dup clusters via connected components (iterative)
+# --------------------------------------------------------------------------
+
+L11_ORACLE = f"""
+WITH RECURSIVE pairs AS (
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE ROUND({{dot}}, 6) >= {EMB_TAU}
+),
+edges AS (
+    SELECT a_id AS src, b_id AS dst FROM pairs
+    UNION ALL
+    SELECT b_id, a_id FROM pairs
+),
+reach(id, root) AS (
+    SELECT vec_id, vec_id FROM embeddings
+    UNION
+    SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT CAST(root AS BIGINT)      AS component_id,
+       CAST(COUNT(*) AS BIGINT)  AS n_members
+FROM (SELECT id, MIN(root) AS root FROM reach GROUP BY id)
+GROUP BY root
+"""
+
+L11_MAX_ITERS = 25
+
+
+@query(
+    "l11_dedup_components",
+    oracle=L11_ORACLE.format(dot=duck_dot("a.embedding", "b.embedding")),
+    impure=True,
+)
+def l11_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L11 — TRUE near-dup clusters: connected components over the
+    cosine ≥ 0.35 similarity graph (vs `l02_embedding_neardup`'s
+    greedy keeper, which over-drops when A~B and B~C but A≁C).
+
+    Iterative min-label propagation, all DataFrame ops: each round
+    every node takes the min of its own label and its neighbors'
+    labels (edge join + min-aggregate), until a fixpoint. The
+    convergence check is ONE scalar per round (labels only ever
+    decrease, so an unchanged label-sum IS the fixpoint) — the
+    driver-side loop is inherent to iterative graph algorithms
+    (GraphX/Pregel drive the same loop); per-round work stays fully
+    distributed. `localCheckpoint` truncates the growing lineage so
+    round N's plan doesn't replay rounds 1..N-1.
+
+    Scale posture: rounds = graph diameter (small for near-dup
+    blobs); each round shuffles |E| (id, label) pairs — never
+    vectors or text. At corpus scale the same loop runs off the LSH
+    candidate pairs (`l04_simjoin_lsh`) instead of the exact
+    triangle, and the large-star/small-star variant (alternating
+    star contractions) cuts rounds to O(log n) if diameters bite.
+    The recursive-CTE oracle certifies the whole transitive closure.
+    """
+    (emb,) = load_tables(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"))
+    b = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"))
+    pairs = (
+        a.join(F.broadcast(b), F.col("a_id") < F.col("b_id"))
+        .filter(r6(dot(F.col("a_emb"), F.col("b_emb"))) >= EMB_TAU)
+        .select("a_id", "b_id")
+    )
+    edges = pairs.union(pairs.select(F.col("b_id"), F.col("a_id"))).toDF("src", "dst")
+    edges = edges.localCheckpoint(eager=True)  # reused every round
+
+    labels = emb.select(F.col("vec_id").alias("id"), F.col("vec_id").alias("label"))
+    labels = labels.localCheckpoint(eager=True)
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(L11_MAX_ITERS):
+        nbr_min = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy("dst")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(nbr_min, labels.id == nbr_min.dst, "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nbr_min", F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    else:
+        raise RuntimeError(f"CC did not converge in {L11_MAX_ITERS} rounds")
+
+    return labels.groupBy("label").agg(F.count(F.lit(1)).alias("n_members")).select(
+        F.col("label").alias("component_id"), "n_members"
+    )

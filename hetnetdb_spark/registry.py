@@ -150,6 +150,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "a13_pivot",
         "a14_unpivot",
         "l10_train_test_split",
+        "l11_dedup_components",
     }
 )
 
