@@ -151,6 +151,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "a14_unpivot",
         "l10_train_test_split",
         "l11_dedup_components",
+        "s14_partition_upsert",
     }
 )
 

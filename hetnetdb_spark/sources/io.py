@@ -465,3 +465,75 @@ def s13_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         r6(F.sum("value")).alias("value_sum"),
     )
+
+
+# --------------------------------------------------------------------------
+# S14 — partition-scoped upsert (dynamic partition overwrite)
+# --------------------------------------------------------------------------
+
+S14_ORACLE = """
+WITH base AS (
+    SELECT CAST(date_part('year', o_orderdate) AS INT) AS o_year,
+           o_orderkey, o_totalprice
+    FROM orders
+),
+snap AS (
+    SELECT o_year, o_orderkey, o_totalprice FROM base WHERE o_year <> 2001
+    UNION ALL
+    SELECT o_year, o_orderkey, o_totalprice * 1.1 FROM base WHERE o_year = 2001
+    UNION ALL
+    SELECT o_year, o_orderkey + 10000000, o_totalprice FROM base WHERE o_year = 2001
+)
+SELECT o_year,
+       CAST(COUNT(*) AS BIGINT)  AS n_orders,
+       ROUND(SUM(o_totalprice), 6) AS total_price
+FROM snap
+GROUP BY o_year
+"""
+
+
+@query("s14_partition_upsert", oracle=S14_ORACLE, impure=True)
+def s14_partition_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S14 — upsert a partitioned fact table by rewriting ONLY the
+    touched partitions (`partitionOverwriteMode=dynamic`).
+
+    The change batch (2001's orders re-priced, plus re-crawled
+    inserts with new keys) lands entirely in the o_year=2001
+    partition. Static overwrite would truncate the whole table;
+    dynamic mode replaces just the partitions present in the change
+    DataFrame — at 100 TB that is rewriting one day/year directory
+    instead of the table, and it is the engine-level primitive under
+    every MERGE implementation. The untouched partitions' files are
+    asserted physically untouched (mtime) in
+    tests/test_invariants.py; the oracle certifies the merged
+    content.
+    """
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    path = os.path.join(SCRATCH, "s14_orders_snapshot")
+    base = orders.select(
+        F.year("o_orderdate").alias("o_year"), "o_orderkey", "o_totalprice"
+    )
+    base.write.mode("overwrite").partitionBy("o_year").parquet(path)
+
+    changed_year = base.filter(F.col("o_year") == 2001)
+    changes = changed_year.withColumn(
+        "o_totalprice", F.col("o_totalprice") * 1.1
+    ).unionByName(
+        changed_year.withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000)
+    )
+
+    key = "spark.sql.sources.partitionOverwriteMode"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "dynamic")
+    try:
+        # mode("overwrite") + dynamic: only partitions present in
+        # `changes` (o_year=2001) are replaced.
+        changes.write.mode("overwrite").partitionBy("o_year").parquet(path)
+    finally:
+        spark.conf.set(key, old) if old is not None else spark.conf.unset(key)
+
+    back = spark.read.parquet(path)
+    return back.groupBy("o_year").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        r6(F.sum("o_totalprice")).alias("total_price"),
+    )

@@ -145,3 +145,25 @@ def test_s13_compaction_collapses_files(spark):
     compact = glob.glob(f"{SCRATCH}/s13_events_compacted/*.parquet")
     assert len(frag) == 64
     assert len(compact) == 1
+
+
+@needs_both
+def test_s14_upsert_touches_only_changed_partition(spark):
+    """s14: dynamic overwrite must leave untouched partitions'
+    files physically alone — their mtimes predate the change batch,
+    while the changed partition's files postdate it."""
+    import glob
+
+    from hetnetdb_spark.sources.io import SCRATCH
+
+    registry.QUERIES["s14_partition_upsert"](spark, SF_SMALL).count()
+    base = f"{SCRATCH}/s14_orders_snapshot"
+    changed = [os.path.getmtime(f) for f in glob.glob(f"{base}/o_year=2001/*.parquet")]
+    untouched = [
+        os.path.getmtime(f)
+        for d in glob.glob(f"{base}/o_year=*")
+        if not d.endswith("o_year=2001")
+        for f in glob.glob(f"{d}/*.parquet")
+    ]
+    assert changed and untouched
+    assert min(changed) > max(untouched)
