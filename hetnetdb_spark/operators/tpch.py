@@ -344,3 +344,89 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(100)
     )
+
+
+Q14_ORACLE = """
+SELECT ROUND(
+         100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+                          THEN l_extendedprice * (1 - l_discount) END)
+               / SUM(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue_pct,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 6)     AS total_revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-02-01 00:00:00'
+"""
+
+
+@query("q14_promo_effect", oracle=Q14_ORACLE)
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: share of one month's revenue from promo parts — a
+    ratio of two aggregates over the same join, computed in ONE
+    pass (conditional numerator, unconditional denominator), never
+    two scans. The one-month shipdate window is the pushed filter
+    that makes the fact scan cheap; part joins broadcast."""
+    lineitem, part = load_tables(spark, sf_dir, "lineitem", "part")
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-02-01").cast("timestamp"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            r6(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type").like("PROMO%"), rev))
+                / F.sum(rev)
+            ).alias("promo_revenue_pct"),
+            r6(F.sum(rev)).alias("total_revenue"),
+        )
+    )
+
+
+Q19_ORACLE = """
+SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+       CAST(COUNT(*) AS BIGINT)                          AS n_lines
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity >= 1 AND l_quantity <= 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 11 AND 25 AND l_quantity >= 10 AND l_quantity <= 30)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 26 AND 50 AND l_quantity >= 20 AND l_quantity <= 40)
+"""
+
+
+@query("q19_disjunctive_join", oracle=Q19_ORACLE)
+def q19_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: an OR of three brand/size/quantity conjuncts
+    spanning BOTH join sides. The planner keeps the equi-key join
+    (p_partkey = l_partkey) and evaluates the disjunction as a join
+    residual; the derivable single-side implications (brand IN (...),
+    size 1-50, quantity 1-40) are what each scan can still push.
+    The anti-pattern this guards against is the disjunction forcing
+    a nested-loop join — asserted absent in tests/test_plans.py."""
+    lineitem, part = load_tables(spark, sf_dir, "lineitem", "part")
+    cond = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(1, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(11, 25)
+        & F.col("l_quantity").between(10, 30)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(26, 50)
+        & F.col("l_quantity").between(20, 40)
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.join(
+            F.broadcast(part), F.col("p_partkey") == F.col("l_partkey")
+        )
+        .filter(cond)
+        .agg(
+            r6(F.sum(rev)).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

@@ -152,6 +152,8 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "l10_train_test_split",
         "l11_dedup_components",
         "s14_partition_upsert",
+        "q14_promo_effect",
+        "q19_disjunctive_join",
     }
 )
 

@@ -205,3 +205,12 @@ def test_j11_bloom_filter_reaches_fact_scan(spark):
     plan = executed_plan(registry.QUERIES["j11_runtime_bloom_join"](spark, SF_DIR))
     assert "might_contain" in plan, "lineitem filter must probe the Bloom filter"
     assert "bloom_filter_agg" in plan, "orders side must build the Bloom filter"
+
+
+def test_q19_disjunction_keeps_equi_join(spark):
+    """q19: the OR-of-conjuncts spanning both sides must stay a
+    residual on the p_partkey equi-join, not degrade the plan to a
+    nested loop."""
+    plan = executed_plan(registry.QUERIES["q19_disjunctive_join"](spark, SF_DIR))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
