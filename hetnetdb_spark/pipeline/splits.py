@@ -58,3 +58,64 @@ def l10_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             r6(F.avg("n_chars")).alias("avg_chars"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# L12 — sequence packing (token-budget binning)
+# --------------------------------------------------------------------------
+
+PACK_BUDGET = 4096
+
+L12_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+    FROM documents
+),
+packed AS (
+    SELECT lang, n_tokens,
+           CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) - n_tokens)
+                      / {PACK_BUDGET}) AS BIGINT) AS bin_id
+    FROM toks
+)
+SELECT lang, bin_id,
+       CAST(COUNT(*) AS BIGINT)      AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+FROM packed
+GROUP BY lang, bin_id
+"""
+
+
+@query("l12_sequence_packing", oracle=L12_ORACLE)
+def l12_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L12 — pack documents into ~4096-token training bins.
+
+    Deterministic streaming-pack: within each language, documents in
+    doc_id order accumulate into a bin until the running token count
+    crosses the budget (bin = floor(preceding-cumsum / budget) — the
+    document that crosses the boundary starts spilling into the next
+    bin, exactly like greedy sequence packing with document
+    splitting). One window pass + one aggregate, both partitioned by
+    lang: a single shuffle, no Python. True first-fit-decreasing is
+    inherently sequential; this cumulative form is the
+    order-deterministic, embarrassingly-parallel variant a corpus
+    pipeline actually ships."""
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    n_tokens = F.size(F.split(F.col("text"), " ")).cast("long")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = documents.select(
+        "lang", "doc_id", n_tokens.alias("n_tokens")
+    ).withColumn(
+        "bin_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / PACK_BUDGET),
+    )
+    return packed.groupBy("lang", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+    )

@@ -154,6 +154,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "s14_partition_upsert",
         "q14_promo_effect",
         "q19_disjunctive_join",
+        "l12_sequence_packing",
     }
 )
 

@@ -195,3 +195,36 @@ def test_random_window_frame_matches_oracle(spark, oracle, p):
         sql_expr = f"CAST({sql_expr} AS BIGINT)"
     sql = f"SELECT o_orderkey, {sql_expr} AS v FROM orders"
     assert_frames_match(spark_pdf, oracle.execute(sql).fetchdf(), "property-window")
+
+
+def test_train_test_split_invariant_to_layout(spark):
+    """l10: split assignment is a pure function of row content —
+    identical regardless of how the data is physically partitioned.
+    A split that depends on layout (like randomSplit) silently
+    reshuffles train/test membership on every repartition."""
+    from hetnetdb_spark import registry
+
+    registry.load_all()
+    base = registry.QUERIES["l10_train_test_split"](spark, SF_DIR).toPandas()
+    base = base.sort_values(["split", "source"]).reset_index(drop=True)
+
+    from hetnetdb_spark.catalog import load_tables
+    from hetnetdb_spark.expr import r6
+    from hetnetdb_spark.pipeline.splits import TRAIN_PCT
+    from pyspark.sql import functions as F
+
+    (documents,) = load_tables(spark, SF_DIR, "documents")
+    bucket = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long") % 100
+    relaid = (
+        documents.repartition(13, "lang")  # a completely different layout
+        .withColumn("split", F.when(bucket < TRAIN_PCT, "train").otherwise("test"))
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            r6(F.avg("n_chars")).alias("avg_chars"),
+        )
+        .toPandas()
+        .sort_values(["split", "source"])
+        .reset_index(drop=True)
+    )
+    assert base.equals(relaid)
