@@ -167,3 +167,41 @@ def test_s14_upsert_touches_only_changed_partition(spark):
     ]
     assert changed and untouched
     assert min(changed) > max(untouched)
+
+
+@needs_both
+def test_public_api_sql_and_run(spark):
+    """The user-facing surface: arbitrary SQL over the registered
+    catalog must agree with the equivalent DataFrame query, and
+    run()/list_queries() resolve registry entries."""
+    import hetnetdb_spark as hs
+
+    df = hs.sql(
+        spark,
+        SF_SMALL,
+        """
+        SELECT n_name, COUNT(*) AS n_cust
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        """,
+    )
+    via_api = {r["n_name"]: r["n_cust"] for r in df.collect()}
+    from pyspark.sql import functions as F
+
+    customer, nation = load_tables(spark, SF_SMALL, "customer", "nation")
+    via_df = {
+        r["n_name"]: r["n_cust"]
+        for r in customer.join(
+            nation, F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+        .collect()
+    }
+    assert via_api == via_df and via_api
+
+    assert "q1_pricing_summary" in hs.list_queries()
+    assert hs.run(spark, SF_SMALL, "q1_pricing_summary").count() == 6
+    assert hs.oracle_sql("q1_pricing_summary") is not None
+    with pytest.raises(KeyError):
+        hs.run(spark, SF_SMALL, "no_such_query")
