@@ -381,3 +381,80 @@ def f07b_json_tuple(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("k_str").alias("n_distinct_k"),
         F.max("k_str").alias("max_k_str"),
     )
+
+
+# --------------------------------------------------------------------------
+# F10 — edit distance (fuzzy string matching)
+# --------------------------------------------------------------------------
+
+F10_ORACLE = """
+SELECT a.n_name AS name_a,
+       b.n_name AS name_b,
+       CAST(levenshtein(a.n_name, b.n_name) AS INT) AS edit_dist
+FROM nation a
+JOIN nation b ON a.n_nationkey < b.n_nationkey
+WHERE levenshtein(a.n_name, b.n_name) <= 4
+"""
+
+
+@query("f10_levenshtein", oracle=F10_ORACLE)
+def f10_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10 — `levenshtein` over the bounded nation-name triangle:
+    the fuzzy-match primitive entity resolution runs AFTER a
+    blocking join (here the 25×25 dim triangle; at corpus scale the
+    LSH/banding paths in `pipeline.dedup` produce the candidate
+    pairs and this is the verifier). Both engines implement the
+    standard unit-cost edit distance."""
+    (nation,) = load_tables(spark, sf_dir, "nation")
+    a = nation.select(F.col("n_nationkey").alias("key_a"), F.col("n_name").alias("name_a"))
+    b = nation.select(F.col("n_nationkey").alias("key_b"), F.col("n_name").alias("name_b"))
+    return (
+        a.join(F.broadcast(b), F.col("key_a") < F.col("key_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("edit_dist") <= 4)
+        .select("name_a", "name_b", "edit_dist")
+    )
+
+
+# --------------------------------------------------------------------------
+# F11 — sequence generation + explode (lateral expansion)
+# --------------------------------------------------------------------------
+
+F11_ORACLE = """
+SELECT d AS active_day,
+       CAST(COUNT(*) AS BIGINT) AS n_active_orders
+FROM (
+    SELECT unnest(generate_series(o_orderdate,
+                                  o_orderdate + INTERVAL 4 DAY,
+                                  INTERVAL 1 DAY)) AS d
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-03-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-03-08 00:00:00'
+)
+GROUP BY d
+"""
+
+
+@query("f11_date_sequence", oracle=F11_ORACLE)
+def f11_date_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11 — `sequence` + `explode`: expand each order into its
+    5-day activity window and count per-day overlap. The generator
+    runs inside codegen AFTER the one-week pushed filter, so the
+    5× row expansion happens on the filtered slice, never the full
+    fact table — the order of filter vs generate is the whole cost
+    model at scale."""
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    filtered = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-03-08").cast("timestamp"))
+    )
+    days = F.sequence(
+        F.col("o_orderdate"),
+        F.col("o_orderdate") + F.expr("INTERVAL 4 DAYS"),
+        F.expr("INTERVAL 1 DAY"),
+    )
+    return (
+        filtered.select(F.explode(days).alias("active_day"))
+        .groupBy("active_day")
+        .agg(F.count(F.lit(1)).alias("n_active_orders"))
+    )

@@ -271,3 +271,45 @@ def p10_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment").alias("segment"),
         F.col("c_nationkey").alias("nationkey"),
     ).distinct()
+
+
+# --------------------------------------------------------------------------
+# P11 — null-safe equality (<=> / IS NOT DISTINCT FROM)
+# --------------------------------------------------------------------------
+
+P11_ORACLE = """
+WITH keyed AS (
+    SELECT NULLIF(c_mktsegment, 'BUILDING') AS seg_key,
+           COUNT(*)                         AS n_cust
+    FROM customer
+    GROUP BY seg_key
+)
+SELECT a.seg_key  AS seg_key,
+       a.n_cust   AS n_a,
+       b.n_cust   AS n_b
+FROM keyed a
+JOIN keyed b ON a.seg_key IS NOT DISTINCT FROM b.seg_key
+"""
+
+
+@query("p11_null_safe_join", oracle=P11_ORACLE)
+def p11_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11 — null-safe equality: `<=>` treats NULL as a joinable
+    value (NULL <=> NULL is true), where plain `=` silently drops
+    every null-keyed row — the classic lost-rows bug when joining on
+    nullable business keys. The NULLIF manufactures a null key
+    class; the null-safe self-join must preserve it."""
+    (customer,) = load_tables(spark, sf_dir, "customer")
+    keyed = (
+        customer.withColumn(
+            "seg_key", F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+        )
+        .groupBy("seg_key")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    a = keyed.select(F.col("seg_key"), F.col("n_cust").alias("n_a"))
+    b = keyed.select(F.col("seg_key").alias("seg_key_b"), F.col("n_cust").alias("n_b"))
+    return (
+        a.join(F.broadcast(b), F.col("seg_key").eqNullSafe(F.col("seg_key_b")))
+        .select("seg_key", "n_a", "n_b")
+    )

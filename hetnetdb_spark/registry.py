@@ -155,6 +155,9 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q14_promo_effect",
         "q19_disjunctive_join",
         "l12_sequence_packing",
+        "f10_levenshtein",
+        "f11_date_sequence",
+        "p11_null_safe_join",
     }
 )
 
