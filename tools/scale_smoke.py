@@ -1,0 +1,120 @@
+"""Scale-trajectory smoke: replicate sf0.1 Nx into scratch and time
+the headline queries at both scales.
+
+The 100 TB claim is a statement about *slope*: a query whose plan is
+scan-bound with bounded shuffles should scale near-linearly in input
+size (flat per-row cost), while anything quadratic or
+driver-bottlenecked blows past linear. This script measures that
+slope empirically at 10x.
+
+Replication keeps every distribution identical but multiplies row
+counts; ids are offset per replica so keys stay unique where they
+were unique (events/orders/lineitem replica rows get distinct ids
+but the SAME dimension keys, mirroring fact growth over a fixed
+dimension space).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from hetnetdb_spark import registry
+from hetnetdb_spark.schemas import TABLE_NAMES
+from hetnetdb_spark.session import get_spark
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+FACTOR = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "10"))
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   ".scratch", f"scale_smoke_{FACTOR}x")
+
+#: Fact tables replicate with offset ids; dims copy through.
+FACT_ID_OFFSETS = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey"],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "customer": [],
+    "supplier": [],
+    "part": [],
+    "nation": [],
+    "region": [],
+}
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "window_top3_orders_per_cust",
+    "events_sessionize_30m",
+    "events_tumbling_1h",
+    "docs_token_counts",
+    "emb_topk_cosine",
+]
+
+DIMS = {"nation", "region", "customer", "supplier", "part",
+        "documents", "embeddings"}
+
+
+def replicate(spark) -> None:
+    os.makedirs(OUT, exist_ok=True)
+    for name in TABLE_NAMES:
+        dst = os.path.join(OUT, f"{name}.parquet")
+        if os.path.exists(dst):
+            continue
+        src = spark.read.parquet(os.path.join(BASE, f"{name}.parquet"))
+        if name in DIMS:
+            src.write.mode("overwrite").parquet(dst)
+            continue
+        offset_cols = FACT_ID_OFFSETS[name]
+        copies = []
+        for i in range(FACTOR):
+            c = src
+            for col in offset_cols:
+                c = c.withColumn(col, F.col(col) + F.lit(i * 100_000_000))
+            copies.append(c)
+        out = copies[0]
+        for c in copies[1:]:
+            out = out.unionByName(c)
+        out.write.mode("overwrite").parquet(dst)
+
+
+def run(spark, sf_dir: str) -> dict[str, float]:
+    timings = {}
+    for name in HEADLINE:
+        fn = registry.QUERIES[name]
+        fn(spark, sf_dir).toPandas()  # cold
+        warm = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).toPandas()
+            warm.append(time.perf_counter() - t0)
+        timings[name] = round(min(warm), 4)
+    return timings
+
+
+def main() -> None:
+    registry.load_all()
+    spark = get_spark("scale-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+    replicate(spark)
+    base = run(spark, BASE)
+    big = run(spark, OUT)
+    report = {
+        "factor": FACTOR,
+        "base": base,
+        "scaled": big,
+        "slope": {k: round(big[k] / base[k], 2) for k in base},
+    }
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
