@@ -19,6 +19,24 @@ from hetnetdb_spark.catalog import load_events_raw, load_tables
 from hetnetdb_spark.expr import r6
 from hetnetdb_spark.registry import query
 
+
+def _parallel_by(spark: SparkSession, df: DataFrame, *cols: str) -> DataFrame:
+    """Pin a window shuffle to the session's configured width.
+
+    AQE's byte-based coalescing (advisory 64 MB — sized for the
+    KB-payload aggregate shuffles this engine mostly runs) would
+    collapse a few-MB window shuffle to ONE partition and serialize
+    every per-key sort behind it; measured on the sf0.1 headliners
+    that is 3-4x of the query's wall time. An explicit-width
+    `repartition` satisfies the window's required distribution (so
+    no second exchange appears) and is exempt from AQE coalescing.
+    Width follows spark.sql.shuffle.partitions, so a cluster
+    deployment inherits its configured parallelism instead of a
+    hardcoded number.
+    """
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    return df.repartition(n, *cols)
+
 # --------------------------------------------------------------------------
 # W1 — ranking family
 # --------------------------------------------------------------------------
@@ -228,6 +246,7 @@ def window_top3_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output bounded to the first 100 (custkey, rank) rows for a
     stable cross-engine result set."""
     (orders,) = load_tables(spark, sf_dir, "orders")
+    orders = _parallel_by(spark, orders, "o_custkey")
     w = Window.partitionBy("o_custkey").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey")
     )
@@ -285,7 +304,7 @@ def events_sessionize_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     timestamp semantics, so conversion is deferred to the ~10%
     of rows that survive aggregation. The streaming twin is T3's
     session_window."""
-    events = load_events_raw(spark, sf_dir)
+    events = _parallel_by(spark, load_events_raw(spark, sf_dir), "user_id")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_ns = F.col("ts") - F.lag("ts").over(w)
     is_new = F.when(
