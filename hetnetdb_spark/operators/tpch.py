@@ -430,3 +430,88 @@ def q19_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+Q6_ORACLE = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 6) AS revenue,
+       CAST(COUNT(*) AS BIGINT)                    AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@query("q6_forecast_revenue", oracle=Q6_ORACLE)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: the pure scan-aggregate — every predicate sargable
+    and pushed (date range, discount band, quantity cap), one
+    ungrouped sum, no join, no shuffle beyond the single-row merge.
+    The canonical 'is the scan path fast' probe: at 100 TB this is
+    I/O-bound or nothing is."""
+    (lineitem,) = load_tables(spark, sf_dir, "lineitem")
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            r6(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+Q22_ORACLE = """
+WITH wealthy AS (
+    SELECT c_custkey, c_acctbal, substr(c_name, 1, 10) AS cntry
+    FROM customer
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+)
+SELECT substr(CAST(c_custkey % 10 AS VARCHAR), 1, 1) AS bucket,
+       CAST(COUNT(*) AS BIGINT)                      AS n_cust,
+       ROUND(SUM(c_acctbal), 6)                      AS total_bal
+FROM wealthy w
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = w.c_custkey
+                    AND o.o_orderpriority = '1-URGENT'
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY bucket
+"""
+
+
+@query("q22_global_sales_opportunity", oracle=Q22_ORACLE)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with NO
+    recent urgent orders — an uncorrelated scalar subquery (the
+    average, computed once and broadcast into the filter) feeding a
+    left-anti join (the NOT EXISTS, with its own pushed filters). Both subquery shapes
+    the decorrelator must get right in one query. The anti-join
+    probes with only the key column; customer never widens."""
+    customer, orders = load_tables(spark, sf_dir, "customer", "orders")
+    avg_bal = customer.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    wealthy = (
+        customer.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .select("c_custkey", "c_acctbal")
+    )
+    recent_urgent = orders.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+    ).select(F.col("o_custkey").alias("c_custkey"))
+    no_orders = wealthy.join(recent_urgent, "c_custkey", "left_anti")
+    return (
+        no_orders.withColumn(
+            "bucket", F.substring((F.col("c_custkey") % 10).cast("string"), 1, 1)
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            r6(F.sum("c_acctbal")).alias("total_bal"),
+        )
+    )

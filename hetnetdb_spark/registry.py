@@ -158,6 +158,8 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "f10_levenshtein",
         "f11_date_sequence",
         "p11_null_safe_join",
+        "q6_forecast_revenue",
+        "q22_global_sales_opportunity",
     }
 )
 
