@@ -458,3 +458,51 @@ def f11_date_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("active_day")
         .agg(F.count(F.lit(1)).alias("n_active_orders"))
     )
+
+
+# --------------------------------------------------------------------------
+# F12 — map type (build / merge / explode round-trip)
+# --------------------------------------------------------------------------
+
+F12_ORACLE = """
+SELECT event_type,
+       ROUND(AVG(value), 6)     AS avg_value,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("f12_map_functions", oracle=F12_ORACLE)
+def f12_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12 — map columns: per-type stats packed into TWO maps
+    (`map_from_arrays`), merged with `map_zip_with`, then exploded
+    back to rows. The oracle is the plain relational answer, so the
+    check certifies the map round-trip neither loses nor reorders
+    entries. Map values ride through one 5-entry struct per
+    aggregation — at scale the maps stay bounded by the key-domain
+    size, never by row count (the collect_lists aggregate the
+    ALREADY-GROUPED 5-row result, not raw events)."""
+    (events,) = load_tables(spark, sf_dir, "events")
+    per_type = events.groupBy("event_type").agg(
+        r6(F.avg("value")).alias("avg_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    maps = per_type.agg(
+        F.map_from_arrays(
+            F.collect_list("event_type"), F.collect_list("avg_value")
+        ).alias("avg_map"),
+        F.map_from_arrays(
+            F.collect_list("event_type"), F.collect_list("n_events")
+        ).alias("cnt_map"),
+    )
+    merged = maps.select(
+        F.map_zip_with(
+            "avg_map",
+            "cnt_map",
+            lambda k, avg, cnt: F.struct(avg.alias("avg_value"), cnt.alias("n_events")),
+        ).alias("stats")
+    )
+    return merged.select(
+        F.explode("stats").alias("event_type", "s")
+    ).select("event_type", "s.avg_value", "s.n_events")

@@ -160,6 +160,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "p11_null_safe_join",
         "q6_forecast_revenue",
         "q22_global_sales_opportunity",
+        "f12_map_functions",
     }
 )
 
