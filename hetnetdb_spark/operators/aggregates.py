@@ -341,7 +341,7 @@ def a11_first_in_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 A12_ORACLE = """
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n,
-       ROUND(SUM(value), 6)     AS sum_value,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
        ROUND(MAX(value), 6)     AS max_value
 FROM events
 GROUP BY event_type
@@ -366,12 +366,16 @@ def a12_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     salted = events.withColumn("salt", F.crc32(F.col("event_id").cast("string")) % 16)
     phase1 = salted.groupBy("event_type", "salt").agg(
         F.count(F.lit(1)).alias("pn"),
-        F.sum("value").alias("psum"),
+        # Decimal partials: the phase-2 merge receives the 16 salt
+        # partials in nondeterministic fetch order, and double
+        # addition is not associative — decimal accumulation is
+        # exact, so the merged sum is order-independent.
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("psum"),
         F.max("value").alias("pmax"),
     )
     return phase1.groupBy("event_type").agg(
         F.sum("pn").alias("n"),
-        F.round(F.sum("psum"), 6).alias("sum_value"),
+        F.sum("psum").cast("double").alias("sum_value"),
         F.round(F.max("pmax"), 6).alias("max_value"),
     )
 

@@ -310,8 +310,9 @@ def j10_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 J11_ORACLE = """
 SELECT o_orderpriority,
-       CAST(COUNT(*) AS BIGINT)                          AS n_lines,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS revenue
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+            AS DOUBLE)          AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 WHERE o_orderpriority = '1-URGENT'
@@ -358,9 +359,18 @@ def j11_runtime_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("o_orderpriority")
             .agg(
                 F.count(F.lit(1)).alias("n_lines"),
-                r6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
-                    "revenue"
-                ),
+                # The 32-way shuffle join reorders the rows feeding this
+                # single huge group, so a double SUM drifts past any
+                # fixed rounding (measured: ±1e-6 at 5.9e8). Decimal
+                # accumulation is exact and order-independent; the final
+                # double cast is then bit-deterministic on both engines.
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                )
+                .cast("double")
+                .alias("revenue"),
             )
         )
         # Force logical optimization + physical planning NOW, while

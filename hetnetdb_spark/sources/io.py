@@ -416,7 +416,7 @@ S13_ORACLE = """
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT)           AS n_events,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
-       ROUND(SUM(value), 6)               AS value_sum
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
 FROM events
 GROUP BY event_type
 """
@@ -463,7 +463,9 @@ def s13_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
-        r6(F.sum("value")).alias("value_sum"),
+        # 64 fragment partials merge in nondeterministic order —
+        # decimal accumulation keeps the sum order-independent.
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("value_sum"),
     )
 
 
