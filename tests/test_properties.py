@@ -228,3 +228,55 @@ def test_train_test_split_invariant_to_layout(spark):
         .reset_index(drop=True)
     )
     assert base.equals(relaid)
+
+
+def test_float_results_partition_invariant(spark):
+    """Float-valued query results must not depend on the shuffle
+    partitioning: double addition is non-associative, so a SUM whose
+    partials merge in topology-dependent order drifts past any
+    rounding (the j11 bug class — fixed with decimal accumulation).
+    Re-running under a different partition count must reproduce the
+    default-config result BITWISE."""
+    import numpy as np
+
+    from hetnetdb_spark import registry
+    from tests.conftest import SF_DIR
+
+    registry.load_all()
+    RISKY = [
+        "j11_runtime_bloom_join",
+        "a12_salted_agg",
+        "s13_compaction",
+        "q1_pricing_summary",
+        "q5_local_supplier",
+        "q6_forecast_revenue",
+        "q14_promo_effect",
+        "q17_small_quantity_order",
+        "q19_disjunctive_join",
+        "events_tumbling_1h",
+    ]
+    base = {}
+    for name in RISKY:
+        pdf = registry.QUERIES[name](spark, SF_DIR).toPandas()
+        base[name] = pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    registry._PLAN_CACHE.clear()
+    try:
+        for name in RISKY:
+            pdf = registry.QUERIES[name](spark, SF_DIR).toPandas()
+            pdf = pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
+            for c in base[name].columns:
+                a, b = base[name][c].to_numpy(), pdf[c].to_numpy()
+                if a.dtype.kind == "f":
+                    same = (a == b) | (np.isnan(a) & np.isnan(b))
+                    assert same.all(), (
+                        f"{name}.{c} drifts with partitioning: "
+                        f"{a[~same][:3]} vs {b[~same][:3]}"
+                    )
+                else:
+                    assert (a == b).all(), f"{name}.{c} differs"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+        registry._PLAN_CACHE.clear()
