@@ -420,3 +420,147 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("full_fp").alias("n_unique_full"),
         F.countDistinct("min_shingle_fp").alias("n_unique_shingle"),
     )
+
+
+# --------------------------------------------------------------------------
+# L13 — PII redaction (regex scrub, counted)
+# --------------------------------------------------------------------------
+
+EMAIL_RE = r"[a-zA-Z0-9._]+@[a-zA-Z0-9.]+\.[a-z]{2,}"
+PHONE_RE = r"\+[0-9]{2}-[0-9]{3}-[0-9]{4}"
+
+L13_ORACLE = f"""
+WITH seeded AS (
+    SELECT source,
+           CASE
+             WHEN doc_id % 7 = 0 THEN text || ' contact user' || doc_id || '@example.com'
+             WHEN doc_id % 11 = 0 THEN text || ' call +49-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             ELSE text
+           END AS text
+    FROM documents
+),
+scrubbed AS (
+    SELECT source,
+           len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(text, '{PHONE_RE}')) AS n_phones,
+           regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{PHONE_RE}', '<PHONE>', 'g') AS clean
+    FROM seeded
+)
+SELECT source,
+       CAST(SUM(n_emails) AS BIGINT) AS emails_redacted,
+       CAST(SUM(n_phones) AS BIGINT) AS phones_redacted,
+       CAST(SUM(CASE WHEN contains(clean, '<EMAIL>') OR contains(clean, '<PHONE>')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS docs_touched
+FROM scrubbed
+GROUP BY source
+"""
+
+
+@query("l13_pii_redaction", oracle=L13_ORACLE)
+def l13_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L13 — PII scrub: regex-redact emails/phone numbers and count
+    what was removed, per source (the audit trail a compliance
+    pipeline must emit). The fixture corpus is synthetic word soup,
+    so deterministic PII is seeded first (same seeding in the
+    oracle); the scrub itself is `regexp_replace`/`regexp_count`
+    inside codegen — one scan, no Python, and at 100 TB the
+    redaction is a map-only pass writing back alongside the data."""
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    seeded = documents.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com")),
+        )
+        .when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" call +49-555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        )
+        .otherwise(F.col("text")),
+    )
+    scrubbed = seeded.select(
+        "source",
+        F.regexp_count(F.col("text"), F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(PHONE_RE)).alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), EMAIL_RE, "<EMAIL>"),
+            PHONE_RE,
+            "<PHONE>",
+        ).alias("clean"),
+    )
+    return scrubbed.groupBy("source").agg(
+        F.sum("n_emails").cast("long").alias("emails_redacted"),
+        F.sum("n_phones").cast("long").alias("phones_redacted"),
+        F.sum(
+            F.when(
+                F.col("clean").contains("<EMAIL>") | F.col("clean").contains("<PHONE>"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("docs_touched"),
+    )
+
+
+# --------------------------------------------------------------------------
+# L14 — repetition stats (Gopher-style quality signal)
+# --------------------------------------------------------------------------
+
+L14_ORACLE = """
+WITH toks AS (
+    SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+    FROM documents
+),
+per_tok AS (
+    SELECT doc_id, source, tok, COUNT(*) AS c
+    FROM toks GROUP BY doc_id, source, tok
+),
+per_doc AS (
+    SELECT doc_id, source,
+           SUM(c)                        AS n_tokens,
+           COUNT(*)                      AS n_distinct,
+           MAX(c)                        AS top_tok_count
+    FROM per_tok GROUP BY doc_id, source
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT)                                   AS n_docs,
+       ROUND(AVG(1.0 - CAST(n_distinct AS DOUBLE) / n_tokens), 6) AS avg_repetition,
+       ROUND(MAX(CAST(top_tok_count AS DOUBLE) / n_tokens), 6)    AS worst_top_tok_ratio
+FROM per_doc
+GROUP BY source
+"""
+
+
+@query("l14_repetition_stats", oracle=L14_ORACLE)
+def l14_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L14 — repetition quality signals (the Gopher-rules family):
+    per-document repeated-token fraction and worst single-token
+    dominance, rolled up per source. Shuffle discipline: the explode
+    happens map-side and immediately aggregates on (doc_id, tok) —
+    partial aggregation collapses each document's token multiset
+    before anything shuffles, so the exchange carries (doc, distinct
+    token) counts, not raw tokens."""
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    toks = documents.select(
+        "doc_id", "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    per_tok = toks.groupBy("doc_id", "source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = per_tok.groupBy("doc_id", "source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_tok_count"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        r6(
+            F.avg(F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_tokens"))
+        ).alias("avg_repetition"),
+        r6(
+            F.max(F.col("top_tok_count").cast("double") / F.col("n_tokens"))
+        ).alias("worst_top_tok_ratio"),
+    )

@@ -161,6 +161,8 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q6_forecast_revenue",
         "q22_global_sales_opportunity",
         "f12_map_functions",
+        "l13_pii_redaction",
+        "l14_repetition_stats",
     }
 )
 
