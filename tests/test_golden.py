@@ -99,3 +99,15 @@ def test_multimodal_golden(spark):
 def test_output_modes_golden(spark):
     got = {r["mode"]: r["rows_at_sink"] for r in rows(spark, "t08_output_modes")}
     assert got == {"complete": 5, "update": 5, "foreachBatch": 5}
+
+
+@pinned
+def test_ivf_recall_vs_exact(spark):
+    """IVF probes 2 of 16 partitions (~12% of the corpus scanned);
+    its top-10 for query vec 0 must still recover >=8 of the exact
+    brute-force top-10 — the recall floor that makes the pruned
+    path usable, asserted so a centroid/probe re-tune can't silently
+    regress it."""
+    exact = {r["vec_id"] for r in rows(spark, "emb_topk_cosine")}
+    ivf = {r["vec_id"] for r in rows(spark, "l03_knn_ivf")}
+    assert len(exact & ivf) >= 8, f"IVF recall {len(exact & ivf)}/10 vs exact top-10"
