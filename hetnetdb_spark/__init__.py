@@ -20,7 +20,7 @@ The public contract is :mod:`hetnetdb_spark.registry`: named queries
 (Spark side) paired with ANSI-SQL oracle strings (DuckDB side).
 """
 
-from hetnetdb_spark.api import list_queries, oracle_sql, run, sql  # noqa: F401
+from hetnetdb_spark.api import list_queries, oracle_sql, profile, run, sql  # noqa: F401
 from hetnetdb_spark.registry import ORACLE, QUERIES, query  # noqa: F401
 
 __version__ = "0.1.0"

@@ -37,6 +37,15 @@ def run(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return fn(spark, sf_dir)
 
 
+def profile(spark: SparkSession, sf_dir: str, name: str) -> list[dict]:
+    """Execute a named query and return per-operator runtime metrics
+    (output rows, shuffle bytes, spills) from the final adaptive
+    plan — see :func:`hetnetdb_spark.plans.audit.profile`."""
+    from hetnetdb_spark.plans.audit import profile as _profile
+
+    return _profile(run(spark, sf_dir, name))
+
+
 def list_queries() -> list[str]:
     """All registered query names, in registration order."""
     registry.load_all()

@@ -88,3 +88,42 @@ def has_window_group_limit(plan: str) -> bool:
     """Per-group top-k pushed below the shuffle (Spark 4's
     WindowGroupLimit partial mode)."""
     return "WindowGroupLimit" in plan
+
+
+def profile(df: DataFrame) -> list[dict]:
+    """Execute ``df`` and return per-operator runtime metrics.
+
+    Walks the FINAL adaptive physical plan (descending into query
+    stages, whose children hide behind ``.plan()``) and returns one
+    record per operator: node name, depth, and its SQL metrics
+    (output rows, shuffle/broadcast data sizes, spill bytes, ...).
+    The observability surface a resident engine owes its users —
+    'how many rows did each operator really produce' — without the
+    Spark UI."""
+    jplan = df._jdf.queryExecution().executedPlan()
+    jplan.executeCollect()
+    try:
+        root = jplan.finalPhysicalPlan()
+    except Exception:  # non-adaptive plan: walk it directly
+        root = jplan
+
+    records: list[dict] = []
+
+    def walk(node, depth: int) -> None:
+        metrics = {}
+        it = node.metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            metrics[kv._1()] = kv._2().value()
+        records.append(
+            {"operator": node.nodeName(), "depth": depth, "metrics": metrics}
+        )
+        cls = node.getClass().getSimpleName()
+        if "QueryStage" in cls:  # descend into materialized stages
+            walk(node.plan(), depth + 1)
+            return
+        for i in range(node.children().size()):
+            walk(node.children().apply(i), depth + 1)
+
+    walk(root, 0)
+    return records

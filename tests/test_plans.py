@@ -214,3 +214,28 @@ def test_q19_disjunction_keeps_equi_join(spark):
     plan = executed_plan(registry.QUERIES["q19_disjunctive_join"](spark, SF_DIR))
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_profile_exposes_operator_metrics(spark):
+    """profile(): per-operator runtime metrics from the final
+    adaptive plan, stages included — scan output rows must appear
+    and match the fixture, and a shuffle write must report bytes."""
+    import hetnetdb_spark as hs
+
+    recs = hs.profile(spark, SF_DIR, "q1_pricing_summary")
+    ops = [r["operator"] for r in recs]
+    assert any("Scan" in o for o in ops), ops
+    row_metrics = [
+        r["metrics"].get("numOutputRows")
+        for r in recs
+        if "Scan" in r["operator"]
+    ]
+    assert row_metrics and all(v and v > 0 for v in row_metrics)
+    shuffle_bytes = [
+        v
+        for r in recs
+        if "Exchange" in r["operator"]
+        for k, v in r["metrics"].items()
+        if "bytes" in k.lower() and v > 0
+    ]
+    assert shuffle_bytes, "expected shuffle write bytes in profile"
