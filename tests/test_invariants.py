@@ -205,3 +205,19 @@ def test_public_api_sql_and_run(spark):
     assert hs.oracle_sql("q1_pricing_summary") is not None
     with pytest.raises(KeyError):
         hs.run(spark, SF_SMALL, "no_such_query")
+
+
+def test_every_query_documented_and_covered():
+    """Engine hygiene: every registered query carries a docstring
+    (the scale-posture argument lives there) and a COVERAGE.md row,
+    so the operator inventory can't silently drift from the docs."""
+    import pathlib
+
+    cov = pathlib.Path(__file__).resolve().parent.parent / "COVERAGE.md"
+    cov_text = cov.read_text()
+    for name, fn in registry.QUERIES.items():
+        f = fn
+        while hasattr(f, "__wrapped__"):
+            f = f.__wrapped__
+        assert f.__doc__ and len(f.__doc__.strip()) > 20, f"{name} lacks a docstring"
+        assert f"`{name}`" in cov_text, f"{name} missing from COVERAGE.md"
