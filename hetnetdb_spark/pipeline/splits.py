@@ -119,3 +119,33 @@ def l12_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("bin_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# L15 — stratified sampling (seeded, per-stratum fractions)
+# --------------------------------------------------------------------------
+
+
+@query("l15_stratified_sample", oracle=None)
+def l15_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L15 (rows-only: engine RNG) — `sampleBy` with per-language
+    fractions and a fixed seed: the data-mixing primitive (oversample
+    scarce languages, downsample the head) for corpus construction.
+    Seeded Bernoulli sampling is deterministic per row within Spark
+    (golden-pinned in tests/test_golden.py) but engine-specific, so
+    no DuckDB oracle exists. Map-only at any scale — each partition
+    samples independently, nothing shuffles until the summary."""
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    fractions = {"en": 0.5, "de": 0.8, "fr": 0.8, "es": 1.0, "ja": 1.0}
+    sampled = documents.sampleBy("lang", fractions, seed=42)
+    return (
+        sampled.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .join(
+            documents.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total")),
+            "lang",
+        )
+        .withColumn(
+            "rate", F.round(F.col("n_sampled") / F.col("n_total"), 2)
+        )
+    )

@@ -163,6 +163,8 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "f12_map_functions",
         "l13_pii_redaction",
         "l14_repetition_stats",
+        "s15_schema_evolution",
+        "l15_stratified_sample",
     }
 )
 

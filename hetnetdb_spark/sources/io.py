@@ -539,3 +539,61 @@ def s14_partition_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         r6(F.sum("o_totalprice")).alias("total_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# S15 — schema evolution (mergeSchema across file generations)
+# --------------------------------------------------------------------------
+
+S15_ORACLE = """
+WITH v1 AS (
+    SELECT o_orderkey, o_totalprice
+    FROM orders WHERE o_orderkey % 2 = 0
+),
+v2 AS (
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM orders WHERE o_orderkey % 2 = 1
+),
+merged AS (
+    SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority FROM v1
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, o_orderpriority FROM v2
+)
+SELECT COALESCE(o_orderpriority, '<pre-schema>') AS o_orderpriority,
+       CAST(COUNT(*) AS BIGINT)                  AS n_orders,
+       ROUND(SUM(o_totalprice), 6)               AS total_price
+FROM merged
+GROUP BY 1
+"""
+
+
+@query("s15_schema_evolution", oracle=S15_ORACLE, impure=True)
+def s15_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S15 — schema evolution across file generations: generation 1
+    wrote (key, price), generation 2 added a priority column. A
+    `mergeSchema` read unifies them — old files surface NULL for the
+    new column, no rewrite of historical data. This is how a 100 TB
+    table grows columns in practice (rewriting history is not an
+    option); the oracle simulates the same union semantics. The
+    merge costs one footer read per file at planning, which is why
+    it stays opt-in rather than the default."""
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    path = os.path.join(SCRATCH, "s15_orders_evolving")
+    orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    ).write.mode("overwrite").parquet(os.path.join(path, "gen=1"))
+    orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    ).write.mode("overwrite").parquet(os.path.join(path, "gen=2"))
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    return (
+        merged.withColumn(
+            "o_orderpriority", F.coalesce("o_orderpriority", F.lit("<pre-schema>"))
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            r6(F.sum("o_totalprice")).alias("total_price"),
+        )
+    )

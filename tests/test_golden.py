@@ -111,3 +111,14 @@ def test_ivf_recall_vs_exact(spark):
     exact = {r["vec_id"] for r in rows(spark, "emb_topk_cosine")}
     ivf = {r["vec_id"] for r in rows(spark, "l03_knn_ivf")}
     assert len(exact & ivf) >= 8, f"IVF recall {len(exact & ivf)}/10 vs exact top-10"
+
+
+@pinned
+def test_stratified_sample_golden(spark):
+    got = {r["lang"]: r for r in rows(spark, "l15_stratified_sample")}
+    assert {(k, v["n_sampled"], v["n_total"]) for k, v in got.items()} == {
+        ("de", 55, 71),
+        ("en", 106, 193),
+        ("es", 80, 80),
+        ("fr", 74, 82),
+    }
