@@ -466,3 +466,33 @@ def a14_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.sum("l_extendedprice")).alias("sum_price"),
     )
     return agg.unpivot("l_returnflag", ["sum_qty", "sum_price"], "metric", "value")
+
+
+# --------------------------------------------------------------------------
+# A16 — HLL sketch aggregation + merge (incremental distinct)
+# --------------------------------------------------------------------------
+
+
+@query("a16_hll_sketch_union", oracle=None)
+def a16_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16 (rows-only: sketch binaries are engine-specific) — the
+    incremental-distinct pattern: build one HyperLogLog sketch per
+    month (`hll_sketch_agg`), then merge sketches (`hll_union_agg`)
+    for the global estimate instead of re-scanning history. At
+    100 TB this is THE way rolling distinct-user counts work: daily
+    partitions each persist a KB-sized sketch, and any date range is
+    answered by unioning sketches — O(days), not O(rows). The exact
+    distinct runs alongside to expose the estimate error
+    (golden-pinned ±2% in tests/test_golden.py)."""
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    ).agg(F.hll_sketch_agg("o_custkey").alias("sketch"))
+    merged = monthly.agg(
+        F.count(F.lit(1)).alias("n_months"),
+        F.hll_sketch_estimate(F.hll_union_agg("sketch"))
+        .cast("long")
+        .alias("approx_customers"),
+    )
+    exact = orders.agg(F.countDistinct("o_custkey").alias("exact_customers"))
+    return merged.crossJoin(exact)

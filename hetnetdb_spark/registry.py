@@ -165,6 +165,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "l14_repetition_stats",
         "s15_schema_evolution",
         "l15_stratified_sample",
+        "a16_hll_sketch_union",
     }
 )
 

@@ -122,3 +122,12 @@ def test_stratified_sample_golden(spark):
         ("es", 80, 80),
         ("fr", 74, 82),
     }
+
+
+@pinned
+def test_hll_sketch_union_golden(spark):
+    (got,) = rows(spark, "a16_hll_sketch_union")
+    assert got["n_months"] == 80
+    assert got["exact_customers"] == 150
+    # merged-sketch estimate within 2% of exact
+    assert abs(got["approx_customers"] - got["exact_customers"]) <= 3
