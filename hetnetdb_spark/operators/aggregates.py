@@ -496,3 +496,41 @@ def a16_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = orders.agg(F.countDistinct("o_custkey").alias("exact_customers"))
     return merged.crossJoin(exact)
+
+
+# --------------------------------------------------------------------------
+# A17 — bitmap exact-distinct (mergeable, unlike COUNT DISTINCT)
+# --------------------------------------------------------------------------
+
+A17_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@query("a17_bitmap_distinct", oracle=A17_ORACLE)
+def a17_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A17 — EXACT distinct via mergeable bitmaps: bucket each key
+    (`bitmap_bucket_number`/`bitmap_bit_position`), build one bitmap
+    per (group, bucket) with `bitmap_construct_agg`, popcount and
+    sum. Unlike COUNT(DISTINCT) — whose dedup state must gather per
+    group — bitmaps pre-aggregate map-side and OR-merge
+    associatively, so daily partitions can persist bitmaps and any
+    range is answered by merging them: the exact-count sibling of
+    a16's HLL pattern, for key domains dense enough to bitmap. The
+    oracle is plain COUNT(DISTINCT): same answer, different
+    mergeability."""
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    positioned = orders.select(
+        "o_orderpriority",
+        F.expr("bitmap_bucket_number(o_custkey)").alias("bucket"),
+        F.expr("bitmap_bit_position(o_custkey)").alias("pos"),
+    )
+    per_bucket = positioned.groupBy("o_orderpriority", "bucket").agg(
+        F.expr("bitmap_construct_agg(pos)").alias("bm")
+    )
+    return per_bucket.groupBy("o_orderpriority").agg(
+        F.sum(F.expr("bitmap_count(bm)")).alias("n_customers")
+    )

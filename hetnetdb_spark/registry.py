@@ -166,6 +166,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "s15_schema_evolution",
         "l15_stratified_sample",
         "a16_hll_sketch_union",
+        "a17_bitmap_distinct",
     }
 )
 
