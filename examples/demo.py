@@ -1,0 +1,51 @@
+"""Five-minute tour of the engine's public API.
+
+Run from the repo root:
+
+    python examples/demo.py [sf_dir]
+
+Shows the three entry styles — raw SQL over the registered catalog,
+named operator queries, and per-operator runtime profiling.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import hetnetdb_spark as hs
+from hetnetdb_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("hetnetdb-demo")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    print("== 1. Arbitrary SQL over the catalog ==")
+    hs.sql(
+        spark,
+        sf_dir,
+        """
+        SELECT n_name, ROUND(SUM(o_totalprice), 2) AS spend
+        FROM orders JOIN customer ON o_custkey = c_custkey
+                    JOIN nation   ON c_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY spend DESC LIMIT 5
+        """,
+    ).show()
+
+    print(f"== 2. {len(hs.list_queries())} named operator queries ==")
+    hs.run(spark, sf_dir, "q1_pricing_summary").show(3)
+    hs.run(spark, sf_dir, "l01_exact_dedup").show(3)
+
+    print("== 3. Per-operator runtime metrics ==")
+    for rec in hs.profile(spark, sf_dir, "q3_shipping_priority"):
+        rows = rec["metrics"].get("numOutputRows")
+        if rows is not None:
+            print(f"  {'  ' * rec['depth']}{rec['operator']}: {rows} rows")
+
+
+if __name__ == "__main__":
+    main()
