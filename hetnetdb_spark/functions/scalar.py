@@ -506,3 +506,41 @@ def f12_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select(
         F.explode("stats").alias("event_type", "s")
     ).select("event_type", "s.avg_value", "s.n_events")
+
+
+# --------------------------------------------------------------------------
+# F13 — VARIANT (Spark 4 semi-structured type)
+# --------------------------------------------------------------------------
+
+F13_ORACLE = """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(SUM(CASE WHEN json_extract_string(props, '$.missing') IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT)                            AS n_no_tag
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("f13_variant_json", oracle=F13_ORACLE)
+def f13_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13 — Spark 4's VARIANT: `parse_json` once into the binary
+    semi-structured type, then `variant_get` typed extractions.
+    Against repeated `get_json_object` calls (which re-parse the
+    string per path), VARIANT parses once and each path is a cheap
+    binary probe — the right encoding when JSON columns are read by
+    many queries. Missing paths yield NULL, not errors (counted
+    here). The oracle extracts the same paths from the raw JSON."""
+    (events,) = load_tables(spark, sf_dir, "events")
+    v = events.select("event_type", F.parse_json(F.col("props")).alias("v"))
+    extracted = v.select(
+        "event_type",
+        F.expr("variant_get(v, '$.k', 'long')").alias("k"),
+        F.expr("variant_get(v, '$.missing', 'string')").alias("tag"),
+    )
+    return extracted.groupBy("event_type").agg(
+        F.sum("k").alias("sum_k"),
+        F.sum(F.when(F.col("tag").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_no_tag"),
+    )

@@ -167,6 +167,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "l15_stratified_sample",
         "a16_hll_sketch_union",
         "a17_bitmap_distinct",
+        "f13_variant_json",
     }
 )
 

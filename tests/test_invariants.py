@@ -221,3 +221,30 @@ def test_every_query_documented_and_covered():
             f = f.__wrapped__
         assert f.__doc__ and len(f.__doc__.strip()) > 20, f"{name} lacks a docstring"
         assert f"`{name}`" in cov_text, f"{name} missing from COVERAGE.md"
+
+
+@needs_both
+def test_concurrent_query_execution(spark):
+    """Resident-engine posture: one SparkSession serves parallel
+    clients. Eight different queries run concurrently on threads;
+    each must return exactly what it returns serially."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    names = [
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_local_supplier",
+        "a05_having",
+        "j09_asof_join",
+        "p10_distinct",
+        "f01_string_functions",
+        "w01_ranking",
+    ]
+    serial = {n: registry.QUERIES[n](spark, SF_SMALL).count() for n in names}
+
+    def run_one(n):
+        return n, registry.QUERIES[n](spark, SF_SMALL).count()
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        concurrent = dict(pool.map(run_one, names))
+    assert concurrent == serial
