@@ -384,3 +384,33 @@ def j11_runtime_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             else:
                 spark.conf.set(k, v)
     return df
+
+
+# --------------------------------------------------------------------------
+# J12 — LATERAL join (correlated per-row subquery table)
+# --------------------------------------------------------------------------
+
+J12_SQL = """
+SELECT n_name, t.c_name, ROUND(t.c_acctbal, 6) AS c_acctbal
+FROM nation,
+LATERAL (
+    SELECT c_name, c_acctbal FROM customer
+    WHERE c_nationkey = n_nationkey
+    ORDER BY c_acctbal DESC, c_custkey
+    LIMIT 2
+) t
+"""
+
+
+@query("j12_lateral_topk", oracle=J12_SQL, impure=True)
+def j12_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J12 — LATERAL: the per-row correlated table (top-2 customers
+    for EACH nation) through the SQL entry path; the oracle is the
+    identical statement. Catalyst decorrelates the LATERAL LIMIT
+    into a ranked window over the join — one pass over customer,
+    never a per-nation re-scan. The DataFrame twin is W6's
+    row_number pattern; this registers the SQL surface for it."""
+    from hetnetdb_spark.catalog import register_views
+
+    register_views(spark, sf_dir, "nation", "customer")
+    return spark.sql(J12_SQL)

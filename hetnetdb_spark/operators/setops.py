@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hetnetdb_spark.catalog import load_tables
+from hetnetdb_spark.expr import r6
 from hetnetdb_spark.registry import query
 
 # --------------------------------------------------------------------------
@@ -99,3 +100,74 @@ def o05_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("custkey")
     )
     return c.subtract(o)
+
+
+# --------------------------------------------------------------------------
+# O6 — INTERSECT ALL / EXCEPT ALL (bag semantics)
+# --------------------------------------------------------------------------
+
+O6_ORACLE = """
+WITH c AS (SELECT c_nationkey AS nationkey FROM customer),
+     s AS (SELECT s_nationkey AS nationkey FROM supplier),
+     i AS (SELECT nationkey FROM c INTERSECT ALL SELECT nationkey FROM s),
+     e AS (SELECT nationkey FROM c EXCEPT ALL SELECT nationkey FROM s)
+SELECT 'intersect_all' AS op, nationkey, CAST(COUNT(*) AS BIGINT) AS n
+FROM i GROUP BY nationkey
+UNION ALL
+SELECT 'except_all' AS op, nationkey, CAST(COUNT(*) AS BIGINT) AS n
+FROM e GROUP BY nationkey
+"""
+
+
+@query("o06_bag_setops", oracle=O6_ORACLE)
+def o06_bag_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6 — INTERSECT ALL / EXCEPT ALL: bag semantics keep
+    multiplicities (min/count-difference per row), which the
+    DISTINCT forms of o05 destroy. Spark plans both as aggregated
+    counts + a generate — no exploding join. Output is grouped so
+    the multiplicity arithmetic itself is what the oracle checks."""
+    customer, supplier = load_tables(spark, sf_dir, "customer", "supplier")
+    c = customer.select(F.col("c_nationkey").alias("nationkey"))
+    s = supplier.select(F.col("s_nationkey").alias("nationkey"))
+    ia = (
+        c.intersectAll(s)
+        .groupBy("nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "nationkey", "n")
+    )
+    ea = (
+        c.exceptAll(s)
+        .groupBy("nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except_all").alias("op"), "nationkey", "n")
+    )
+    return ia.unionByName(ea)
+
+
+# --------------------------------------------------------------------------
+# O7 — LIMIT ... OFFSET (pagination)
+# --------------------------------------------------------------------------
+
+O7_ORACLE = """
+SELECT c_custkey, ROUND(c_acctbal, 6) AS c_acctbal
+FROM customer
+ORDER BY c_acctbal DESC, c_custkey
+LIMIT 10 OFFSET 20
+"""
+
+
+@query("o07_limit_offset", oracle=O7_ORACLE)
+def o07_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O7 — pagination: ORDER BY with a unique tiebreaker + LIMIT/
+    OFFSET (Spark 4's offset()). The tiebreaker makes page
+    boundaries deterministic across engines; without it, pagination
+    over ties silently duplicates/drops rows between pages. Spark
+    still bounds this with TakeOrderedAndProject (limit+offset
+    heap), not a global sort."""
+    (customer,) = load_tables(spark, sf_dir, "customer")
+    return (
+        customer.select("c_custkey", r6(F.col("c_acctbal")).alias("c_acctbal"))
+        .orderBy(F.col("c_acctbal").desc(), "c_custkey")
+        .offset(20)
+        .limit(10)
+    )

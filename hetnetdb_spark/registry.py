@@ -168,6 +168,9 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "a16_hll_sketch_union",
         "a17_bitmap_distinct",
         "f13_variant_json",
+        "o06_bag_setops",
+        "o07_limit_offset",
+        "j12_lateral_topk",
     }
 )
 
