@@ -544,3 +544,37 @@ def f13_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_no_tag"),
     )
+
+
+# --------------------------------------------------------------------------
+# F14 — recursive CTE (iteration in the SQL surface)
+# --------------------------------------------------------------------------
+
+F14_SQL = """
+WITH RECURSIVE months(m) AS (
+    SELECT TIMESTAMP '1995-01-01 00:00:00'
+    UNION ALL
+    SELECT m + INTERVAL 1 MONTH FROM months
+    WHERE m < TIMESTAMP '2001-08-01 00:00:00'
+)
+SELECT m                                 AS month,
+       CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+FROM months
+LEFT JOIN orders ON date_trunc('month', o_orderdate) = m
+GROUP BY m
+"""
+
+
+@query("f14_recursive_cte", oracle=F14_SQL, impure=True)
+def f14_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14 — WITH RECURSIVE (Spark 4.1): a generated month spine
+    left-joined to order counts, so months with zero orders surface
+    as 0 instead of vanishing — the calendar-spine pattern every
+    time-series report needs. The recursion is bounded (80 rows)
+    and runs driver-light: each step is a plan union, the spine
+    broadcast-joins the fact side. The oracle is the identical
+    statement on DuckDB."""
+    from hetnetdb_spark.catalog import register_views
+
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(F14_SQL)

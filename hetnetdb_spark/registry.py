@@ -171,6 +171,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "o06_bag_setops",
         "o07_limit_offset",
         "j12_lateral_topk",
+        "f14_recursive_cte",
     }
 )
 
