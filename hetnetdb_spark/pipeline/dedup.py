@@ -418,6 +418,48 @@ GROUP BY root
 L11_MAX_ITERS = 25
 
 
+def _min_label_components(pairs: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Pregel-style min-label propagation to a fixpoint.
+
+    ``pairs`` is the undirected edge list as (a_id, b_id); ``nodes``
+    the (id) universe. Returns (component_id, n_members). The
+    convergence scalar per round is the label sum (labels only ever
+    decrease); `localCheckpoint` truncates lineage so round N never
+    replays rounds 1..N-1."""
+    edges = pairs.union(pairs.select(F.col("b_id"), F.col("a_id"))).toDF("src", "dst")
+    edges = edges.localCheckpoint(eager=True)  # reused every round
+
+    labels = nodes.select("id", F.col("id").alias("label")).localCheckpoint(eager=True)
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(L11_MAX_ITERS):
+        nbr_min = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy("dst")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(nbr_min, labels.id == nbr_min.dst, "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nbr_min", F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    else:
+        raise RuntimeError(f"CC did not converge in {L11_MAX_ITERS} rounds")
+
+    return labels.groupBy("label").agg(F.count(F.lit(1)).alias("n_members")).select(
+        F.col("label").alias("component_id"), "n_members"
+    )
+
+
+
 @query(
     "l11_dedup_components",
     oracle=L11_ORACLE.format(dot=duck_dot("a.embedding", "b.embedding")),
@@ -454,35 +496,57 @@ def l11_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(r6(dot(F.col("a_emb"), F.col("b_emb"))) >= EMB_TAU)
         .select("a_id", "b_id")
     )
-    edges = pairs.union(pairs.select(F.col("b_id"), F.col("a_id"))).toDF("src", "dst")
-    edges = edges.localCheckpoint(eager=True)  # reused every round
+    nodes = emb.select(F.col("vec_id").alias("id"))
+    return _min_label_components(pairs, nodes)
 
-    labels = emb.select(F.col("vec_id").alias("id"), F.col("vec_id").alias("label"))
-    labels = labels.localCheckpoint(eager=True)
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-    for _ in range(L11_MAX_ITERS):
-        nbr_min = (
-            edges.join(labels, edges.src == labels.id)
-            .groupBy("dst")
-            .agg(F.min("label").alias("nbr_min"))
-        )
-        labels = (
-            labels.join(nbr_min, labels.id == nbr_min.dst, "left")
-            .select(
-                "id",
-                F.least(F.col("label"), F.coalesce("nbr_min", F.col("label"))).alias(
-                    "label"
-                ),
-            )
-            .localCheckpoint(eager=True)
-        )
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-    else:
-        raise RuntimeError(f"CC did not converge in {L11_MAX_ITERS} rounds")
 
-    return labels.groupBy("label").agg(F.count(F.lit(1)).alias("n_members")).select(
-        F.col("label").alias("component_id"), "n_members"
+# --------------------------------------------------------------------------
+# L16 — connected components over LSH candidates (the corpus-scale path)
+# --------------------------------------------------------------------------
+
+
+@query("l16_components_lsh", oracle=None)
+def l16_components_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L16 (rows-only: LSH is approximate) — the corpus-scale twin
+    of `l11_dedup_components`: the SAME min-label loop, but fed by
+    the banded hyperplane-LSH candidate pairs (cosine verified
+    exactly after the band join) instead of the O(N²) triangle.
+    Candidate generation shuffles band keys + ids only; the loop
+    shuffles (id, label) pairs — nothing quadratic anywhere, which
+    is what makes transitive near-dup clustering runnable on a full
+    corpus. Recall ≥0.9 on edges means a few low-similarity edges
+    go missing, so components can only split, never merge wrongly
+    (271 vs the exact graph's 248 at sf0.001, +9%); the golden pins
+    the count and the split-only invariant (tests/test_golden.py)."""
+    from hetnetdb_spark.pipeline.similarity import (
+        SIM_THRESHOLD,
+        _band_structs,
+        dot as sim_dot,
+    )
+
+    (emb,) = load_tables(spark, sf_dir, "embeddings")
+    banded = emb.select(
+        "vec_id", F.explode(F.array(*_band_structs())).alias("band")
+    ).select("vec_id", "band.band_id", "band.band_val")
+    a = banded.select("band_id", "band_val", F.col("vec_id").alias("a_id"))
+    b = banded.select("band_id", "band_val", F.col("vec_id").alias("b_id"))
+    cand = (
+        a.join(b, ["band_id", "band_val"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    ea = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"))
+    eb = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"))
+    pairs = (
+        cand.join(ea, "a_id")
+        .join(eb, "b_id")
+        .filter(r6(sim_dot(F.col("a_emb"), F.col("b_emb"))) >= SIM_THRESHOLD)
+        .select("a_id", "b_id")
+    )
+    comps = _min_label_components(pairs, emb.select(F.col("vec_id").alias("id")))
+    return comps.agg(
+        F.count(F.lit(1)).alias("n_components"),
+        F.sum("n_members").cast("long").alias("n_nodes"),
+        F.max("n_members").cast("long").alias("largest"),
     )

@@ -172,6 +172,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "o07_limit_offset",
         "j12_lateral_topk",
         "f14_recursive_cte",
+        "l16_components_lsh",
     }
 )
 

@@ -131,3 +131,15 @@ def test_hll_sketch_union_golden(spark):
     assert got["exact_customers"] == 150
     # merged-sketch estimate within 2% of exact
     assert abs(got["approx_customers"] - got["exact_customers"]) <= 3
+
+
+@pinned
+def test_lsh_components_golden(spark):
+    """LSH-fed connected components: deterministic (seeded planes),
+    and missed edges can only SPLIT components relative to the
+    exact graph — never merge them."""
+    (got,) = rows(spark, "l16_components_lsh")
+    assert got == {"n_components": 271, "n_nodes": 500, "largest": 32}
+    exact_n = registry.QUERIES["l11_dedup_components"](spark, SF_DIR).count()
+    assert got["n_components"] >= exact_n  # split-only
+    assert got["n_components"] <= exact_n * 1.10  # bounded fragmentation
