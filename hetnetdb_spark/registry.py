@@ -173,6 +173,18 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "j12_lateral_topk",
         "f14_recursive_cte",
         "l16_components_lsh",
+        "q2_min_cost_supplier",
+        "q4_order_priority",
+        "q7_volume_shipping",
+        "q8_market_share",
+        "q9_product_profit",
+        "q11_important_stock",
+        "q12_late_lines",
+        "q13_customer_distribution",
+        "q15_top_supplier",
+        "q16_supplier_part_types",
+        "q20_promotion_suppliers",
+        "q21_waiting_suppliers",
     }
 )
 
@@ -222,6 +234,7 @@ def load_all() -> None:
         projection,
         setops,
         tpch,
+        tpch_ext,
         windows,
     )
     from hetnetdb_spark.functions import scalar  # noqa: F401
