@@ -185,6 +185,9 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q16_supplier_part_types",
         "q20_promotion_suppliers",
         "q21_waiting_suppliers",
+        "l17_doc_chunking",
+        "l18_quantized_topk",
+        "l19_decontamination",
     }
 )
 
@@ -239,6 +242,7 @@ def load_all() -> None:
     )
     from hetnetdb_spark.functions import scalar  # noqa: F401
     from hetnetdb_spark.pipeline import (  # noqa: F401
+        corpus,
         dedup,
         multimodal,
         similarity,

@@ -216,6 +216,38 @@ def test_q19_disjunction_keeps_equi_join(spark):
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
 
 
+def test_q4_exists_plans_as_semi_join(spark):
+    """q4: the correlated EXISTS must plan as ONE left-semi join with
+    the date comparison as a residual — never a per-order
+    re-evaluation — and the quarter filter must reach the orders
+    scan."""
+    plan = executed_plan(registry.QUERIES["q4_order_priority"](spark, SF_DIR))
+    assert "LeftSemi" in plan, "EXISTS must probe as a semi-join"
+    assert has_pushed_filter(plan, "o_orderdate"), "quarter filter must reach orders scan"
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_q21_double_self_join_shape(spark):
+    """q21: EXISTS → semi join, NOT EXISTS → anti join, both over the
+    shared flines relation on the orderkey equi-key with the supplier
+    inequality as a residual; the top-10 is bounded
+    TakeOrderedAndProject and nothing degrades to a nested loop."""
+    plan = executed_plan(registry.QUERIES["q21_waiting_suppliers"](spark, SF_DIR))
+    assert "LeftSemi" in plan, "EXISTS must probe as a semi-join"
+    assert "LeftAnti" in plan, "NOT EXISTS must probe as an anti-join"
+    assert has_top_k(plan), "top-10 must plan as TakeOrderedAndProject"
+    assert "CartesianProduct" not in plan
+
+
+def test_l18_quantized_topk_no_vector_shuffle(spark):
+    """l18: same zero-shuffle posture as emb_topk_cosine — the 1-row
+    quantized query side broadcasts, vectors and codes never cross an
+    exchange, and the top-10 is a bounded TakeOrderedAndProject."""
+    plan = executed_plan(registry.QUERIES["l18_quantized_topk"](spark, SF_DIR))
+    assert shuffle_exchange_count(plan) == 0, "codes/embeddings must never shuffle"
+    assert has_top_k(plan)
+
+
 def test_profile_exposes_operator_metrics(spark):
     """profile(): per-operator runtime metrics from the final
     adaptive plan, stages included — scan output rows must appear
