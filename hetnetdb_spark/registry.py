@@ -188,6 +188,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "l17_doc_chunking",
         "l18_quantized_topk",
         "l19_decontamination",
+        "t10_transform_with_state",
     }
 )
 

@@ -495,3 +495,99 @@ def t09_custom_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _run_to_memory(tracked, "t09_stateful", "update")
     return spark.table("t09_stateful")
+
+
+# --------------------------------------------------------------------------
+# T10 (beyond contract) — transformWithStateInPandas (Spark 4 stateful API)
+# --------------------------------------------------------------------------
+
+T10_ORACLE = """
+SELECT user_id,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+       CAST(COUNT(*) AS BIGINT)                   AS n_events
+FROM events
+GROUP BY user_id
+"""
+
+
+def _protobuf_available() -> bool:
+    """The transformWithStateInPandas state-server protocol speaks
+    protobuf between the JVM and the Python worker; without the
+    `google.protobuf` package the driver worker crashes at plan
+    validation. Gate registration so environments missing protobuf
+    (like this container) simply don't declare the query instead of
+    failing it."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _t10_decorator():
+    if _protobuf_available():
+        return query("t10_transform_with_state", oracle=T10_ORACLE, impure=True)
+    return lambda fn: fn
+
+
+@_t10_decorator()
+def t10_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond SURVEY §2.8 — the Spark 4 arbitrary-stateful API
+    (`transformWithStateInPandas` + a `StatefulProcessor` holding
+    MapState), successor to T9's `applyInPandasWithState`.
+    Registered only when `google.protobuf` is importable — the
+    state-server wire protocol requires it (`_protobuf_available`);
+    where it is missing (this container) the query stays dormant and
+    T9 carries the arbitrary-stateful contract. The
+    processor keeps a per-user map of event_type → count — the shape
+    a real funnel/segmentation operator needs and flat tuple state
+    can't express — and emits (user_id, distinct types, total
+    events), deliberately oracle-equivalent to a COUNT(DISTINCT)
+    group-by so DuckDB certifies the state machinery end to end.
+
+    Scale posture: state is keyed by user and bounded by the
+    event-type alphabet (5 values), not by input rows; the state
+    store partitions on the same user_id shuffle the grouping
+    already pays, and update-mode emission keeps each micro-batch's
+    output proportional to touched keys, not total state.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class TypeCounter(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._counts = handle.getMapState(
+                "type_counts", "event_type string", "n long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            for pdf in rows:
+                for etype, n in pdf.groupby("event_type").size().items():
+                    prior = (
+                        self._counts.getValue((etype,))[0]
+                        if self._counts.containsKey((etype,))
+                        else 0
+                    )
+                    self._counts.updateValue((etype,), (prior + int(n),))
+            total = 0
+            n_types = 0
+            for _k, v in self._counts.iterator():
+                n_types += 1
+                total += v[0]
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_types": [n_types], "n_events": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    stream = _events_stream(spark, table_path(sf_dir, "events"))
+    tracked = stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=TypeCounter(),
+        outputStructType="user_id long, n_types long, n_events long",
+        outputMode="Update",
+        timeMode="None",
+    )
+    _run_to_memory(tracked, "t10_tws", "update")
+    return spark.table("t10_tws")

@@ -233,6 +233,16 @@ def test_every_query_documented_and_covered():
         assert f"`{name}`" in cov_text, f"{name} missing from COVERAGE.md"
 
 
+def test_t10_registration_tracks_protobuf_availability():
+    """t10 (transformWithStateInPandas) requires google.protobuf for
+    its state-server protocol; the registry must declare it exactly
+    when the dependency is importable, never as a query that would
+    crash the driver's verification run."""
+    from hetnetdb_spark.streaming.queries import _protobuf_available
+
+    assert ("t10_transform_with_state" in registry.QUERIES) == _protobuf_available()
+
+
 @needs_both
 def test_concurrent_query_execution(spark):
     """Resident-engine posture: one SparkSession serves parallel
