@@ -189,6 +189,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "l18_quantized_topk",
         "l19_decontamination",
         "t10_transform_with_state",
+        "s16_scd2_merge",
     }
 )
 

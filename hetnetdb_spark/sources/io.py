@@ -597,3 +597,86 @@ def s15_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             r6(F.sum("o_totalprice")).alias("total_price"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# S16 — SCD Type-2 merge (row-versioned dimension history)
+# --------------------------------------------------------------------------
+
+S16_ORACLE = """
+WITH updates AS (
+    SELECT c_custkey, ROUND(c_acctbal + 100.0, 6) AS new_acctbal, c_nationkey
+    FROM customer WHERE c_custkey % 7 = 0
+)
+SELECT c.c_custkey,
+       ROUND(c.c_acctbal, 6) AS acctbal,
+       c.c_nationkey,
+       TIMESTAMP '2000-01-01 00:00:00' AS valid_from,
+       CASE WHEN u.c_custkey IS NOT NULL
+            THEN TIMESTAMP '2001-06-01 00:00:00' END AS valid_to,
+       u.c_custkey IS NULL AS is_current
+FROM customer c
+LEFT JOIN updates u ON c.c_custkey = u.c_custkey
+UNION ALL
+SELECT c_custkey, new_acctbal AS acctbal, c_nationkey,
+       TIMESTAMP '2001-06-01 00:00:00' AS valid_from,
+       CAST(NULL AS TIMESTAMP)         AS valid_to,
+       TRUE                            AS is_current
+FROM updates
+"""
+
+
+@query("s16_scd2_merge", oracle=S16_ORACLE)
+def s16_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S16 (beyond contract) — slowly-changing-dimension Type-2
+    merge: an update batch against a versioned dimension closes the
+    superseded row (valid_to set, is_current false) and appends the
+    new version (open validity, current). The update batch is derived
+    deterministically from the table itself (every 7th customer gets
+    a balance adjustment effective 2001-06-01) so both engines see
+    the identical merge input.
+
+    Shape: ONE left outer join against the update keys classifies
+    every dimension row as closed-or-unchanged in a single pass — no
+    semi+anti double probe of the same relation — and the new
+    versions arrive by UNION ALL, exactly the MERGE WHEN MATCHED /
+    NOT MATCHED split. Scale posture: the join shuffles on the
+    business key once (broadcast while the batch is small, AQE
+    decides); at warehouse scale the dimension is bucketed on the key
+    (s09) making the merge shuffle-free, and the result lands via
+    dynamic partition overwrite (s14) touching only changed
+    partitions. History grows by the update count per batch, never
+    rewritten.
+    """
+    (customer,) = load_tables(spark, sf_dir, "customer")
+    eff = F.lit("2001-06-01").cast("timestamp")
+    base = F.lit("2000-01-01").cast("timestamp")
+    updates = customer.filter(F.col("c_custkey") % 7 == 0).select(
+        F.col("c_custkey").alias("u_custkey"),
+        r6(F.col("c_acctbal") + 100.0).alias("new_acctbal"),
+        F.col("c_nationkey").alias("u_nationkey"),
+    )
+    versioned = (
+        customer.join(
+            F.broadcast(updates.select("u_custkey")),
+            F.col("c_custkey") == F.col("u_custkey"),
+            "left",
+        )
+        .select(
+            "c_custkey",
+            r6(F.col("c_acctbal")).alias("acctbal"),
+            "c_nationkey",
+            base.alias("valid_from"),
+            F.when(F.col("u_custkey").isNotNull(), eff).alias("valid_to"),
+            F.col("u_custkey").isNull().alias("is_current"),
+        )
+    )
+    fresh = updates.select(
+        F.col("u_custkey").alias("c_custkey"),
+        F.col("new_acctbal").alias("acctbal"),
+        F.col("u_nationkey").alias("c_nationkey"),
+        eff.alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return versioned.unionByName(fresh)
