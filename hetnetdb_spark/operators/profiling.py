@@ -1,0 +1,138 @@
+"""Data-profiling operator — the one-pass per-column statistics
+summary every ingestion pipeline runs before trusting a new table
+(null counts, cardinalities, ranges), long-format like
+``DESCRIBE``/``ANALYZE`` output.
+
+Numeric and timestamp ranges surface as doubles (timestamps as epoch
+seconds) rather than rendered strings: double→string formatting is
+engine-specific and would break hash parity for zero analytical
+gain; string columns report lexicographic min/max directly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hetnetdb_spark.catalog import load_tables
+from hetnetdb_spark.registry import query
+
+#: (column, kind) pairs profiled on orders; kind picks the min/max slot.
+_PROFILE_COLS: tuple[tuple[str, str], ...] = (
+    ("o_orderkey", "num"),
+    ("o_custkey", "num"),
+    ("o_totalprice", "num"),
+    ("o_orderdate", "ts"),
+    ("o_orderstatus", "str"),
+    ("o_orderpriority", "str"),
+)
+
+
+def _duck_minmax(col: str, kind: str) -> tuple[str, str, str, str]:
+    if kind == "num":
+        return (
+            f"ROUND(CAST(MIN({col}) AS DOUBLE), 6)",
+            f"ROUND(CAST(MAX({col}) AS DOUBLE), 6)",
+            "CAST(NULL AS VARCHAR)",
+            "CAST(NULL AS VARCHAR)",
+        )
+    if kind == "ts":
+        return (
+            f"ROUND(epoch(MIN({col})), 6)",
+            f"ROUND(epoch(MAX({col})), 6)",
+            "CAST(NULL AS VARCHAR)",
+            "CAST(NULL AS VARCHAR)",
+        )
+    return (
+        "CAST(NULL AS DOUBLE)",
+        "CAST(NULL AS DOUBLE)",
+        f"MIN({col})",
+        f"MAX({col})",
+    )
+
+
+S17_ORACLE = "\nUNION ALL\n".join(
+    """SELECT '{c}' AS col_name,
+       CAST(COUNT(*) AS BIGINT)                         AS n_rows,
+       CAST(COUNT(*) - COUNT({c}) AS BIGINT)            AS n_nulls,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT)              AS n_distinct,
+       {mn} AS min_num, {mx} AS max_num,
+       {smn} AS min_str, {smx} AS max_str
+FROM orders""".format(c=c, mn=mn, mx=mx, smn=smn, smx=smx)
+    for c, kind in _PROFILE_COLS
+    for mn, mx, smn, smx in [_duck_minmax(c, kind)]
+)
+
+
+def _spark_minmax(c: str, kind: str) -> tuple[Column, Column, Column, Column]:
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+    if kind == "num":
+        return (
+            F.round(F.min(c).cast("double"), 6),
+            F.round(F.max(c).cast("double"), 6),
+            null_s,
+            null_s,
+        )
+    if kind == "ts":
+        # timestamp→double is not a legal cast in Spark 4; epoch
+        # seconds via unix_micros matches DuckDB's epoch() exactly.
+        # The parquet column surfaces as TIMESTAMP_NTZ and
+        # unix_micros wants an instant — the session timezone is
+        # pinned UTC (session.py), so the NTZ→LTZ cast is identity.
+        return (
+            F.round(F.unix_micros(F.min(c).cast("timestamp_ltz")) / 1_000_000.0, 6),
+            F.round(F.unix_micros(F.max(c).cast("timestamp_ltz")) / 1_000_000.0, 6),
+            null_s,
+            null_s,
+        )
+    return null_d, null_d, F.min(c), F.max(c)
+
+
+@query("s17_table_profile", oracle=S17_ORACLE)
+def s17_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S17 (beyond contract) — one-pass table profile of `orders`:
+    per column, the row count, null count, exact distinct count, and
+    min/max (numeric/epoch slots for numbers and timestamps,
+    lexicographic slots for strings), one output row per column.
+
+    ALL columns profile in a single aggregate — one scan of the
+    table, not one scan per column; the multi-column COUNT(DISTINCT)
+    plans as Spark's expand-based distinct aggregate (row expansion ×
+    #distinct-columns feeding ONE shuffle, the standard trade). The
+    wide 1-row aggregate then pivots to long format via an inline
+    array of structs + explode — pure projection, no extra pass.
+    Spark's `cast(timestamp as double)` and DuckDB's `epoch()` both
+    yield fractional epoch seconds, so timestamp ranges compare
+    exactly.
+    """
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    aggs: list[Column] = []
+    for c, kind in _PROFILE_COLS:
+        mn, mx, smn, smx = _spark_minmax(c, kind)
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nnull"),
+            F.countDistinct(c).alias(f"{c}__ndist"),
+            mn.alias(f"{c}__mn"),
+            mx.alias(f"{c}__mx"),
+            smn.alias(f"{c}__smn"),
+            smx.alias(f"{c}__smx"),
+        ]
+    wide = orders.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"{c}__n").alias("n_rows"),
+                F.col(f"{c}__nnull").alias("n_nulls"),
+                F.col(f"{c}__ndist").alias("n_distinct"),
+                F.col(f"{c}__mn").alias("min_num"),
+                F.col(f"{c}__mx").alias("max_num"),
+                F.col(f"{c}__smn").alias("min_str"),
+                F.col(f"{c}__smx").alias("max_str"),
+            )
+            for c, _ in _PROFILE_COLS
+        ]
+    )
+    return wide.select(F.explode(rows).alias("s")).select("s.*")

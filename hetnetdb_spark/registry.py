@@ -190,6 +190,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "l19_decontamination",
         "t10_transform_with_state",
         "s16_scd2_merge",
+        "s17_table_profile",
     }
 )
 
@@ -236,6 +237,7 @@ def load_all() -> None:
     from hetnetdb_spark.operators import (  # noqa: F401
         aggregates,
         joins,
+        profiling,
         projection,
         setops,
         tpch,
