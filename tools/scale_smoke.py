@@ -31,8 +31,21 @@ from hetnetdb_spark.session import get_spark
 
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 FACTOR = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "10"))
-OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                   ".scratch", f"scale_smoke_{FACTOR}x")
+
+#: Tables to replicate as facts IN ADDITION to the default fact set —
+#: e.g. SPARK_GRAFT_SMOKE_FACTS=documents when slope-testing the
+#: corpus-prep operators (documents is a copied-through dim for the
+#: headline set, so its queries would otherwise see 1x input).
+EXTRA_FACTS = {
+    s for s in os.environ.get("SPARK_GRAFT_SMOKE_FACTS", "").split(",") if s
+}
+
+_TAG = "_".join(sorted(EXTRA_FACTS))
+OUT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".scratch",
+    f"scale_smoke_{FACTOR}x" + (f"_{_TAG}" if _TAG else ""),
+)
 
 #: Fact tables replicate with offset ids; dims copy through.
 FACT_ID_OFFSETS = {
@@ -48,7 +61,7 @@ FACT_ID_OFFSETS = {
     "region": [],
 }
 
-HEADLINE = [
+_DEFAULT_HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
@@ -59,8 +72,13 @@ HEADLINE = [
     "emb_topk_cosine",
 ]
 
+#: Comma-separated query-name override for targeted slope runs.
+HEADLINE = [
+    s for s in os.environ.get("SPARK_GRAFT_SMOKE_QUERIES", "").split(",") if s
+] or _DEFAULT_HEADLINE
+
 DIMS = {"nation", "region", "customer", "supplier", "part",
-        "documents", "embeddings"}
+        "documents", "embeddings"} - EXTRA_FACTS
 
 
 def replicate(spark) -> None:
