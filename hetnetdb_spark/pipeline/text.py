@@ -564,3 +564,145 @@ def l14_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.col("top_tok_count").cast("double") / F.col("n_tokens"))
         ).alias("worst_top_tok_ratio"),
     )
+
+
+# --------------------------------------------------------------------------
+# L20 — BM25 ranking (the production successor of L6's TF-IDF)
+# --------------------------------------------------------------------------
+
+BM25_TERMS = ("spark", "join", "fast")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+_TERMS_IN = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+L20_ORACLE = f"""
+WITH docs AS (
+    SELECT doc_id, string_split(text, ' ') AS toks,
+           CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+    FROM documents
+),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM docs),
+tf AS (
+    SELECT doc_id, dl, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+    FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM docs)
+    WHERE tok IN ({_TERMS_IN})
+    GROUP BY doc_id, dl, tok
+),
+df AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY tok)
+SELECT doc_id,
+       ROUND(SUM(
+         ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+         * tf.tf * ({BM25_K1} + 1.0)
+         / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * tf.dl / stats.avgdl))
+       ), 6) AS bm25
+FROM tf JOIN df USING (tok), stats
+GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id
+LIMIT 20
+"""
+
+
+@query("l20_bm25_search", oracle=L20_ORACLE)
+def l20_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L-extension — BM25 document ranking for a fixed query term
+    set (k1=1.2, b=0.75, Lucene-style idf = ln(1 + (N-df+0.5)/(df+0.5))),
+    the production successor of L6's raw TF-IDF.
+
+    All four statistics come from two aggregates over one exploded
+    token relation: term frequencies per (doc, term) — pre-filtered
+    to the query terms, so the explode is pruned at the scan side —
+    and document frequencies as a count over that same relation;
+    N/avgdl is a 1-row corpus aggregate broadcast in. The scoring
+    join is per-(doc, term) partials summed per doc — at corpus
+    scale this is the inverted-index shape with the posting lists
+    built on the fly; a resident deployment materializes the tf
+    relation once (S6) and reuses it across queries. Top-20 plans
+    as TakeOrderedAndProject.
+    """
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    docs = documents.select(
+        "doc_id", toks.alias("toks"), F.size(toks).cast("double").alias("dl")
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        docs.select("doc_id", "dl", F.explode("toks").alias("tok"))
+        .filter(F.col("tok").isin(*BM25_TERMS))
+        .groupBy("doc_id", "dl", "tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tf_norm = (
+        F.col("tf")
+        * (BM25_K1 + 1.0)
+        / (F.col("tf") + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")))
+    )
+    return (
+        tf.join(F.broadcast(df_t), "tok")
+        .join(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(r6(F.sum(idf * tf_norm)).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# L21 — funnel analysis over the events stream table
+# --------------------------------------------------------------------------
+
+L21_ORACLE = """
+WITH steps AS (
+    SELECT user_id,
+           MIN(CASE WHEN event_type = 'signup'   THEN ts END) AS t_signup,
+           MIN(CASE WHEN event_type = 'click'    THEN ts END) AS t_click,
+           MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+    FROM events
+    GROUP BY user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(COUNT(*) FILTER (WHERE t_signup IS NOT NULL) AS BIGINT) AS n_signup,
+       CAST(COUNT(*) FILTER (WHERE t_signup IS NOT NULL
+                               AND t_click > t_signup) AS BIGINT)   AS n_signup_click,
+       CAST(COUNT(*) FILTER (WHERE t_signup IS NOT NULL
+                               AND t_click > t_signup
+                               AND t_purchase > t_click) AS BIGINT) AS n_full_funnel
+FROM steps
+"""
+
+
+@query("l21_funnel_steps", oracle=L21_ORACLE)
+def l21_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L-extension — ordered funnel analysis: of all users, how many
+    signed up, then clicked after signing up, then purchased after
+    that first click (first-touch timestamps, strict ordering).
+
+    One conditional-MIN aggregate per step collapses events to a
+    single row per user — the funnel comparisons then run on that
+    per-user row, so the whole query is one user_id shuffle plus a
+    1-row final merge, regardless of event volume or funnel depth.
+    NULL semantics do the step gating: a missing step leaves its
+    timestamp NULL and every comparison against it is NULL → not
+    counted, identically on both engines. Adding a step is adding
+    one MIN and one FILTER clause — no extra pass.
+    """
+    (events,) = load_tables(spark, sf_dir, "events")
+    first = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))  # noqa: E731
+    steps = events.groupBy("user_id").agg(
+        first("signup").alias("t_signup"),
+        first("click").alias("t_click"),
+        first("purchase").alias("t_purchase"),
+    )
+    signed = F.col("t_signup").isNotNull()
+    clicked = signed & (F.col("t_click") > F.col("t_signup"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return steps.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count(F.when(signed, 1)).alias("n_signup"),
+        F.count(F.when(clicked, 1)).alias("n_signup_click"),
+        F.count(F.when(purchased, 1)).alias("n_full_funnel"),
+    )

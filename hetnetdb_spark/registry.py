@@ -191,6 +191,8 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "t10_transform_with_state",
         "s16_scd2_merge",
         "s17_table_profile",
+        "l20_bm25_search",
+        "l21_funnel_steps",
     }
 )
 
