@@ -193,6 +193,8 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "s17_table_profile",
         "l20_bm25_search",
         "l21_funnel_steps",
+        "l22_cohort_retention",
+        "s18_fk_audit",
     }
 )
 
@@ -238,6 +240,7 @@ def load_all() -> None:
     # during development (tests import load_all and fail loudly).
     from hetnetdb_spark.operators import (  # noqa: F401
         aggregates,
+        analytics,
         joins,
         profiling,
         projection,
