@@ -550,3 +550,79 @@ def l16_components_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_members").cast("long").alias("n_nodes"),
         F.max("n_members").cast("long").alias("largest"),
     )
+
+
+# --------------------------------------------------------------------------
+# L23 — blocked fuzzy-match join (edit-distance dedup for near-identical rows)
+# --------------------------------------------------------------------------
+
+L23_ORACLE = """
+WITH corrupted AS (
+    SELECT doc_id + 300000 AS doc_id,
+           'Z' || substr(text, 2) AS text
+    FROM documents WHERE doc_id % 10 = 0
+),
+universe AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id, text FROM corrupted
+),
+blocked AS (
+    SELECT doc_id, text, substr(text, 5, 16) AS block_key FROM universe
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
+FROM blocked a
+JOIN blocked b ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+WHERE levenshtein(a.text, b.text) <= 2
+ORDER BY a_id, b_id
+"""
+
+
+@query("l23_fuzzy_join", oracle=L23_ORACLE)
+def l23_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L-extension — fuzzy-match join: find near-identical record
+    pairs (edit distance ≤ 2) without the O(N²) cross join, the
+    record-linkage/dedup primitive for titles, names, and
+    boilerplate variants.
+
+    A deterministic typo corpus (every 10th doc re-appears under a
+    new id with its first character replaced) guarantees true
+    matches exist and pins recall: every injected pair must
+    surface. Blocking: candidates must agree exactly on
+    text[5:20] — a window the injected edit cannot touch — so the
+    equi-join on the block key replaces the cross join; Levenshtein
+    (JVM built-in, codegen) verifies candidates exactly. This is
+    the same block-then-verify shape as the LSH joins (L2/L4) with
+    a positional q-gram as the cheap blocking hash. At corpus
+    scale the block key shuffles 16-byte prefixes, and a skewed
+    block (boilerplate prefix) is AQE's skew-join case — or swap
+    the block key for multiple shorter q-gram keys (higher recall,
+    more candidates) without touching the verify stage.
+    """
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    corrupted = documents.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat(F.lit("Z"), F.expr("substr(text, 2)")).alias("text"),
+    )
+    universe = documents.select("doc_id", "text").unionByName(corrupted)
+    blocked = universe.select(
+        "doc_id", "text", F.substring("text", 5, 16).alias("block_key")
+    )
+    a = blocked.select(
+        F.col("block_key"),
+        F.col("doc_id").alias("a_id"),
+        F.col("text").alias("a_text"),
+    )
+    b = blocked.select(
+        F.col("block_key").alias("b_key"),
+        F.col("doc_id").alias("b_id"),
+        F.col("text").alias("b_text"),
+    )
+    dist = F.levenshtein(F.col("a_text"), F.col("b_text"))
+    return (
+        a.join(b, (F.col("block_key") == F.col("b_key")) & (F.col("a_id") < F.col("b_id")))
+        .filter(dist <= 2)
+        .select("a_id", "b_id", dist.cast("long").alias("edit_dist"))
+        .orderBy("a_id", "b_id")
+    )

@@ -195,6 +195,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "l21_funnel_steps",
         "l22_cohort_retention",
         "s18_fk_audit",
+        "l23_fuzzy_join",
     }
 )
 
