@@ -534,3 +534,65 @@ def a17_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_bucket.groupBy("o_orderpriority").agg(
         F.sum(F.expr("bitmap_count(bm)")).alias("n_customers")
     )
+
+
+# --------------------------------------------------------------------------
+# A18 — incremental rollup via mergeable partial aggregates
+# --------------------------------------------------------------------------
+
+A18_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT)  AS n,
+       ROUND(SUM(value), 6)      AS sum_value,
+       ROUND(SUM(value) / COUNT(*), 6) AS avg_value,
+       MIN(ts)                   AS first_ts,
+       MAX(ts)                   AS last_ts
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("a18_incremental_rollup", oracle=A18_ORACLE)
+def a18_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-extension — incremental rollup: partial aggregates computed
+    on two disjoint batches of events, then MERGED into the final
+    answer — the algebraic-aggregate decomposition (count/sum/min/max
+    merge by sum/sum/min/max; avg re-derives from merged sum÷count,
+    never by averaging averages) that every incremental
+    materialized view and every distributed partial→final aggregate
+    is built on. The reference engine's root/leaf split computed
+    exactly this merge over node-local partials; here the two
+    "nodes" are deterministic event_id slices and the oracle is the
+    direct one-shot aggregate, certifying the merge is lossless.
+
+    Scale posture: this is the maintenance plan for a 100 TB rolling
+    rollup — yesterday's snapshot is one partial, today's delta the
+    other; merging costs |groups|, not |input|. All merge math is
+    plain grouped aggregation, so Catalyst runs the same partial→
+    final machinery inside each batch too.
+    """
+    (events,) = load_tables(spark, sf_dir, "events")
+
+    def partial(batch: DataFrame) -> DataFrame:
+        return batch.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("sum_value"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+
+    snapshot = partial(events.filter(F.col("event_id") % 3 != 2))
+    delta = partial(events.filter(F.col("event_id") % 3 == 2))
+    return (
+        snapshot.unionByName(delta)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            r6(F.sum("sum_value")).alias("sum_value"),
+            r6(F.sum("sum_value") / F.sum("n")).alias("avg_value"),
+            F.min("first_ts").alias("first_ts"),
+            F.max("last_ts").alias("last_ts"),
+        )
+        .orderBy("event_type")
+    )

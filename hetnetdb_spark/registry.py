@@ -196,6 +196,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "l22_cohort_retention",
         "s18_fk_audit",
         "l23_fuzzy_join",
+        "a18_incremental_rollup",
     }
 )
 
