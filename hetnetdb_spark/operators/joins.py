@@ -414,3 +414,69 @@ def j12_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, "nation", "customer")
     return spark.sql(J12_SQL)
+
+
+# --------------------------------------------------------------------------
+# J13 — salted skew join (replicate-dim salting; exact same result)
+# --------------------------------------------------------------------------
+
+J13_ORACLE = """
+SELECT p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+@query("j13_salted_skew_join", oracle=J13_ORACLE)
+def j13_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J13 — the manual salting pattern for a skewed shuffle join,
+    companion to A12's aggregation salt. When one join key carries a
+    disproportionate share of the fact rows, the reducer owning that
+    key becomes the straggler; AQE's skew-join split handles it at
+    runtime, but salting is the portable plan-level fix and the only
+    option when the skewed side must ALSO aggregate on the key.
+
+    Fact side gets a deterministic salt in [0, 8) from a hash of its
+    unique line id; the dim side is replicated 8x via explode so
+    every (key, salt) pair finds its dim row. The join key becomes
+    (p_partkey, salt) -> 8 reducers share each hot key. Replication
+    multiplies only the SMALL side (part, bounded), and the final
+    aggregate is decomposable, so the result is bit-identical to the
+    unsalted join the oracle runs. Decimal partials make the
+    double-sum independent of which salt partition merges first.
+    """
+    lineitem, part = load_tables(spark, sf_dir, "lineitem", "part")
+    n_salts = 8
+    salted_fact = lineitem.withColumn(
+        "salt",
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(n_salts)),
+    )
+    salted_dim = part.select(
+        "p_partkey",
+        "p_brand",
+        F.explode(F.array(*[F.lit(i) for i in range(n_salts)])).alias("salt"),
+    )
+    return (
+        # shuffle_hash hint: at fixture scale Catalyst would broadcast
+        # the exploded dim and skip the join shuffle entirely — which
+        # is the RIGHT call when the dim fits in memory, but hides the
+        # shuffle this pattern exists to de-skew. Salting only matters
+        # on the shuffle path, so the query pins it.
+        salted_fact.join(
+            salted_dim.hint("shuffle_hash"),
+            (F.col("l_partkey") == F.col("p_partkey"))
+            & (salted_fact["salt"] == salted_dim["salt"]),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(
+                F.sum((F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast("decimal(28,10)"))
+                .cast("double"),
+                6,
+            ).alias("revenue"),
+        )
+    )

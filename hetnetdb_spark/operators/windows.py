@@ -325,3 +325,80 @@ def events_sessionize_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.timestamp_micros(F.expr("max(ts) div 1000")).alias("session_end"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# W7 — time-grid gap fill + forward fill (resample to hourly buckets)
+# --------------------------------------------------------------------------
+
+W7_ORACLE = """
+WITH hourly AS (
+  SELECT user_id,
+         date_trunc('hour', ts) AS hour,
+         ROUND(SUM(value), 6)   AS hour_value
+  FROM events
+  GROUP BY user_id, date_trunc('hour', ts)
+),
+spans AS (
+  SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1 FROM hourly GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+  FROM spans
+)
+SELECT g.user_id,
+       g.hour,
+       last_value(h.hour_value IGNORE NULLS) OVER (
+           PARTITION BY g.user_id ORDER BY g.hour
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS value_ff,
+       CAST(CASE WHEN h.hour_value IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap
+FROM grid g
+LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour
+"""
+
+
+@query("w07_time_grid_gapfill", oracle=W7_ORACLE)
+def w07_time_grid_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7 — resample an irregular event stream onto a dense hourly
+    grid per user and forward-fill the gaps: the time-series
+    normalization step in front of any windowed feature pipeline.
+
+    The oracle spells it the textbook way (span -> generate_series
+    -> left join -> last_value IGNORE NULLS: four shuffles). The
+    Spark plan is the one-exchange formulation: after the hourly
+    hash-agg, ``lead(hour)`` over the user_id window names each
+    observation's successor, and ``explode(sequence(hour, next-1h))``
+    emits the observation PLUS its trailing gap rows, each already
+    carrying the value that forward-fills it — no grid join, no
+    second window. Everything after the single user_id exchange is
+    per-partition codegen. Grid size is bounded by span/granularity
+    (a user active for a day emits <=24 rows regardless of corpus
+    size), and the last observation per user emits only itself, so
+    the output covers exactly [min_hour, max_hour]. Hour-bucket sums
+    are rounded before the fill so both engines fill identical
+    values.
+    """
+    (events,) = load_tables(spark, sf_dir, "events")
+    hourly = (
+        events.groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(F.round(F.sum("value"), 6).alias("hour_value"))
+    )
+    w = Window.partitionBy("user_id").orderBy("hour")
+    with_next = _parallel_by(spark, hourly, "user_id").withColumn(
+        "next_hour", F.lead("hour").over(w)
+    )
+    grid_end = F.coalesce(
+        F.col("next_hour") - F.expr("INTERVAL 1 HOUR"), F.col("hour")
+    )
+    return with_next.select(
+        "user_id",
+        F.explode(F.sequence("hour", grid_end, F.expr("INTERVAL 1 HOUR"))).alias("ghour"),
+        F.col("hour").alias("obs_hour"),
+        "hour_value",
+    ).select(
+        "user_id",
+        F.col("ghour").alias("hour"),
+        F.col("hour_value").alias("value_ff"),
+        F.when(F.col("ghour") != F.col("obs_hour"), 1).otherwise(0).cast("long").alias("is_gap"),
+    )

@@ -243,3 +243,58 @@ def l18_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("approx_cos").desc(), "vec_id")
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# L24 — seeded global corpus shuffle + sharding (epoch reshuffle)
+# --------------------------------------------------------------------------
+
+SHUFFLE_SEED = 7
+
+L24_ORACLE = f"""
+WITH keyed AS (
+    SELECT doc_id,
+           md5(CAST(doc_id AS VARCHAR) || ':{SHUFFLE_SEED}') AS k
+    FROM documents
+)
+SELECT doc_id,
+       CAST(strpos('0123456789abcdef', substr(k, 1, 1)) - 1 AS BIGINT) AS shard,
+       CAST(row_number() OVER (
+           PARTITION BY substr(k, 1, 1) ORDER BY k, doc_id
+       ) AS BIGINT) AS pos
+FROM keyed
+"""
+
+
+@query("l24_corpus_shuffle", oracle=L24_ORACLE)
+def l24_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L24 — seeded deterministic global shuffle: assign every
+    document a pseudo-random shard and a position within it, the
+    epoch-reshuffle step of a training-data loader. Seed in, same
+    order out on any cluster size — ``rand()`` cannot give that
+    (its draw depends on partition layout), so the shuffle key is
+    ``md5(doc_id:seed)``: stable, uniform, and computable identically
+    by any engine. A new seed is a new permutation of the corpus.
+
+    Shard = first hex nibble of the key (16 shards); position =
+    rank of the key within the shard. One exchange on the nibble,
+    per-shard sort on a 32-char key — at 100 TB the same plan is
+    ``repartitionByRange(key).sortWithinPartitions(key)`` feeding a
+    partitioned sink, with shard count scaled to target file sizes;
+    the rank-within-shard form here keeps the result a checkable
+    table instead of a side-effecting write (S6 owns the sink).
+    """
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    keyed = documents.select(
+        "doc_id",
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":{SHUFFLE_SEED}"))).alias("k"),
+    )
+    from pyspark.sql.window import Window
+
+    nibble = F.substring("k", 1, 1)
+    w = Window.partitionBy(nibble).orderBy("k", "doc_id")
+    return keyed.select(
+        "doc_id",
+        (F.expr("instr('0123456789abcdef', substr(k, 1, 1))") - 1).cast("long").alias("shard"),
+        F.row_number().over(w).cast("long").alias("pos"),
+    )

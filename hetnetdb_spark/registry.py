@@ -197,6 +197,9 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "s18_fk_audit",
         "l23_fuzzy_join",
         "a18_incremental_rollup",
+        "j13_salted_skew_join",
+        "w07_time_grid_gapfill",
+        "l24_corpus_shuffle",
     }
 )
 
