@@ -706,3 +706,72 @@ def l21_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(clicked, 1)).alias("n_signup_click"),
         F.count(F.when(purchased, 1)).alias("n_full_funnel"),
     )
+
+
+# --------------------------------------------------------------------------
+# L25 — unigram language-model quality score (avg negative logprob)
+# --------------------------------------------------------------------------
+
+L25_ORACLE = """
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+    FROM documents
+),
+freq AS (
+    SELECT term, COUNT(*) AS n FROM tok GROUP BY term
+),
+tot AS (
+    SELECT CAST(SUM(n) AS DOUBLE) AS n_corpus FROM freq
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(SUM(CAST(-LN(freq.n / tot.n_corpus) AS DECIMAL(28, 12)))
+             / COUNT(*), 6) AS avg_neg_logprob
+FROM tok
+JOIN freq USING (term)
+CROSS JOIN tot
+GROUP BY doc_id
+"""
+
+
+@query("l25_unigram_logprob", oracle=L25_ORACLE)
+def l25_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L25 — score every document by its average per-token negative
+    log-probability under the corpus's own unigram distribution: the
+    cheapest LM-style quality/outlier signal (CCNet-style filtering
+    uses a real LM; the unigram self-model is the zero-dependency
+    stand-in with the same plumbing). High score = improbable tokens
+    = gibberish/rare-vocab candidates; low = boilerplate.
+
+    Same shuffle shape as L6: explode → term-frequency hash agg
+    (|vocab|-bounded, broadcastable) → broadcast join tokens back to
+    frequencies → per-doc agg on doc_id. The corpus total is a 1-row
+    broadcast aggregate in the DAG, not a driver action. Per-token
+    -ln(p) terms accumulate in decimal so the per-doc sum is exact
+    and partition-order-independent; both engines round the final
+    average to 6dp (per-token ln() ulp differences sit ~7 orders
+    below that).
+    """
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    tok = documents.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    freq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    tot = freq.agg(F.sum("n").cast("double").alias("n_corpus"))
+    neg_ln = -F.log(F.col("n") / F.col("n_corpus"))
+    return (
+        tok.join(F.broadcast(freq), "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            # round in decimal, then surface as double: a decimal
+            # result column would land in pandas as object dtype and
+            # hash differently from the oracle's float64
+            F.round(
+                F.sum(neg_ln.cast("decimal(28,12)")) / F.count(F.lit(1)), 6
+            )
+            .cast("double")
+            .alias("avg_neg_logprob"),
+        )
+    )

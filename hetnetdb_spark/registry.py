@@ -200,6 +200,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "j13_salted_skew_join",
         "w07_time_grid_gapfill",
         "l24_corpus_shuffle",
+        "l25_unigram_logprob",
     }
 )
 
