@@ -201,6 +201,8 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "w07_time_grid_gapfill",
         "l24_corpus_shuffle",
         "l25_unigram_logprob",
+        "u07_arrow_python_udf",
+        "s19_binaryfile_source",
     }
 )
 

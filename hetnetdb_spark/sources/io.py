@@ -680,3 +680,57 @@ def s16_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(True).alias("is_current"),
     )
     return versioned.unionByName(fresh)
+
+
+# --------------------------------------------------------------------------
+# S19 — binary-file source (raw multimodal ingest)
+# --------------------------------------------------------------------------
+
+_S19_PAYLOADS = {f"blob_{i}.bin": bytes(range(i, i + 64)) * (i + 1) for i in range(4)}
+
+# Expected digests pinned via hashlib (same MD5 both engines run);
+# the oracle is a constant manifest the ingest must reproduce.
+import hashlib as _hashlib
+
+S19_ORACLE = """
+SELECT file_name,
+       CAST(length AS BIGINT) AS length,
+       content_md5
+FROM (VALUES {rows}) t(file_name, length, content_md5)
+""".format(
+    rows=", ".join(
+        "('{n}', {ln}, '{md5}')".format(n=n, ln=len(b), md5=_hashlib.md5(b).hexdigest())
+        for n, b in sorted(_S19_PAYLOADS.items())
+    )
+)
+
+
+@query("s19_binaryfile_source", oracle=S19_ORACLE, impure=True)
+def s19_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S19 — ``format("binaryFile")``: the ingestion path for raw
+    image/audio/video payloads before L8's typed multimodal schema
+    exists. Each file becomes one row (path, modificationTime,
+    length, content); the checksum + length projection here is the
+    standard ingest manifest. Files are opaque blobs, so this source
+    parallelizes per-file — at 100 TB the sane layout is many
+    archive-sized objects, with `pathGlobFilter`/`recursiveFileLookup`
+    doing listing-time pruning; content bytes stay columnar Arrow
+    all the way to a sink. The oracle pins the exact md5 of each
+    deterministic payload, so the ingest is value-verified, not just
+    row-counted.
+    """
+    path = os.path.join(SCRATCH, "s19_blobs")
+    os.makedirs(path, exist_ok=True)
+    for n, b in _S19_PAYLOADS.items():
+        with open(os.path.join(path, n), "wb") as fh:
+            fh.write(b)
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(path)
+        .select(
+            F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+            F.col("length").cast("long").alias("length"),
+            F.md5(F.col("content")).alias("content_md5"),
+        )
+    )

@@ -246,3 +246,46 @@ def u06_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT * FROM split_tokens(TABLE(SELECT doc_id, text FROM u06_docs))"
     )
+
+
+# --------------------------------------------------------------------------
+# U7 — Arrow-optimized Python UDF (Spark 4 useArrow=True)
+# --------------------------------------------------------------------------
+
+U7_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6)
+         AS total_charge
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("u07_arrow_python_udf", oracle=U7_ORACLE)
+def u07_arrow_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U7 — Spark 4's third Python UDF flavor: a row-signature UDF
+    with ``useArrow=True``. Batches cross in Arrow like U2's
+    pandas_udf (so serialization is columnar, not pickled rows) but
+    the author writes per-row scalar logic like U1 — the migration
+    path for existing row UDFs that can't be vectorized. Still
+    Python-per-row inside the batch, so built-ins/pandas_udf remain
+    the hot-path choice; this certifies the surface end-to-end.
+    """
+
+    @udf("double", useArrow=True)
+    def charge(price: float, discount: float, tax: float) -> float:
+        return price * (1.0 - discount) * (1.0 + tax)
+
+    (lineitem,) = load_tables(spark, sf_dir, "lineitem")
+    return (
+        lineitem.select(
+            "l_returnflag",
+            charge(F.col("l_extendedprice"), F.col("l_discount"), F.col("l_tax")).alias("c"),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            r6(F.sum("c")).alias("total_charge"),
+        )
+    )
