@@ -203,6 +203,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "l25_unigram_logprob",
         "u07_arrow_python_udf",
         "s19_binaryfile_source",
+        "s20_zorder_layout",
     }
 )
 

@@ -734,3 +734,93 @@ def s19_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.col("content")).alias("content_md5"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# S20 — Z-order layout: multi-dimensional clustering for data skipping
+# --------------------------------------------------------------------------
+
+_Z_BITS = 8
+
+
+def _morton_sql(shift: str) -> str:
+    """Bit-interleave day_b (even positions) and price_b (odd) via
+    plain arithmetic — identical semantics in any SQL engine; `shift`
+    spells the engine's right-shift (`x >> i` vs `shiftright(x, i)`)."""
+    return " + ".join(
+        f"(({shift.format(c='day_b', i=i)}) & 1) * {1 << (2 * i)}"
+        f" + (({shift.format(c='price_b', i=i)}) & 1) * {1 << (2 * i + 1)}"
+        for i in range(_Z_BITS)
+    )
+
+
+S20_ORACLE = f"""
+WITH q AS (
+    SELECT LEAST(255, GREATEST(0, CAST(FLOOR(
+               date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate)
+               / 10.0) AS INT)))                                   AS day_b,
+           LEAST(255, CAST(FLOOR(o_totalprice / 2000.0) AS INT))   AS price_b
+    FROM orders
+),
+z AS (
+    SELECT day_b, price_b, {_morton_sql('{c} >> {i}')} AS zval FROM q
+)
+SELECT CAST(zval >> 8 AS BIGINT)   AS zbucket,
+       CAST(COUNT(*) AS BIGINT)    AS n_rows,
+       CAST(MIN(day_b) AS INT)     AS min_day_b,
+       CAST(MAX(day_b) AS INT)     AS max_day_b,
+       CAST(MIN(price_b) AS INT)   AS min_price_b,
+       CAST(MAX(price_b) AS INT)   AS max_price_b
+FROM z
+GROUP BY zval >> 8
+"""
+
+
+@query("s20_zorder_layout", oracle=S20_ORACLE)
+def s20_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S20 — Z-order (Morton) clustering of orders on (orderdate,
+    totalprice): the layout that makes file-level min/max stats
+    prune BOTH dimensions. A linear sort clusters one key and leaves
+    the other's per-file range at full width; interleaving the two
+    quantized keys' bits gives every zbucket a tight bounding box in
+    both, so a predicate on either dimension skips most buckets at
+    parquet-footer time — no data read.
+
+    The query computes the z-value with pure integer arithmetic
+    (8 bits/dim, generated expression — no UDF) and returns the
+    per-bucket manifest (row count + min/max of both quantized dims)
+    that a skipping scan would consult. The production writer is
+    `repartitionByRange(zbucket).sortWithinPartitions(zval)` into a
+    parquet sink (S6's machinery), which turns each zbucket's
+    bounding box into real footer stats; the manifest form keeps the
+    layout value-checkable. Quantization constants cover the
+    fixture's full span (1995..2001, price < 512k) so no bucket
+    saturates.
+    """
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    q = orders.select(
+        F.least(
+            F.lit(255),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+                    / 10.0
+                ).cast("int"),
+            ),
+        ).alias("day_b"),
+        F.least(F.lit(255), F.floor(F.col("o_totalprice") / 2000.0).cast("int")).alias(
+            "price_b"
+        ),
+    )
+    z = q.withColumn("zval", F.expr(_morton_sql("shiftright({c}, {i})")))
+    return (
+        z.groupBy(F.expr("shiftright(zval, 8)").cast("long").alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("day_b").cast("int").alias("min_day_b"),
+            F.max("day_b").cast("int").alias("max_day_b"),
+            F.min("price_b").cast("int").alias("min_price_b"),
+            F.max("price_b").cast("int").alias("max_price_b"),
+        )
+    )
