@@ -271,3 +271,26 @@ def test_profile_exposes_operator_metrics(spark):
         if "bytes" in k.lower() and v > 0
     ]
     assert shuffle_bytes, "expected shuffle write bytes in profile"
+
+
+def test_w07_gapfill_two_exchanges(spark):
+    """w07: the lead+explode formulation needs exactly the hourly
+    hash-agg exchange plus the pinned user_id window exchange — the
+    textbook grid/join/ignore-nulls shape would add two more."""
+    plan = executed_plan(registry.QUERIES["w07_time_grid_gapfill"](spark, SF_DIR))
+    assert shuffle_exchange_count(plan) == 2, plan
+
+
+def test_l24_corpus_shuffle_single_exchange(spark):
+    """l24: one exchange on the shard nibble; rank-within-shard sorts
+    per-partition after it."""
+    plan = executed_plan(registry.QUERIES["l24_corpus_shuffle"](spark, SF_DIR))
+    assert shuffle_exchange_count(plan) == 1, plan
+
+
+def test_j13_salted_join_uses_shuffle_hash(spark):
+    """j13 exists to demonstrate de-skewing the SHUFFLE join path, so
+    the hint must keep Catalyst from broadcasting the exploded dim."""
+    plan = executed_plan(registry.QUERIES["j13_salted_skew_join"](spark, SF_DIR))
+    assert "ShuffledHashJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
