@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from hetnetdb_spark.catalog import load_tables
 from hetnetdb_spark.expr import r6
@@ -312,4 +313,95 @@ def p11_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(F.broadcast(b), F.col("seg_key").eqNullSafe(F.col("seg_key_b")))
         .select("seg_key", "n_a", "n_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# P12 — explicit NULLS FIRST/LAST ordering semantics
+# --------------------------------------------------------------------------
+
+P12_ORACLE = """
+SELECT o_orderkey,
+       pri,
+       CAST(row_number() OVER (
+           ORDER BY pri ASC NULLS FIRST, o_totalprice DESC, o_orderkey
+       ) AS BIGINT) AS rn_nf,
+       CAST(row_number() OVER (
+           ORDER BY pri DESC NULLS LAST, o_totalprice DESC, o_orderkey
+       ) AS BIGINT) AS rn_nl
+FROM (
+    SELECT o_orderkey, o_totalprice,
+           NULLIF(o_orderpriority, '3-MEDIUM') AS pri
+    FROM orders
+    WHERE o_totalprice > 480000
+) t
+"""
+
+
+@query("p12_null_ordering", oracle=P12_ORACLE)
+def p12_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P12 — explicit NULLS FIRST / NULLS LAST in sort keys. The
+    engines' DEFAULTS disagree (Spark sorts nulls first ascending,
+    DuckDB last), so any query that sorts a nullable key and feeds
+    a rank or a limit MUST pin null placement to be portable — this
+    query certifies both placements via row_number under each. The
+    global window is safe only because the filter bounds the input
+    (rank-over-everything at 100 TB needs W6's per-group form or
+    O3's top-k)."""
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    t = orders.filter(F.col("o_totalprice") > 480000).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.nullif(F.col("o_orderpriority"), F.lit("3-MEDIUM")).alias("pri"),
+    )
+    w_nf = Window.orderBy(
+        F.col("pri").asc_nulls_first(), F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    w_nl = Window.orderBy(
+        F.col("pri").desc_nulls_last(), F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return t.select(
+        "o_orderkey",
+        "pri",
+        F.row_number().over(w_nf).cast("long").alias("rn_nf"),
+        F.row_number().over(w_nl).cast("long").alias("rn_nl"),
+    )
+
+
+# --------------------------------------------------------------------------
+# P13 — exact decimal accounting (no float drift, any merge order)
+# --------------------------------------------------------------------------
+
+P13_ORACLE = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18, 2))) AS VARCHAR)
+         AS exact_revenue,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18, 2))) AS VARCHAR)
+         AS exact_qty
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("p13_decimal_exact", oracle=P13_ORACLE)
+def p13_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P13 — the exact-numeric surface: money sums in DECIMAL are
+    associative, so the result is identical for ANY partition count
+    or merge order — the accounting-grade guarantee double can't
+    give (the engine's internal float discipline rounds to 6dp; this
+    operator removes the need to round at all). Fixture prices carry
+    exactly 2 decimals, so the cast is lossless. Output as string:
+    both engines print decimals canonically, and it keeps the
+    comparison exact end-to-end instead of re-entering float64."""
+    (lineitem,) = load_tables(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("string")
+            .alias("exact_revenue"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("string")
+            .alias("exact_qty"),
+        )
     )

@@ -204,6 +204,8 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "u07_arrow_python_udf",
         "s19_binaryfile_source",
         "s20_zorder_layout",
+        "p12_null_ordering",
+        "p13_decimal_exact",
     }
 )
 
