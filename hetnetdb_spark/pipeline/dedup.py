@@ -418,11 +418,11 @@ GROUP BY root
 L11_MAX_ITERS = 25
 
 
-def _min_label_components(pairs: DataFrame, nodes: DataFrame) -> DataFrame:
+def _min_label_assignments(pairs: DataFrame, nodes: DataFrame) -> DataFrame:
     """Pregel-style min-label propagation to a fixpoint.
 
     ``pairs`` is the undirected edge list as (a_id, b_id); ``nodes``
-    the (id) universe. Returns (component_id, n_members). The
+    the (id) universe. Returns per-node (id, label) assignments. The
     convergence scalar per round is the label sum (labels only ever
     decrease); `localCheckpoint` truncates lineage so round N never
     replays rounds 1..N-1."""
@@ -454,6 +454,12 @@ def _min_label_components(pairs: DataFrame, nodes: DataFrame) -> DataFrame:
     else:
         raise RuntimeError(f"CC did not converge in {L11_MAX_ITERS} rounds")
 
+    return labels
+
+
+def _min_label_components(pairs: DataFrame, nodes: DataFrame) -> DataFrame:
+    """(component_id, n_members) roll-up of ``_min_label_assignments``."""
+    labels = _min_label_assignments(pairs, nodes)
     return labels.groupBy("label").agg(F.count(F.lit(1)).alias("n_members")).select(
         F.col("label").alias("component_id"), "n_members"
     )
@@ -625,4 +631,102 @@ def l23_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(dist <= 2)
         .select("a_id", "b_id", dist.cast("long").alias("edit_dist"))
         .orderBy("a_id", "b_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# L26 — quality-aware canonical selection per near-dup cluster
+# --------------------------------------------------------------------------
+
+L26_ORACLE = """
+WITH RECURSIVE s AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+             range(1, GREATEST(len(string_split(text, ' ')) - 2, 1) + 1),
+             i -> string_split(text, ' ')[i] || ' ' ||
+                  string_split(text, ' ')[i+1] || ' ' ||
+                  string_split(text, ' ')[i+2])) AS sh
+    FROM documents
+    WHERE doc_id < 60 AND len(string_split(text, ' ')) >= 3
+),
+pairs AS (
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM s a, s b
+    WHERE a.doc_id < b.doc_id
+      AND ROUND(CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+                / (len(a.sh) + len(b.sh)
+                   - len(list_filter(a.sh, x -> list_contains(b.sh, x)))), 6) >= 0.5
+),
+edges AS (
+    SELECT a_id AS src, b_id AS dst FROM pairs
+    UNION ALL SELECT b_id, a_id FROM pairs
+),
+reach(id, root) AS (
+    SELECT doc_id, doc_id FROM s
+    UNION
+    SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id
+),
+lab AS (SELECT id, MIN(root) AS comp FROM reach GROUP BY id),
+ranked AS (
+    SELECT lab.comp, d.doc_id, d.n_chars,
+           row_number() OVER (PARTITION BY lab.comp
+                              ORDER BY d.n_chars DESC, d.doc_id) AS rn,
+           COUNT(*)     OVER (PARTITION BY lab.comp) AS nm
+    FROM lab JOIN documents d ON d.doc_id = lab.id
+)
+SELECT CAST(comp AS BIGINT)    AS component_id,
+       CAST(doc_id AS BIGINT)  AS keeper_id,
+       CAST(n_chars AS BIGINT) AS keeper_chars,
+       CAST(nm AS BIGINT)      AS n_members
+FROM ranked WHERE rn = 1
+"""
+
+
+@query("l26_cluster_keep_best", oracle=L26_ORACLE, impure=True)
+def l26_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L26 — the decision step after near-dup clustering: keep ONE
+    canonical document per cluster, chosen by quality (longest text,
+    doc_id tiebreak), not by arbitrary survivor order. L11 answers
+    "which docs are the same"; this answers "which copy survives" —
+    the choice that decides what the training set actually contains
+    (keep the longest/cleanest copy, drop mirrors and truncations).
+
+    Jaccard ≥ 0.5 pair graph (L2's exact shingle metric, same
+    bounded scope) → min-label components (per-node labels from the
+    shared Pregel loop) → per-component row_number over the quality
+    key. Per-round shuffles carry (id, label) pairs only; the
+    quality join brings n_chars — never text — to the rank. At
+    corpus scale the pair graph comes from the LSH candidates
+    (l04_simjoin_lsh) and the quality key from L9's composite score;
+    the selection plan is unchanged.
+    """
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    docs = documents.filter(
+        (F.col("doc_id") < 60) & (F.size(F.split(F.col("text"), " ")) >= 3)
+    )
+    s = docs.select("doc_id", F.expr(_SHINGLE_SPARK).alias("sh"))
+    a = s.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh"))
+    b = s.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh"))
+    inter = F.size(F.array_intersect(F.col("a_sh"), F.col("b_sh")))
+    union = F.size(F.col("a_sh")) + F.size(F.col("b_sh")) - inter
+    pairs = (
+        a.join(F.broadcast(b), F.col("a_id") < F.col("b_id"))
+        .filter(r6(inter.cast("double") / union.cast("double")) >= 0.5)
+        .select("a_id", "b_id")
+    )
+    labels = _min_label_assignments(pairs, docs.select(F.col("doc_id").alias("id")))
+    ranked = labels.join(
+        documents.select("doc_id", "n_chars"), labels.id == F.col("doc_id")
+    )
+    w = Window.partitionBy("label").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    return (
+        ranked.withColumn("rn", F.row_number().over(w))
+        .withColumn("nm", F.count(F.lit(1)).over(Window.partitionBy("label")))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("label").cast("long").alias("component_id"),
+            F.col("doc_id").cast("long").alias("keeper_id"),
+            F.col("n_chars").cast("long").alias("keeper_chars"),
+            F.col("nm").cast("long").alias("n_members"),
+        )
     )

@@ -206,6 +206,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "s20_zorder_layout",
         "p12_null_ordering",
         "p13_decimal_exact",
+        "l26_cluster_keep_best",
     }
 )
 
