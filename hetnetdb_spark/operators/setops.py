@@ -171,3 +171,42 @@ def o07_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
         .offset(20)
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# O8 — keyset pagination (the OFFSET that scales)
+# --------------------------------------------------------------------------
+
+O8_ORACLE = """
+SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice, 6) AS price
+FROM lineitem
+WHERE (l_orderkey, l_linenumber) > (2500, 2)
+ORDER BY l_orderkey, l_linenumber
+LIMIT 50
+"""
+
+
+@query("o08_keyset_pagination", oracle=O8_ORACLE)
+def o08_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O8 — keyset (cursor) pagination: resume AFTER the last row of
+    the previous page via a row-value comparison on the unique sort
+    key, instead of OFFSET. O7's OFFSET must still produce and
+    discard every earlier row — page N costs O(N·page) and deep
+    pages are the classic large-result killer; the keyset predicate
+    is sargable once decomposed, so the scan prunes to rows past
+    the cursor and every page costs the same. The filter is spelled
+    as the expanded disjunction (k1 > c1) OR (k1 = c1 AND k2 > c2)
+    rather than a struct comparison: measured on this scan, the
+    struct form stays a post-scan DataFilter while the disjunction
+    reaches PushedFilters whole (plan-asserted). Top-50 feeds
+    TakeOrderedAndProject, not a global sort."""
+    (lineitem,) = load_tables(spark, sf_dir, "lineitem")
+    after_cursor = (F.col("l_orderkey") > 2500) | (
+        (F.col("l_orderkey") == 2500) & (F.col("l_linenumber") > 2)
+    )
+    return (
+        lineitem.filter(after_cursor)
+        .select("l_orderkey", "l_linenumber", r6(F.col("l_extendedprice")).alias("price"))
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(50)
+    )

@@ -207,6 +207,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "p12_null_ordering",
         "p13_decimal_exact",
         "l26_cluster_keep_best",
+        "o08_keyset_pagination",
     }
 )
 

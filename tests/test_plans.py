@@ -294,3 +294,15 @@ def test_j13_salted_join_uses_shuffle_hash(spark):
     plan = executed_plan(registry.QUERIES["j13_salted_skew_join"](spark, SF_DIR))
     assert "ShuffledHashJoin" in plan, plan
     assert "BroadcastHashJoin" not in plan, plan
+
+
+def test_o08_keyset_cursor_pushed_to_scan(spark):
+    """o08: the decomposed cursor disjunction must reach the parquet
+    reader whole (the struct-comparison form stays a post-scan
+    filter); top-50 must be a TakeOrderedAndProject."""
+    plan = executed_plan(registry.QUERIES["o08_keyset_pagination"](spark, SF_DIR))
+    import re
+
+    m = re.search(r"PushedFilters: \[[^\]]*\]", plan)
+    assert m and "l_orderkey" in m.group(0) and "l_linenumber" in m.group(0), plan
+    assert has_top_k(plan), plan
