@@ -596,3 +596,42 @@ def a18_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# A19 — one-pass cross-column correlation / covariance profile
+# --------------------------------------------------------------------------
+
+A19_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT)                              AS n,
+       ROUND(corr(l_quantity, l_extendedprice), 6)           AS corr_qty_price,
+       ROUND(corr(l_discount, l_extendedprice), 6)           AS corr_disc_price,
+       ROUND(covar_samp(l_quantity, l_extendedprice), 6)     AS cov_qty_price,
+       ROUND(covar_pop(l_discount, l_tax), 6)                AS cov_disc_tax
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("a19_correlation_profile", oracle=A19_ORACLE)
+def a19_correlation_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A19 — cross-column dependence in ONE aggregate pass: Pearson
+    correlation and sample/population covariance for several column
+    pairs at once. All four are algebraic aggregates (each is a
+    closed form over sum/sum-of-products moments), so Spark computes
+    partial moments map-side and merges — one scan, one shuffle of
+    per-group moment tuples, regardless of how many pairs are
+    profiled. The co-moment formulas are numerically stable
+    (Welford-style updates in both engines), and 6dp rounding
+    absorbs the last-ulp merge-order drift the `r6` discipline
+    exists for. Complements s17's per-column profile with the
+    between-column view a feature-selection pass needs."""
+    (lineitem,) = load_tables(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        r6(F.corr("l_quantity", "l_extendedprice")).alias("corr_qty_price"),
+        r6(F.corr("l_discount", "l_extendedprice")).alias("corr_disc_price"),
+        r6(F.covar_samp("l_quantity", "l_extendedprice")).alias("cov_qty_price"),
+        r6(F.covar_pop("l_discount", "l_tax")).alias("cov_disc_tax"),
+    )

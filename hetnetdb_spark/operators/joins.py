@@ -480,3 +480,65 @@ def j13_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# J14 — interval overlap join (day-blocked, residual overlap predicate)
+# --------------------------------------------------------------------------
+
+J14_ORACLE = """
+WITH iv AS (
+    SELECT user_id,
+           date_trunc('day', ts) AS day,
+           MIN(ts) AS t0,
+           MAX(ts) AS t1
+    FROM events
+    GROUP BY user_id, date_trunc('day', ts)
+)
+SELECT a.day,
+       CAST(COUNT(*) AS BIGINT) AS n_overlapping_pairs
+FROM iv a
+JOIN iv b ON a.day = b.day
+         AND a.user_id < b.user_id
+         AND a.t0 <= b.t1
+         AND b.t0 <= a.t1
+GROUP BY a.day
+"""
+
+
+@query("j14_interval_overlap_join", oracle=J14_ORACLE)
+def j14_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J14 — interval overlap join (Flink's interval join, kdb's
+    wj): pairs of users whose daily activity spans [t0, t1]
+    intersect. A bare overlap predicate has no equi key, which
+    degenerates to a cross product; the scale discipline is to BLOCK
+    on a time bucket that bounds the overlap scope (here the day the
+    intervals live in) so Spark hash-partitions on the block and
+    evaluates only the two-sided residual `a.t0 <= b.t1 AND b.t0 <=
+    a.t1` within partitions — J8's equi+residual shape lifted to
+    intervals. Intervals that may CROSS buckets need explode-to-
+    every-covered-bucket + distinct (L23's band pattern); these
+    day-grouped spans can't cross by construction."""
+    (events,) = load_tables(spark, sf_dir, "events")
+    iv = events.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+    a = iv.select(
+        F.col("user_id").alias("a_user"), "day",
+        F.col("t0").alias("a_t0"), F.col("t1").alias("a_t1"),
+    )
+    b = iv.select(
+        F.col("user_id").alias("b_user"), F.col("day").alias("b_day"),
+        F.col("t0").alias("b_t0"), F.col("t1").alias("b_t1"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("day") == F.col("b_day"))
+            & (F.col("a_user") < F.col("b_user"))
+            & (F.col("a_t0") <= F.col("b_t1"))
+            & (F.col("b_t0") <= F.col("a_t1")),
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_overlapping_pairs"))
+    )

@@ -208,6 +208,8 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "p13_decimal_exact",
         "l26_cluster_keep_best",
         "o08_keyset_pagination",
+        "j14_interval_overlap_join",
+        "a19_correlation_profile",
     }
 )
 
