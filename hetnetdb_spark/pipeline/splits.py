@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from hetnetdb_spark.catalog import load_tables
 from hetnetdb_spark.expr import r6
@@ -148,4 +149,50 @@ def l15_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "rate", F.round(F.col("n_sampled") / F.col("n_total"), 2)
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# L27 — deterministic per-group sample (seeded hash-rank top-K)
+# --------------------------------------------------------------------------
+
+L27_SEED = 11
+L27_K = 5
+
+L27_ORACLE = f"""
+SELECT lang, source, doc_id, rk
+FROM (
+    SELECT lang, source, doc_id,
+           CAST(row_number() OVER (
+               PARTITION BY lang, source
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || ':{L27_SEED}'), doc_id
+           ) AS BIGINT) AS rk
+    FROM documents
+) t
+WHERE rk <= {L27_K}
+"""
+
+
+@query("l27_group_sample", oracle=L27_ORACLE)
+def l27_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L27 — exactly-K-per-stratum sampling with a seeded hash rank:
+    order each (lang, source) stratum by ``md5(doc_id:seed)`` and
+    keep the first K. Complements L15's Bernoulli `sampleBy`
+    (fractional, engine-RNG, rows-only) with the form eval-set
+    construction actually wants: a FIXED quota per stratum, the same
+    rows on any engine or cluster layout, and a new disjoint-ish
+    draw per seed. W6's rank-filter shape — one shuffle on the
+    stratum key, WindowGroupLimit prunes rank > K below the
+    exchange, so the shuffle carries at most K rows per stratum per
+    map task, not the corpus."""
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source").orderBy(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":{L27_SEED}"))),
+        "doc_id",
+    )
+    return (
+        documents.select(
+            "lang", "source", "doc_id", F.row_number().over(w).cast("long").alias("rk")
+        )
+        .filter(F.col("rk") <= L27_K)
     )

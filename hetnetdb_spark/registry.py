@@ -210,6 +210,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "o08_keyset_pagination",
         "j14_interval_overlap_join",
         "a19_correlation_profile",
+        "l27_group_sample",
     }
 )
 
