@@ -635,3 +635,47 @@ def a19_correlation_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.covar_samp("l_quantity", "l_extendedprice")).alias("cov_qty_price"),
         r6(F.covar_pop("l_discount", "l_tax")).alias("cov_disc_tax"),
     )
+
+
+# --------------------------------------------------------------------------
+# A20 — GROUPING()/grouping_id: subtotal rows vs genuine NULL keys
+# --------------------------------------------------------------------------
+
+A20_ORACLE = """
+SELECT o_orderstatus,
+       pri,
+       CAST(GROUPING(o_orderstatus) AS INT)  AS g_status,
+       CAST(GROUPING(pri) AS INT)            AS g_pri,
+       CAST(GROUPING(o_orderstatus, pri) AS BIGINT) AS gid,
+       CAST(COUNT(*) AS BIGINT)              AS n_orders
+FROM (
+    SELECT o_orderstatus,
+           NULLIF(o_orderpriority, '3-MEDIUM') AS pri
+    FROM orders
+) t
+GROUP BY ROLLUP(o_orderstatus, pri)
+"""
+
+
+@query("a20_grouping_id", oracle=A20_ORACLE)
+def a20_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A20 — the disambiguation A10's COALESCE trick cannot give
+    when grouping keys are genuinely nullable: `pri` is NULL for
+    every medium-priority order, so a rollup emits NULL both for
+    those data rows AND for subtotal rows. GROUPING(col) (0 = real
+    key, 1 = aggregated-away) and the grouping_id bitmask tell them
+    apart — both engines define the same bit order (first listed
+    key = high bit). Plan-wise this is still ONE Expand + one
+    shuffle; the flags are free metadata on rows the rollup already
+    produces."""
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    t = orders.select(
+        "o_orderstatus",
+        F.nullif(F.col("o_orderpriority"), F.lit("3-MEDIUM")).alias("pri"),
+    )
+    return t.rollup("o_orderstatus", "pri").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("pri").cast("int").alias("g_pri"),
+        F.grouping_id().cast("long").alias("gid"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

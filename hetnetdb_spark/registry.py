@@ -211,6 +211,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "j14_interval_overlap_join",
         "a19_correlation_profile",
         "l27_group_sample",
+        "a20_grouping_id",
     }
 )
 
