@@ -578,3 +578,36 @@ def f14_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, "orders")
     return spark.sql(F14_SQL)
+
+
+# --------------------------------------------------------------------------
+# F15 — bitwise aggregates (flag-set roll-ups)
+# --------------------------------------------------------------------------
+
+F15_ORACLE = """
+SELECT o_orderstatus,
+       CAST(bit_and(o_orderkey % 256) AS BIGINT) AS flags_all,
+       CAST(bit_or(o_orderkey % 256)  AS BIGINT) AS flags_any,
+       CAST(bit_xor(o_orderkey % 256) AS BIGINT) AS flags_parity,
+       CAST(COUNT(*) AS BIGINT)                  AS n
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@query("f15_bitwise_agg", oracle=F15_ORACLE)
+def f15_bitwise_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F15 — bit_and / bit_or / bit_xor aggregates over a derived
+    8-bit flag word: the roll-up shape for permission masks, feature
+    flags, and bloom-ish presence words. All three are associative
+    AND commutative, so partial aggregation is exact under any
+    partition count or merge order — no rounding discipline needed,
+    unlike float sums."""
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    flags = F.col("o_orderkey") % 256
+    return orders.groupBy("o_orderstatus").agg(
+        F.bit_and(flags).cast("long").alias("flags_all"),
+        F.bit_or(flags).cast("long").alias("flags_any"),
+        F.bit_xor(flags).cast("long").alias("flags_parity"),
+        F.count(F.lit(1)).alias("n"),
+    )

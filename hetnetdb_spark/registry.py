@@ -212,6 +212,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "a19_correlation_profile",
         "l27_group_sample",
         "a20_grouping_id",
+        "f15_bitwise_agg",
     }
 )
 
