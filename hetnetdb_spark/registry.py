@@ -213,6 +213,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "l27_group_sample",
         "a20_grouping_id",
         "f15_bitwise_agg",
+        "u08_cogrouped_pandas",
     }
 )
 

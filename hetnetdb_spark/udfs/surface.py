@@ -289,3 +289,47 @@ def u07_arrow_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
             r6(F.sum("c")).alias("total_charge"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# U8 — cogrouped applyInPandas (two-sided Arrow merge)
+# --------------------------------------------------------------------------
+
+U8_ORACLE = """
+SELECT c_custkey,
+       CAST(COUNT(o_orderkey) AS BIGINT)        AS n_orders,
+       ROUND(COALESCE(SUM(o_totalprice), 0), 6) AS total_spend
+FROM customer
+LEFT JOIN orders ON o_custkey = c_custkey
+GROUP BY c_custkey
+"""
+
+
+@query("u08_cogrouped_pandas", oracle=U8_ORACLE)
+def u08_cogrouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U8 — ``groupBy().cogroup().applyInPandas``: both tables
+    shuffle on the key and each key's two row sets arrive as a pair
+    of pandas frames — the escape hatch for per-key merge logic no
+    join expresses (custom as-of rules, per-entity reconciliation,
+    stateful pairing). The built-in equivalent of THIS function is
+    the left-join aggregate the oracle runs, which is why joins
+    should stay joins: the cogroup pays one Arrow crossing per side.
+    One shuffle per input on the cogroup key, same as the join it
+    replaces."""
+
+    def merge(key, cdf: pd.DataFrame, odf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_custkey": [key[0]],
+                "n_orders": [len(odf)],
+                "total_spend": [round(float(odf["o_totalprice"].sum()) if len(odf) else 0.0, 6)],
+            }
+        )
+
+    customer, orders = load_tables(spark, sf_dir, "customer", "orders")
+    return (
+        customer.select("c_custkey")
+        .groupBy("c_custkey")
+        .cogroup(orders.select("o_custkey", "o_totalprice").groupBy("o_custkey"))
+        .applyInPandas(merge, "c_custkey bigint, n_orders bigint, total_spend double")
+    )
