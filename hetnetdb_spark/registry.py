@@ -137,85 +137,17 @@ def _verified_names() -> set[str]:
 #: at 50 entries; round 2's L/T/S/U tail must not be displaced
 #: again). Once the next CORRECTNESS file lands, survivors of this
 #: list sort first automatically and the list should be rotated.
-NEW_THIS_ROUND: frozenset[str] = frozenset(
-    {
-        "l02_embedding_neardup",
-        "s11_dynamic_partition_pruning",
-        "s12_orc_roundtrip",
-        "s13_compaction",
-        "q10_returned_items",
-        "q17_small_quantity_order",
-        "q18_large_volume_customer",
-        "j11_runtime_bloom_join",
-        "a13_pivot",
-        "a14_unpivot",
-        "l10_train_test_split",
-        "l11_dedup_components",
-        "s14_partition_upsert",
-        "q14_promo_effect",
-        "q19_disjunctive_join",
-        "l12_sequence_packing",
-        "f10_levenshtein",
-        "f11_date_sequence",
-        "p11_null_safe_join",
-        "q6_forecast_revenue",
-        "q22_global_sales_opportunity",
-        "f12_map_functions",
-        "l13_pii_redaction",
-        "l14_repetition_stats",
-        "s15_schema_evolution",
-        "l15_stratified_sample",
-        "a16_hll_sketch_union",
-        "a17_bitmap_distinct",
-        "f13_variant_json",
-        "o06_bag_setops",
-        "o07_limit_offset",
-        "j12_lateral_topk",
-        "f14_recursive_cte",
-        "l16_components_lsh",
-        "q2_min_cost_supplier",
-        "q4_order_priority",
-        "q7_volume_shipping",
-        "q8_market_share",
-        "q9_product_profit",
-        "q11_important_stock",
-        "q12_late_lines",
-        "q13_customer_distribution",
-        "q15_top_supplier",
-        "q16_supplier_part_types",
-        "q20_promotion_suppliers",
-        "q21_waiting_suppliers",
-        "l17_doc_chunking",
-        "l18_quantized_topk",
-        "l19_decontamination",
-        "t10_transform_with_state",
-        "s16_scd2_merge",
-        "s17_table_profile",
-        "l20_bm25_search",
-        "l21_funnel_steps",
-        "l22_cohort_retention",
-        "s18_fk_audit",
-        "l23_fuzzy_join",
-        "a18_incremental_rollup",
-        "j13_salted_skew_join",
-        "w07_time_grid_gapfill",
-        "l24_corpus_shuffle",
-        "l25_unigram_logprob",
-        "u07_arrow_python_udf",
-        "s19_binaryfile_source",
-        "s20_zorder_layout",
-        "p12_null_ordering",
-        "p13_decimal_exact",
-        "l26_cluster_keep_best",
-        "o08_keyset_pagination",
-        "j14_interval_overlap_join",
-        "a19_correlation_profile",
-        "l27_group_sample",
-        "a20_grouping_id",
-        "f15_bitwise_agg",
-        "u08_cogrouped_pandas",
-    }
-)
+#: (Round 4: rotated — round 3's ~74 additions have now waited a full
+#: round and sort into tiers 0/1 via CORRECTNESS_r03.json.)
+NEW_THIS_ROUND: frozenset[str] = frozenset()
+
+#: Names forced to the very front of the verification window while
+#: they lack a driver-green CORRECTNESS row. u06_python_udtf is the
+#: one SURVEY §2 row never reached by the driver's bounded window;
+#: it registers impure (UDTF registration side effect) and would
+#: otherwise sort behind every pure unverified query and risk missing
+#: the ~50-entry window a second round running.
+FRONT_OF_LINE: tuple[str, ...] = ("u06_python_udtf",)
 
 
 def _prioritize() -> None:
@@ -239,6 +171,8 @@ def _prioritize() -> None:
     verified = _verified_names()
 
     def tier(name: str) -> int:
+        if name in FRONT_OF_LINE and name not in verified:
+            return -1
         if name in verified:
             return 3 + (name in IMPURE)
         if name in NEW_THIS_ROUND:
