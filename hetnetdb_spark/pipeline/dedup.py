@@ -415,33 +415,75 @@ FROM (SELECT id, MIN(root) AS root FROM reach GROUP BY id)
 GROUP BY root
 """
 
-L11_MAX_ITERS = 25
+#: Bug guard, not a scale bound: with pointer doubling each round
+#: roughly doubles label reach, so 64 rounds covers components of
+#: diameter ~2**64. (The pre-round-4 plain-propagation version needed
+#: O(diameter) rounds and raised at 25 — a chain-shaped component 26
+#: deep killed the job.)
+L11_MAX_ITERS = 64
 
 
-def _min_label_assignments(pairs: DataFrame, nodes: DataFrame) -> DataFrame:
-    """Pregel-style min-label propagation to a fixpoint.
+def _min_label_assignments(
+    pairs: DataFrame, nodes: DataFrame, max_iters: int = L11_MAX_ITERS
+) -> DataFrame:
+    """Min-label propagation with pointer doubling to a fixpoint.
 
     ``pairs`` is the undirected edge list as (a_id, b_id); ``nodes``
-    the (id) universe. Returns per-node (id, label) assignments. The
-    convergence scalar per round is the label sum (labels only ever
-    decrease); `localCheckpoint` truncates lineage so round N never
-    replays rounds 1..N-1."""
+    the (id) universe. Returns per-node (id, label) assignments.
+
+    Each round runs TWO contractions:
+
+    1. *neighbor-min* — every node takes the min label over its graph
+       neighborhood (edge join + min-aggregate): the plain Pregel step,
+       which alone converges in O(component diameter) rounds;
+    2. *pointer jump* — every node then takes its label's OWN label
+       (labels self-join on ``label == id``): the label-of-label
+       doubling step from the large-star/small-star family, which
+       compresses label chains geometrically.
+
+    Together reach roughly doubles per round, so a chain-shaped
+    component of diameter d converges in O(log d) rounds — a 100 TB
+    near-dup graph with a pathological 10^6-long chain needs ~20
+    rounds, not 10^6 (``tests/test_dedup_components.py`` pins this
+    with a 240-node path that must converge within 12 rounds).
+
+    Invariant ``label(u) <= u`` holds throughout (labels start at id
+    and only ever decrease), so the fixpoint is exactly one label per
+    component: the component-min id. Convergence is checked with ONE
+    scalar per round — the label sum; labels are monotone decreasing,
+    so an unchanged sum IS the fixpoint, and a single-scan aggregate
+    is cheaper than a changed-rows anti-join + isEmpty. Lineage is
+    truncated per round with ``localCheckpoint`` (executor-memory
+    backed — fine for this loop's minutes-scale rounds; a multi-hour
+    production run on a real cluster should use reliable
+    ``checkpoint()`` so a lost executor replays one round, not all).
+    """
     edges = pairs.union(pairs.select(F.col("b_id"), F.col("a_id"))).toDF("src", "dst")
     edges = edges.localCheckpoint(eager=True)  # reused every round
 
     labels = nodes.select("id", F.col("id").alias("label")).localCheckpoint(eager=True)
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-    for _ in range(L11_MAX_ITERS):
+    for _ in range(max_iters):
         nbr_min = (
             edges.join(labels, edges.src == labels.id)
             .groupBy("dst")
             .agg(F.min("label").alias("nbr_min"))
         )
+        hop = labels.join(nbr_min, labels.id == nbr_min.dst, "left").select(
+            "id",
+            F.least(F.col("label"), F.coalesce("nbr_min", F.col("label"))).alias(
+                "label"
+            ),
+        )
+        # Pointer jump: label(u) <- label(label(u)). Every label value
+        # is a node id, so the left join always hits; the left-outer +
+        # coalesce guards the degenerate empty-nodes case only.
+        jump = hop.select(F.col("id").alias("jid"), F.col("label").alias("jlabel"))
         labels = (
-            labels.join(nbr_min, labels.id == nbr_min.dst, "left")
+            hop.join(jump, hop.label == jump.jid, "left")
             .select(
                 "id",
-                F.least(F.col("label"), F.coalesce("nbr_min", F.col("label"))).alias(
+                F.least(F.col("label"), F.coalesce("jlabel", F.col("label"))).alias(
                     "label"
                 ),
             )
@@ -452,7 +494,7 @@ def _min_label_assignments(pairs: DataFrame, nodes: DataFrame) -> DataFrame:
             break
         prev_sum = cur_sum
     else:
-        raise RuntimeError(f"CC did not converge in {L11_MAX_ITERS} rounds")
+        raise RuntimeError(f"CC did not converge in {max_iters} rounds")
 
     return labels
 
@@ -486,13 +528,12 @@ def l11_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed. `localCheckpoint` truncates the growing lineage so
     round N's plan doesn't replay rounds 1..N-1.
 
-    Scale posture: rounds = graph diameter (small for near-dup
-    blobs); each round shuffles |E| (id, label) pairs — never
-    vectors or text. At corpus scale the same loop runs off the LSH
-    candidate pairs (`l04_simjoin_lsh`) instead of the exact
-    triangle, and the large-star/small-star variant (alternating
-    star contractions) cuts rounds to O(log n) if diameters bite.
-    The recursive-CTE oracle certifies the whole transitive closure.
+    Scale posture: rounds = O(log diameter) via the pointer-doubling
+    step in `_min_label_assignments`; each round shuffles |E| (id,
+    label) pairs — never vectors or text. At corpus scale the same
+    loop runs off the LSH candidate pairs (`l04_simjoin_lsh`)
+    instead of the exact triangle. The recursive-CTE oracle
+    certifies the whole transitive closure.
     """
     (emb,) = load_tables(spark, sf_dir, "embeddings")
     a = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"))
