@@ -25,6 +25,13 @@ from hetnetdb_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Opt-in full-suite mode: time every registered PURE query (impure
+# ones mutate scratch dirs / drive streaming triggers and answer a
+# different question). The driver's per-round bench stays the 8
+# headliners; full mode exists so regressions in the other ~160
+# queries are visible — results are recorded in PLANS.md per round.
+FULL = os.environ.get("SPARK_GRAFT_BENCH_FULL", "") not in ("", "0")
+
 # Mirrors the BASELINE.md query set; filtered to what's registered so
 # the harness stays runnable mid-build.
 HEADLINE = [
@@ -74,18 +81,39 @@ def main() -> None:
         timings[name] = round(min(warm), 4)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_warm",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "queries": timings,
-                "skipped": skipped,
-                "sf": _sf_from_dir(SF_DIR),
-            }
+    payload = {
+        "metric": "headline_total_warm",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "skipped": skipped,
+        "sf": _sf_from_dir(SF_DIR),
+    }
+
+    if FULL:
+        suite: dict[str, float] = {}
+        rest = [
+            n
+            for n in registry.QUERIES
+            if n not in HEADLINE and n not in registry.IMPURE
+        ]
+        for name in rest:
+            fn = registry.QUERIES[name]
+            try:
+                fn(spark, SF_DIR).toPandas()  # cold
+                t0 = time.perf_counter()
+                fn(spark, SF_DIR).toPandas()
+                suite[name] = round(time.perf_counter() - t0, 4)
+            except Exception as exc:  # noqa: BLE001 — record, keep going
+                print(f"# FULL-SUITE FAIL {name}: {exc}", file=sys.stderr)
+                suite[name] = -1.0
+            print(f"# {name}: {suite[name]:.3f}s", file=sys.stderr)
+        payload["suite"] = suite
+        payload["suite_total_warm"] = round(
+            sum(v for v in suite.values() if v > 0), 4
         )
-    )
+
+    print(json.dumps(payload))
     spark.stop()
 
 

@@ -17,6 +17,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql.types import LongType, TimestampNTZType
+
 from hetnetdb_spark.schemas import TABLE_NAMES
 from hetnetdb_spark.session import configure
 
@@ -44,33 +46,52 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+    # Self-configure: the events branch below depends on
+    # `nanosAsLong` being active at scan-plan time. Relying on a
+    # prior caller having run configure() made the first events
+    # load order-dependent (ts surfaces as TIMESTAMP_NTZ and the
+    # `div 1000` fails to resolve on a session that never passed
+    # through session.get_spark). Idempotent and conf-set is cheap.
+    configure(spark)
     key = (spark.sparkContext.applicationId, sf_dir, name)
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS) in parquet, which Spark 4
-        # rejects outright; `spark.sql.legacy.parquet.nanosAsLong`
-        # (set in SESSION_CONF) surfaces it as epoch-nanos LongType.
-        # Integer `div` (not `/`: epoch-ns ≈ 1.7e18 exceeds double's
-        # 2^53 exact range) converts to µs, matching both Spark's
-        # native timestamp precision and DuckDB's read of the same
-        # column. Fixture values are µs-aligned, so this is lossless.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # events.ts is TIMESTAMP(NANOS) in parquet. What the reader
+        # surfaces is version-dependent: Spark ≤4.0 honors
+        # `nanosAsLong` and yields epoch-ns LongType; Spark 4.1
+        # ignores that legacy conf and reads TIMESTAMP_NTZ (already
+        # µs-truncated — fixture values are µs-aligned, lossless).
+        # Branch on the actual dtype so both runtimes land on the
+        # same µs TimestampType the DuckDB oracle compares. For the
+        # long path, integer `div` (not `/`: epoch-ns ≈ 1.7e18
+        # exceeds double's 2^53 exact range) converts ns→µs; for the
+        # NTZ path the cast is wall-clock-preserving because the
+        # session timezone is pinned UTC (session.configure).
+        dt = df.schema["ts"].dataType
+        if isinstance(dt, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(dt, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     _TABLE_CACHE[key] = df
     return df
 
 
 def load_events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with ``ts`` left as the raw epoch-nanos long.
+    """events with ``ts`` as an epoch-nanos long — ALWAYS.
 
-    For plans that only order/diff on time (sessionization), working
-    on the long directly skips the per-row ns→µs conversion ahead of
-    the window sort and defers timestamp materialization to the few
-    output rows; long and timestamp sort identically (TimestampType
-    is µs-longs internally, and fixture values are µs-aligned).
-    Callers convert aggregated outputs via
+    For plans that only order/diff on time (sessionization), a plain
+    long column keeps gap arithmetic in integer codegen and defers
+    timestamp materialization to the few rows that survive
+    aggregation; long and timestamp sort identically. The contract
+    is normalized here because the reader's output is
+    version-dependent (see `load`): on a Spark ≤4.0 nanosAsLong
+    runtime the column is already epoch-ns; on Spark 4.1 the
+    TIMESTAMP_NTZ read is converted back via unix_micros × 1000 —
+    one multiply per row in whole-stage codegen, and epoch-ns stays
+    far inside int64. Callers convert aggregated outputs via
     ``timestamp_micros(... div 1000)`` to match oracle schemas.
     """
     configure(spark)
@@ -78,6 +99,11 @@ def load_events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _TABLE_CACHE.get(key)
     if cached is None:
         cached = spark.read.parquet(table_path(sf_dir, "events"))
+        if not isinstance(cached.schema["ts"].dataType, LongType):
+            cached = cached.withColumn(
+                "ts",
+                F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000),
+            )
         _TABLE_CACHE[key] = cached
     return cached
 

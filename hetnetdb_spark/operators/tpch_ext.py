@@ -376,7 +376,7 @@ WITH natval AS (
 SELECT l_partkey AS p_key, ROUND(SUM(val), 6) AS value
 FROM natval
 GROUP BY l_partkey
-HAVING SUM(val) > (SELECT SUM(val) * 0.01 FROM natval)
+HAVING ROUND(SUM(val), 6) > (SELECT ROUND(SUM(val) * 0.01, 6) FROM natval)
 ORDER BY value DESC, p_key
 """
 
@@ -393,7 +393,11 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes it twice — the relation is cheap and early-pruned by
     the broadcast nation filter; caching would pin memory for no
     measurable win at any SF). The threshold scalar broadcasts into
-    the HAVING filter, so the comparison is map-side.
+    the HAVING filter, so the comparison is map-side. Both sides of
+    the threshold comparison are rounded to 6dp first (mirrored in
+    the oracle's HAVING): the sums are independent float
+    accumulations in each engine, and a part group sitting within
+    drift of the 1% cutoff must pass or fail identically in both.
     """
     lineitem, supplier, nation = load_tables(spark, sf_dir, "lineitem", "supplier", "nation")
     natval = (
@@ -407,15 +411,15 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_extendedprice") * F.col("l_quantity")).alias("val"),
         )
     )
-    threshold = natval.agg((F.sum("val") * F.lit(0.01)).alias("cutoff"))
+    threshold = natval.agg(r6(F.sum("val") * F.lit(0.01)).alias("cutoff"))
     return (
         natval.groupBy("l_partkey")
-        .agg(F.sum("val").alias("raw_value"))
+        .agg(r6(F.sum("val")).alias("value"))
         .join(F.broadcast(threshold))
-        .filter(F.col("raw_value") > F.col("cutoff"))
+        .filter(F.col("value") > F.col("cutoff"))
         .select(
             F.col("l_partkey").alias("p_key"),
-            r6(F.col("raw_value")).alias("value"),
+            "value",
         )
         .orderBy(F.col("value").desc(), "p_key")
     )

@@ -335,7 +335,7 @@ W7_ORACLE = """
 WITH hourly AS (
   SELECT user_id,
          date_trunc('hour', ts) AS hour,
-         ROUND(SUM(value), 6)   AS hour_value
+         ROUND(SUM(COALESCE(value, 0)), 6) AS hour_value
   FROM events
   GROUP BY user_id, date_trunc('hour', ts)
 ),
@@ -382,7 +382,7 @@ def w07_time_grid_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events,) = load_tables(spark, sf_dir, "events")
     hourly = (
         events.groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("hour"))
-        .agg(F.round(F.sum("value"), 6).alias("hour_value"))
+        .agg(F.round(F.sum(F.coalesce(F.col("value"), F.lit(0.0))), 6).alias("hour_value"))
     )
     w = Window.partitionBy("user_id").orderBy("hour")
     with_next = _parallel_by(spark, hourly, "user_id").withColumn(

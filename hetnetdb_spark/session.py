@@ -39,9 +39,11 @@ SESSION_CONF: dict[str, str] = {
     # TB-scale customer table) still shuffle-join safely.
     "spark.sql.autoBroadcastJoinThreshold": "64MB",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # events.ts is TIMESTAMP(NANOS) parquet, illegal for Spark 4's
-    # reader; read it as epoch-nanos long (catalog.load converts to
-    # a µs timestamp column).
+    # events.ts is TIMESTAMP(NANOS) parquet. Spark 4.0 honors this
+    # legacy conf (epoch-ns LongType); Spark 4.1 ignores it and
+    # reads TIMESTAMP_NTZ natively. Kept for ≤4.0 runtimes — the
+    # catalog branches on the dtype actually produced, so either
+    # representation normalizes to the same µs timestamp.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Fixtures are small (≤600k rows); at 100 TB this is raised (or
     # left to AQE's advisory target) — AQE coalescing makes the

@@ -18,6 +18,7 @@ post-scan filter).
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -720,7 +721,11 @@ def s19_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-counted.
     """
     path = os.path.join(SCRATCH, "s19_blobs")
-    os.makedirs(path, exist_ok=True)
+    # Recreate the blob dir from scratch: stale *.bin files from a
+    # prior run (under an older payload manifest) would still match
+    # pathGlobFilter and surface rows the pinned oracle lacks.
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path)
     for n, b in _S19_PAYLOADS.items():
         with open(os.path.join(path, n), "wb") as fh:
             fh.write(b)

@@ -28,6 +28,7 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
 )
 
 from hetnetdb_spark.catalog import load_tables, table_path
@@ -36,12 +37,18 @@ from hetnetdb_spark.registry import query
 SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__)))), ".scratch")
 
-# Physical schema of events.parquet under `nanosAsLong` (the file
-# stream source requires an explicit schema — no inference pass).
+# Requested schema for the events stream (the file stream source
+# requires an explicit schema — no inference pass). events.ts is
+# TIMESTAMP(NANOS) in the parquet footer; requesting TIMESTAMP_NTZ
+# is the one representation Spark 4.1 serves deterministically
+# (µs-truncated wall clock — fixture values are µs-aligned, so
+# lossless). Do NOT request LongType here: 4.1's reader silently
+# fulfills that with epoch-MICROS (not nanos), so any ns-assuming
+# arithmetic downstream would be off by 1000×.
 EVENTS_PHYSICAL = StructType(
     [
         StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # epoch-nanos (TIMESTAMP(NANOS) in footer)
+        StructField("ts", TimestampNTZType()),
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
         StructField("value", DoubleType()),
@@ -52,15 +59,17 @@ EVENTS_PHYSICAL = StructType(
 
 def _events_stream(spark: SparkSession, path: str) -> DataFrame:
     """S7 — streaming file source over the events parquet, with the
-    same ns→µs timestamp conversion as the batch catalog. The file
-    source requires a *directory*, so the scan targets the sf dir
-    with a glob filter selecting the events file."""
+    same NTZ→UTC-timestamp normalization as the batch catalog (the
+    session timezone is pinned UTC, so the cast is wall-clock
+    preserving). The file source requires a *directory*, so the scan
+    targets the sf dir with a glob filter selecting the events
+    file."""
     raw = (
         spark.readStream.schema(EVENTS_PHYSICAL)
         .option("pathGlobFilter", os.path.basename(path))
         .parquet(os.path.dirname(path))
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def _run_to_memory(df: DataFrame, name: str, mode: str) -> None:

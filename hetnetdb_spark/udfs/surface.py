@@ -315,14 +315,17 @@ def u08_cogrouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     the left-join aggregate the oracle runs, which is why joins
     should stay joins: the cogroup pays one Arrow crossing per side.
     One shuffle per input on the cogroup key, same as the join it
-    replaces."""
+    replaces. The UDF returns the raw float sum; rounding happens
+    uniformly in Spark's ``r6`` (HALF_UP, matching DuckDB's ROUND)
+    — Python's ``round()`` is banker's rounding and would diverge
+    on a representable .5 tie."""
 
     def merge(key, cdf: pd.DataFrame, odf: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
                 "c_custkey": [key[0]],
                 "n_orders": [len(odf)],
-                "total_spend": [round(float(odf["o_totalprice"].sum()) if len(odf) else 0.0, 6)],
+                "total_spend": [float(odf["o_totalprice"].sum()) if len(odf) else 0.0],
             }
         )
 
@@ -332,4 +335,5 @@ def u08_cogrouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey")
         .cogroup(orders.select("o_custkey", "o_totalprice").groupBy("o_custkey"))
         .applyInPandas(merge, "c_custkey bigint, n_orders bigint, total_spend double")
+        .withColumn("total_spend", r6(F.col("total_spend")))
     )

@@ -107,10 +107,18 @@ def test_verify_first_window_covers_unverified():
     old_idx = [i for i, n in enumerate(unverified) if n not in registry.NEW_THIS_ROUND]
     new_idx = [i for i, n in enumerate(unverified) if n in registry.NEW_THIS_ROUND]
     assert not new_idx or not old_idx or max(old_idx) < min(new_idx)
-    # Within the backlog, pure queries come before impure
+    # FRONT_OF_LINE names pin to the very front of the backlog while
+    # unverified (tier -1) regardless of purity.
+    front = [n for n in registry.FRONT_OF_LINE if n not in verified]
+    assert unverified[: len(front)] == front
+    # Within the rest of the backlog, pure queries come before impure
     # (side-effecting) ones, keeping the window cheap.
     for group in (
-        [n for n in unverified if n not in registry.NEW_THIS_ROUND],
+        [
+            n
+            for n in unverified
+            if n not in registry.NEW_THIS_ROUND and n not in registry.FRONT_OF_LINE
+        ],
         names[n_unverified:],
     ):
         impure_flags = [n in registry.IMPURE for n in group]
