@@ -102,6 +102,45 @@ def test_output_modes_golden(spark):
 
 
 @pinned
+def test_foreach_batch_contents_golden(spark):
+    """T8's foreachBatch path, asserted on CONTENTS, not just row
+    counts: the union of every batch DataFrame the sink callback
+    receives must equal the batch-mode aggregate of the same input
+    (availableNow drains the full fixture, and counts are additive
+    across update-mode emissions of disjoint micro-batches)."""
+    from pyspark.sql import functions as F
+
+    from hetnetdb_spark.streaming.queries import _events_stream
+    from hetnetdb_spark.catalog import load_tables, table_path
+
+    batches: list[list] = []
+    q = (
+        _events_stream(spark, table_path(SF_DIR, "events"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .writeStream.outputMode("update")
+        .foreachBatch(lambda bdf, bid: batches.append(bdf.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    streamed: dict[str, int] = {}
+    for batch in batches:
+        for r in batch:
+            streamed[r["event_type"]] = streamed.get(r["event_type"], 0) + r["n"]
+
+    (events,) = load_tables(spark, SF_DIR, "events")
+    expected = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert streamed == expected and len(expected) == 5
+
+
+@pinned
 def test_ivf_recall_vs_exact(spark):
     """IVF probes 2 of 16 partitions (~12% of the corpus scanned);
     its top-10 for query vec 0 must still recover >=8 of the exact
