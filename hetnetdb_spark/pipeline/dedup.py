@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from hetnetdb_spark.catalog import load_tables
-from hetnetdb_spark.expr import dot, r6
+from hetnetdb_spark.expr import r6
 from hetnetdb_spark.pipeline.similarity import duck_dot
 from hetnetdb_spark.registry import query
 
@@ -354,23 +354,23 @@ def l02_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic and SQL-expressible; output is the per-source
     funnel (total → kept → first kept id).
 
-    Physical shape: the pair generation here is the exact O(N²/2)
-    broadcast triangle — the honest, oracle-checkable baseline. At
-    corpus scale the identical keep/drop semantics run off
-    `l04_simjoin_lsh`'s banded candidates (cosine verified exactly
-    after the band join), which this query is the correctness oracle
-    for. The dup-id set (≤ N ids, no vectors) broadcasts into the
-    documents-side anti-probe, so the wide ``text`` column never
-    shuffles.
+    Physical shape: the pair generation is the exact O(N²/2)
+    triangle via `similarity.exact_pairs`' GEMM kernel — the honest,
+    oracle-checkable baseline (a doc is a dup iff it appears as the
+    HIGHER id of a qualifying pair). At corpus scale the identical
+    keep/drop semantics run off `l04_simjoin_lsh`'s banded
+    candidates (cosine verified exactly after the band join), which
+    this query is the correctness oracle for. The dup-id set (≤ N
+    ids, no vectors) broadcasts into the documents-side anti-probe,
+    so the wide ``text`` column never shuffles.
     """
+    from hetnetdb_spark.pipeline.similarity import exact_pairs
+
     (emb,) = load_tables(spark, sf_dir, "embeddings")
     (documents,) = load_tables(spark, sf_dir, "documents")
-    a = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"))
-    b = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"))
     dup_ids = (
-        a.join(F.broadcast(b), F.col("a_id") > F.col("b_id"))
-        .filter(r6(dot(F.col("a_emb"), F.col("b_emb"))) >= EMB_TAU)
-        .select(F.col("a_id").alias("doc_id"))
+        exact_pairs(spark, emb, EMB_TAU)
+        .select(F.col("b_id").alias("doc_id"))
         .distinct()
         .withColumn("is_dup", F.lit(1))
     )
@@ -535,14 +535,10 @@ def l11_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of the exact triangle. The recursive-CTE oracle
     certifies the whole transitive closure.
     """
+    from hetnetdb_spark.pipeline.similarity import exact_pairs
+
     (emb,) = load_tables(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"))
-    b = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"))
-    pairs = (
-        a.join(F.broadcast(b), F.col("a_id") < F.col("b_id"))
-        .filter(r6(dot(F.col("a_emb"), F.col("b_emb"))) >= EMB_TAU)
-        .select("a_id", "b_id")
-    )
+    pairs = exact_pairs(spark, emb, EMB_TAU).select("a_id", "b_id")
     nodes = emb.select(F.col("vec_id").alias("id"))
     return _min_label_components(pairs, nodes)
 
