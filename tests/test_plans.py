@@ -306,3 +306,16 @@ def test_o08_keyset_cursor_pushed_to_scan(spark):
     m = re.search(r"PushedFilters: \[[^\]]*\]", plan)
     assert m and "l_orderkey" in m.group(0) and "l_linenumber" in m.group(0), plan
     assert has_top_k(plan), plan
+
+
+def test_l04_exact_gemm_plan_shape(spark):
+    """Round-4: the exact similarity twin runs through the
+    `exact_pairs` GEMM kernel — MapInPandas over the embedding scan
+    (one Arrow crossing), labels rejoined via broadcast hash joins.
+    The old interpreted-dot BroadcastNestedLoopJoin (11 µs/pair,
+    28 s at sf0.1) must not come back."""
+    plan = executed_plan(registry.QUERIES["l04_simjoin_exact"](spark, SF_DIR))
+    assert "MapInPandas" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert shuffle_exchange_count(plan) == 0, plan
