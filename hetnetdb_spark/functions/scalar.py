@@ -611,3 +611,80 @@ def f15_bitwise_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_xor(flags).cast("long").alias("flags_parity"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# --------------------------------------------------------------------------
+# F16 — URL dissection (web-corpus provenance parsing)
+# --------------------------------------------------------------------------
+
+#: Deterministic inline URL fixture — the provenance strings a web
+#: crawl carries. Simple well-formed URLs only: the query contracts
+#: both engines to the same parse on them; pathological URLs are an
+#: application concern, not an operator one.
+_F16_URLS = [
+    (1, "https://docs.example.com/guide/intro?lang=en&ref=nav"),
+    (2, "http://example.com/"),
+    (3, "https://api.data.example.org:8443/v2/items?id=42"),
+    (4, "http://blog.sample.net/posts/2024/01/spark"),
+    (5, "https://cdn.example.com/assets/app.js"),
+    (6, "http://shop.example.co/cart?id=9&promo="),
+]
+
+F16_ORACLE = """
+WITH urls(url_id, url) AS (
+    VALUES {values}
+)
+SELECT url_id,
+       regexp_extract(url, '^([a-z]+)://', 1)                 AS scheme,
+       regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1)         AS host,
+       regexp_extract(regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1),
+                      '([^.]+\\.[^.]+)$', 1)                  AS domain,
+       regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1)    AS path,
+       regexp_extract(url, '\\?([^#]*)', 1)                   AS query,
+       regexp_extract(url, '[?&]id=([^&#]*)', 1)              AS id_param
+FROM urls
+ORDER BY url_id
+""".format(
+    values=", ".join(f"({i}, '{u}')" for i, u in _F16_URLS)
+)
+
+
+@query("f16_url_parse", oracle=F16_ORACLE)
+def f16_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F16 — URL dissection with ``parse_url``: scheme, host,
+    registered-domain-ish suffix, path, query string, and one named
+    query parameter. The provenance-parsing step every web-corpus
+    pipeline runs before domain-level dedup/filtering (the domain
+    mix IS the dataset card).
+
+    Spark side uses the built-in ``parse_url`` (java.net.URI —
+    codegen, no UDF); the oracle mirrors it with anchored
+    ``regexp_extract`` over the same inline VALUES. The fixture is
+    restricted to simple well-formed URLs where both parses provably
+    agree: parse_url's HOST drops the port (so does the regex's
+    ``[^/:?#]`` class), PATH of a bare authority is '' on both, and
+    absent QUERY/params surface as NULL from parse_url vs '' from
+    regexp_extract — coalesced to '' on the Spark side.
+
+    Scale posture: pure per-row codegen projection — no shuffle, no
+    state; at corpus scale this maps over the URL column wherever it
+    lives.
+    """
+    df = spark.createDataFrame(_F16_URLS, "url_id int, url string")
+    host = F.parse_url(F.col("url"), F.lit("HOST"))
+    return (
+        df.select(
+            F.col("url_id").cast("int"),
+            F.parse_url(F.col("url"), F.lit("PROTOCOL")).alias("scheme"),
+            host.alias("host"),
+            F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1).alias("domain"),
+            F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
+            F.coalesce(F.parse_url(F.col("url"), F.lit("QUERY")), F.lit("")).alias(
+                "query"
+            ),
+            F.coalesce(
+                F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("id")), F.lit("")
+            ).alias("id_param"),
+        )
+        .orderBy("url_id")
+    )

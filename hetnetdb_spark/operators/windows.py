@@ -402,3 +402,93 @@ def w07_time_grid_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hour_value").alias("value_ff"),
         F.when(F.col("ghour") != F.col("obs_hour"), 1).otherwise(0).cast("long").alias("is_gap"),
     )
+
+
+# --------------------------------------------------------------------------
+# W8 — finite-horizon EWMA smoothing over the hourly telemetry series
+# --------------------------------------------------------------------------
+
+W8_ALPHA = 0.5
+W8_HORIZON = 8
+
+_W8_NUM = " + ".join(
+    f"COALESCE(POW({W8_ALPHA}, {i}) * lag_{i}, 0)" for i in range(W8_HORIZON)
+)
+_W8_DEN = " + ".join(
+    f"CASE WHEN lag_{i} IS NOT NULL THEN POW({W8_ALPHA}, {i}) ELSE 0 END"
+    for i in range(W8_HORIZON)
+)
+
+W8_ORACLE = f"""
+WITH hourly AS (
+  SELECT user_id,
+         date_trunc('hour', ts) AS hour,
+         ROUND(SUM(COALESCE(value, 0)), 6) AS hour_value
+  FROM events
+  WHERE user_id < 10
+  GROUP BY user_id, date_trunc('hour', ts)
+),
+lagged AS (
+  SELECT user_id, hour, hour_value,
+         {", ".join(f"lag(hour_value, {i}) OVER (PARTITION BY user_id ORDER BY hour) AS lag_{i}" for i in range(W8_HORIZON))}
+  FROM hourly
+)
+SELECT user_id, hour, hour_value,
+       ROUND(({_W8_NUM}) / ({_W8_DEN}), 6) AS ewma
+FROM lagged
+"""
+
+
+@query("w08_ewma_smoothing", oracle=W8_ORACLE)
+def w08_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8 — exponentially-weighted moving average with a finite
+    horizon (α=0.5, 8 taps) over each user's hourly value series:
+    the smoothing step in front of anomaly/thresholding on noisy
+    telemetry.
+
+    The textbook EWMA recursion y_t = αx_t + (1-α)y_{t-1} is a
+    sequential scan no engine's window frame expresses directly, and
+    the closed form Σ(1-α)^(t-i)x_i overflows doubles for long
+    series. The finite-horizon form truncates at 8 taps (weight
+    beyond tap 8 is <0.4% for α=0.5) and renormalizes over the taps
+    present, which (a) is numerically safe at any series length and
+    (b) unrolls into 8 ``lag`` columns over ONE window — a single
+    user_id exchange, one sort, all arithmetic in codegen, same
+    spelling in the oracle. Bounded to user_id < 10 to keep the
+    compared frame small; the plan is user-count independent.
+    """
+    (events,) = load_tables(spark, sf_dir, "events")
+    hourly = (
+        events.filter(F.col("user_id") < 10)
+        .groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(
+            F.round(F.sum(F.coalesce(F.col("value"), F.lit(0.0))), 6).alias(
+                "hour_value"
+            )
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("hour")
+    lagged = _parallel_by(spark, hourly, "user_id").select(
+        "user_id",
+        "hour",
+        "hour_value",
+        *[
+            F.lag("hour_value", i).over(w).alias(f"lag_{i}")
+            for i in range(W8_HORIZON)
+        ],
+    )
+    num = sum(
+        F.coalesce(
+            F.lit(W8_ALPHA**i) * F.col(f"lag_{i}"), F.lit(0.0)
+        )
+        for i in range(W8_HORIZON)
+    )
+    den = sum(
+        F.when(F.col(f"lag_{i}").isNotNull(), F.lit(W8_ALPHA**i)).otherwise(
+            F.lit(0.0)
+        )
+        for i in range(W8_HORIZON)
+    )
+    return lagged.select(
+        "user_id", "hour", "hour_value", F.round(num / den, 6).alias("ewma")
+    )

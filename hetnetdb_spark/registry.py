@@ -139,7 +139,12 @@ def _verified_names() -> set[str]:
 #: list sort first automatically and the list should be rotated.
 #: (Round 4: rotated — round 3's ~74 additions have now waited a full
 #: round and sort into tiers 0/1 via CORRECTNESS_r03.json.)
-NEW_THIS_ROUND: frozenset[str] = frozenset()
+NEW_THIS_ROUND: frozenset[str] = frozenset(
+    {
+        "w08_ewma_smoothing",
+        "f16_url_parse",
+    }
+)
 
 #: Names forced to the very front of the verification window while
 #: they lack a driver-green CORRECTNESS row. u06_python_udtf is the
