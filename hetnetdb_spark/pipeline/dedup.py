@@ -548,12 +548,59 @@ def l11_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@query("l16_components_lsh", oracle=None)
+def _l16_oracle() -> str:
+    """Full-oracle twin of l16_components_lsh — inlined-plane LSH
+    banding (see `similarity.lsh_banded_sql`), exact verification,
+    then the same recursive-CTE transitive closure L11 uses, rolled
+    up to the one-row component summary."""
+    from hetnetdb_spark.pipeline.similarity import SIM_THRESHOLD, lsh_banded_sql
+
+    return f"""
+WITH RECURSIVE {lsh_banded_sql()},
+cand AS (
+    SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+    FROM banded a JOIN banded b
+      ON a.band_id = b.band_id AND a.band_val = b.band_val
+     AND a.vec_id < b.vec_id
+),
+pairs AS (
+    SELECT c.a_id, c.b_id
+    FROM cand c
+    JOIN embeddings ea ON ea.vec_id = c.a_id
+    JOIN embeddings eb ON eb.vec_id = c.b_id
+    WHERE ROUND({duck_dot("ea.embedding", "eb.embedding")}, 6) >= {SIM_THRESHOLD}
+),
+edges AS (
+    SELECT a_id AS src, b_id AS dst FROM pairs
+    UNION ALL
+    SELECT b_id, a_id FROM pairs
+),
+reach(id, root) AS (
+    SELECT vec_id, vec_id FROM embeddings
+    UNION
+    SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id
+),
+comps AS (
+    SELECT root, COUNT(*) AS n_members
+    FROM (SELECT id, MIN(root) AS root FROM reach GROUP BY id)
+    GROUP BY root
+)
+SELECT CAST(COUNT(*) AS BIGINT)        AS n_components,
+       CAST(SUM(n_members) AS BIGINT)  AS n_nodes,
+       CAST(MAX(n_members) AS BIGINT)  AS largest
+FROM comps
+"""
+
+
+@query("l16_components_lsh", oracle=_l16_oracle())
 def l16_components_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L16 (rows-only: LSH is approximate) — the corpus-scale twin
-    of `l11_dedup_components`: the SAME min-label loop, but fed by
-    the banded hyperplane-LSH candidate pairs (cosine verified
-    exactly after the band join) instead of the O(N²) triangle.
+    """L16 — the corpus-scale twin of `l11_dedup_components`: the
+    SAME min-label loop, but fed by the banded hyperplane-LSH
+    candidate pairs (cosine verified exactly after the band join)
+    instead of the O(N²) triangle. FULL oracle since round 4: the
+    banding constants inline into the DuckDB twin (`_l16_oracle`),
+    which replays candidates + verification + a recursive-CTE
+    closure — the approximation is deterministic, so it verifies.
     Candidate generation shuffles band keys + ids only; the loop
     shuffles (id, label) pairs — nothing quadratic anywhere, which
     is what makes transitive near-dup clustering runnable on a full

@@ -273,9 +273,89 @@ def _band_structs() -> list[F.Column]:
     return out
 
 
-@query("l04_simjoin_lsh", oracle=None)
+def _plane_dot_sql(plane: np.ndarray) -> str:
+    """embedding · plane as a left-associative SQL sum of literal
+    terms. Bit-reproducibility argument: Spark's `dot` folds
+    ``aggregate(zip_with(...), 0.0, acc + v)`` in index order, and a
+    left-associative ``t1 + t2 + ...`` chain adds in the same order
+    (the leading 0.0 + t1 is exact in IEEE); each term is the same
+    float32 element cast to double times the same double literal
+    (``repr`` round-trips the exact float64), so both engines
+    produce the identical double and the > 0 sign test cannot
+    straddle."""
+    return " + ".join(
+        f"CAST(embedding[{i + 1}] AS DOUBLE) * {float(plane[i])!r}"
+        for i in range(DIM)
+    )
+
+
+def lsh_banded_sql() -> str:
+    """WITH-clause fragment computing the banded LSH keys in DuckDB —
+    the oracle twin of `_band_structs`, with the seed-42 hyperplanes
+    inlined as literals (the 'model' IS 4096 constants, so the SQL
+    simply states them: ~170 KB of generated text, parsed once).
+    Yields CTEs `sig` (one row per vector, 16 band-value columns)
+    and `banded` (exploded to (vec_id, band_id, band_val))."""
+    planes = _hyperplanes()
+    band_cols = []
+    for b in range(N_BANDS):
+        bits = " + ".join(
+            f"CASE WHEN ({_plane_dot_sql(planes[b * BITS_PER_BAND + r])}) > 0 "
+            f"THEN {1 << r} ELSE 0 END"
+            for r in range(BITS_PER_BAND)
+        )
+        band_cols.append(f"({bits}) AS bv{b}")
+    sig = ",\n         ".join(band_cols)
+    unpivot = "\n    UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band_id, bv{b} AS band_val FROM sig"
+        for b in range(N_BANDS)
+    )
+    return (
+        f"sig AS MATERIALIZED (\n"
+        f"  SELECT vec_id,\n         {sig}\n  FROM embeddings\n),\n"
+        f"banded AS (\n    {unpivot}\n)"
+    )
+
+
+def _l04_lsh_oracle() -> str:
+    """Full-oracle twin of l04_simjoin_lsh: same bands, same
+    candidate join, same exact verification and recall arithmetic."""
+    return f"""
+WITH {lsh_banded_sql()},
+cand AS (
+    SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+    FROM banded a JOIN banded b
+      ON a.band_id = b.band_id AND a.band_val = b.band_val
+     AND a.vec_id < b.vec_id
+),
+ver AS (
+    SELECT COUNT(*) AS n_verified
+    FROM cand c
+    JOIN embeddings ea ON ea.vec_id = c.a_id
+    JOIN embeddings eb ON eb.vec_id = c.b_id
+    WHERE ROUND({duck_dot("ea.embedding", "eb.embedding")}, 6) >= {SIM_THRESHOLD}
+),
+exact AS (
+    SELECT COUNT(*) AS n_exact
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE ROUND({duck_dot("a.embedding", "b.embedding")}, 6) >= {SIM_THRESHOLD}
+)
+SELECT 'lsh' AS strategy,
+       (SELECT COUNT(*) FROM cand)     AS n_candidates,
+       (SELECT n_verified FROM ver)    AS n_verified,
+       (SELECT n_exact FROM exact)     AS n_exact,
+       ROUND(CAST((SELECT n_verified FROM ver) AS DOUBLE)
+             / GREATEST((SELECT n_exact FROM exact), 1), 6) AS recall
+"""
+
+
+@query("l04_simjoin_lsh", oracle=_l04_lsh_oracle())
 def l04_simjoin_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L4 at scale (rows-only) — banded random-hyperplane LSH join.
+    """L4 at scale — banded random-hyperplane LSH join. FULL oracle
+    since round 4: the hyperplanes are deterministic constants, so
+    the DuckDB twin simply inlines them (`lsh_banded_sql`) and
+    replays banding, candidate join, and exact verification —
+    approximate ≠ unverifiable.
 
     Pipeline: 64 fixed hyperplanes (seed 42) → 16 bands × 4 bits →
     explode to (band_id, band_val) keys → self-join on the band key

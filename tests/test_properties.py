@@ -280,3 +280,41 @@ def test_float_results_partition_invariant(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
         registry._PLAN_CACHE.clear()
+
+
+def test_exact_pairs_gemm_matches_naive(spark):
+    """The round-4 GEMM kernel (similarity.exact_pairs) must produce
+    exactly the pairs a naive per-pair python dot finds — triangle
+    predicate, float64 accumulation, r6 rounding, threshold — on a
+    seeded random embedding set whose cosines cluster around the
+    threshold (worst case for rounding-boundary disagreement)."""
+    import numpy as np
+    import pandas as pd
+
+    from hetnetdb_spark.pipeline.similarity import exact_pairs
+
+    rng = np.random.default_rng(7)
+    n, d, tau = 80, 16, 0.35
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(n), "embedding": [v.tolist() for v in vecs]}),
+        "vec_id bigint, embedding array<float>",
+    ).repartition(5)
+
+    got = {
+        (r["a_id"], r["b_id"], r["cosine"])
+        for r in exact_pairs(spark, emb, tau).collect()
+    }
+
+    v64 = vecs.astype(np.float64)
+    want = set()
+    for i in range(n):
+        for j in range(i + 1, n):
+            c = round(float(v64[i] @ v64[j]), 6)
+            if c >= tau:
+                want.add((i, j, c))
+    assert got == want, (
+        f"missing={sorted(want - got)[:5]} extra={sorted(got - want)[:5]}"
+    )
