@@ -775,3 +775,126 @@ def l25_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("avg_neg_logprob"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# L28 — corpus bigram frequency (n-gram LM statistics)
+# --------------------------------------------------------------------------
+
+L28_ORACLE = """
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t
+    FROM documents
+    WHERE len(string_split(text, ' ')) >= 2
+),
+bigrams AS (
+    SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                                         i -> t[i] || ' ' || t[i+1])) AS bigram
+    FROM toks
+)
+SELECT bigram,
+       CAST(COUNT(*) AS BIGINT)                AS n,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT)  AS doc_freq
+FROM bigrams
+GROUP BY bigram
+ORDER BY n DESC, bigram
+LIMIT 25
+"""
+
+
+@query("l28_bigram_counts", oracle=L28_ORACLE)
+def l28_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L28 — corpus-wide bigram frequency + document frequency,
+    top 25: the statistic behind bigram-LM quality scores (l25's
+    conditional-probability upgrade), n-gram contamination reports,
+    and boilerplate detection (a bigram in half the corpus IS
+    boilerplate).
+
+    Bigram formation is a higher-order ``transform`` over
+    ``sequence`` zipping each token with its successor — codegen, no
+    UDF, mirrored index-for-index by the oracle's `list_transform`
+    (both `sequence(1, size-1)` and `range(1, len)` enumerate
+    1..n-1). The canonical distributed word-count shape: explode →
+    partial count map-side → one shuffle keyed by bigram carrying
+    (bigram, partial n, partial doc set) — never document text —
+    then `TakeOrderedAndProject` for the top-k. doc_freq's DISTINCT
+    forces the doc_id list through the shuffle per bigram; bounded
+    by df, the quantity being measured.
+    """
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    toks = documents.select(
+        "doc_id", F.split(F.col("text"), " ").alias("t")
+    ).filter(F.size("t") >= 2)
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), "
+                "i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1)))"
+            )
+        ).alias("bigram"),
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(25)
+    )
+
+
+# --------------------------------------------------------------------------
+# L29 — per-source embedding centroids (domain fingerprints)
+# --------------------------------------------------------------------------
+
+L29_ORACLE = """
+SELECT d.source,
+       CAST(t.i AS INT)                                   AS dim,
+       ROUND(AVG(CAST(e.embedding[t.i] AS DOUBLE)), 6)    AS centroid,
+       CAST(COUNT(*) AS BIGINT)                           AS n_docs
+FROM embeddings e
+JOIN documents d ON d.doc_id = e.vec_id
+CROSS JOIN range(1, 9) t(i)
+GROUP BY d.source, t.i
+"""
+
+
+@query("l29_source_centroids", oracle=L29_ORACLE)
+def l29_source_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L29 — per-source mean embedding (first 8 dims): the domain
+    fingerprint used for source-level clustering, drift monitoring,
+    and mixture weighting in corpus curation.
+
+    Physical shape matters at scale: the naive formulation
+    (posexplode the vector, then group on (source, dim)) shuffles
+    64·N skinny rows. This plan instead computes all per-dim means
+    as SIMULTANEOUS ``avg(element_at(...))`` aggregates in one hash
+    aggregate — partial (source → 8 sums + count) combines map-side,
+    so the single shuffle carries K×8 partial states regardless of
+    corpus size (the `_lloyd_refine` centroid trick, cited there) —
+    and unpivots the K×8 result AFTER aggregation via ``stack``.
+    Dim count bounded to 8 to keep the compared frame reviewable;
+    the plan is identical at 64.
+    """
+    n_dims = 8
+    (emb, documents) = load_tables(spark, sf_dir, "embeddings", "documents")
+    joined = emb.select("vec_id", "embedding").join(
+        documents.select(F.col("doc_id").alias("vec_id"), "source"), "vec_id"
+    )
+    agged = joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[
+            F.round(F.avg(F.element_at("embedding", i).cast("double")), 6).alias(
+                f"c{i}"
+            )
+            for i in range(1, n_dims + 1)
+        ],
+    )
+    stack_args = ", ".join(f"{i}, c{i}" for i in range(1, n_dims + 1))
+    return agged.selectExpr(
+        "source",
+        f"stack({n_dims}, {stack_args}) AS (dim, centroid)",
+        "n_docs",
+    ).select("source", F.col("dim").cast("int"), "centroid", "n_docs")

@@ -143,6 +143,8 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
     {
         "w08_ewma_smoothing",
         "f16_url_parse",
+        "l28_bigram_counts",
+        "l29_source_centroids",
     }
 )
 
