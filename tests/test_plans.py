@@ -319,3 +319,31 @@ def test_l04_exact_gemm_plan_shape(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert plan.count("BroadcastHashJoin") == 2, plan
     assert shuffle_exchange_count(plan) == 0, plan
+
+
+def test_w08_single_exchange(spark):
+    """w08: the 8 lag taps and the hourly pre-aggregate must all
+    ride ONE user_id exchange — an extra sort/exchange per tap means
+    the window spec drifted."""
+    plan = executed_plan(registry.QUERIES["w08_ewma_smoothing"](spark, SF_DIR))
+    assert shuffle_exchange_count(plan) <= 2, plan  # hourly agg + window
+
+
+def test_l28_bigram_topk_two_phase(spark):
+    """l28: word-count shape — partial aggregation below the bigram
+    exchange, TakeOrderedAndProject for the top-25 (no global
+    sort)."""
+    plan = executed_plan(registry.QUERIES["l28_bigram_counts"](spark, SF_DIR))
+    assert has_top_k(plan), plan
+    assert "Sort" not in plan.split("TakeOrderedAndProject")[0], plan
+
+
+def test_l29_centroids_no_vector_explosion(spark):
+    """l29: the centroid aggregate must NOT posexplode vectors into
+    64N rows before aggregating — partial avg states combine
+    map-side, so the only Generate allowed is the K-row `stack`
+    unpivot ABOVE the aggregate exchange, never below it."""
+    plan = executed_plan(registry.QUERIES["l29_source_centroids"](spark, SF_DIR))
+    assert "partial_avg" in plan, plan
+    below_exchange = plan.split("Exchange", 1)[1]
+    assert "Generate" not in below_exchange, plan
