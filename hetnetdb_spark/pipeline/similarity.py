@@ -456,9 +456,90 @@ def _lloyd_refine(emb: DataFrame, seeds: DataFrame) -> DataFrame:
     )
 
 
-@query("l03_knn_ivf", oracle=None)
+def _chain_dot(a: str, b: str) -> str:
+    """a · b over two SQL list expressions as a left-associative
+    64-term chain — the same fold order as Spark's `dot`, so both
+    engines produce bit-identical doubles (see `_plane_dot_sql`)."""
+    return " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)"
+        for i in range(1, DIM + 1)
+    )
+
+
+def _l03_ivf_oracle() -> str:
+    """Full-oracle twin of l03_knn_ivf — replays seed assignment,
+    the Lloyd refinement (64 AVG-cast-FLOAT centroid components),
+    final assignment, 2-centroid probing, and the pruned top-10.
+    Every dot is a left-associative chain (`_chain_dot`) so argmax
+    comparisons see bit-identical scores; centroid components pass
+    through the same double-mean → FLOAT quantization on both
+    engines."""
+    cent_cols = ",\n           ".join(
+        f"CAST(AVG(CAST(embedding[{i}] AS DOUBLE)) AS FLOAT) AS c{i}"
+        for i in range(1, DIM + 1)
+    )
+    dot_cent = " + ".join(
+        f"CAST(e.embedding[{i}] AS DOUBLE) * CAST(c.c{i} AS DOUBLE)"
+        for i in range(1, DIM + 1)
+    )
+    dot_cent_q = " + ".join(
+        f"CAST(q.embedding[{i}] AS DOUBLE) * CAST(c.c{i} AS DOUBLE)"
+        for i in range(1, DIM + 1)
+    )
+    return f"""
+WITH seeds AS (
+    SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < {N_CENTROIDS}
+),
+seed_assign AS (
+    SELECT vec_id, embedding, cid FROM (
+        SELECT e.vec_id, e.embedding, s.cid,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY ({_chain_dot("e.embedding", "s.embedding")}) DESC, s.cid
+               ) AS rn
+        FROM embeddings e CROSS JOIN seeds s
+    ) WHERE rn = 1
+),
+cent AS (
+    SELECT cid,
+           {cent_cols}
+    FROM seed_assign
+    GROUP BY cid
+),
+assigned AS (
+    SELECT vec_id, embedding, cid AS cluster FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY ({dot_cent}) DESC, c.cid
+               ) AS rn
+        FROM embeddings e CROSS JOIN cent c
+    ) WHERE rn = 1
+),
+q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+probe AS (
+    SELECT c.cid
+    FROM cent c CROSS JOIN q
+    ORDER BY ({dot_cent_q}) DESC, c.cid
+    LIMIT {N_PROBE}
+)
+SELECT a.vec_id,
+       ROUND({_chain_dot("a.embedding", "q.embedding")}, 6) AS cosine
+FROM assigned a
+CROSS JOIN q
+WHERE a.cluster IN (SELECT cid FROM probe) AND a.vec_id <> 0
+ORDER BY cosine DESC, a.vec_id
+LIMIT 10
+"""
+
+
+@query("l03_knn_ivf", oracle=_l03_ivf_oracle())
 def l03_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L3 at scale (rows-only) — IVF-style partition-pruned top-10.
+    """L3 at scale — IVF-style partition-pruned top-10. FULL oracle
+    since round 4 (`_l03_ivf_oracle`): training is one deterministic
+    Lloyd pass from fixed seeds, so the DuckDB twin replays it —
+    every dot spelled as the same left-associative chain Spark's
+    fold computes, making the argmax assignments bit-reproducible.
 
     Centroids are trained with one Lloyd iteration from the first 8
     vectors as seeds (`_lloyd_refine` — deterministic, all
