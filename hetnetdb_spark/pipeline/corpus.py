@@ -298,3 +298,92 @@ def l24_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.expr("instr('0123456789abcdef', substr(k, 1, 1))") - 1).cast("long").alias("shard"),
         F.row_number().over(w).cast("long").alias("pos"),
     )
+
+
+# --------------------------------------------------------------------------
+# L30 — graded contamination report (per-doc n-gram overlap ratio)
+# --------------------------------------------------------------------------
+
+L30_ORACLE = f"""
+WITH g AS (
+    SELECT doc_id, source,
+           unnest(list_distinct(list_transform(
+               range(1, GREATEST(len(string_split(text, ' ')) - {NGRAM - 1}, 0) + 1),
+               i -> array_to_string(list_slice(string_split(text, ' '), i, i + {NGRAM - 1}), ' ')
+           ))) AS gram
+    FROM documents
+    WHERE len(string_split(text, ' ')) >= {NGRAM}
+),
+train AS (SELECT DISTINCT gram FROM g WHERE source IN ({_TRAIN_IN})),
+per_doc AS (
+    SELECT source, doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN gram IN (SELECT gram FROM train) THEN 1 ELSE 0 END)
+                AS BIGINT)          AS n_hit
+    FROM g
+    WHERE source NOT IN ({_TRAIN_IN})
+    GROUP BY source, doc_id
+)
+SELECT doc_id, source, n_grams, n_hit,
+       ROUND(CAST(n_hit AS DOUBLE) / n_grams, 6) AS overlap_frac
+FROM per_doc
+ORDER BY overlap_frac DESC, doc_id
+LIMIT 20
+"""
+
+
+@query("l30_contamination_report", oracle=L30_ORACLE)
+def l30_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L30 — the graded companion to l19's binary flag: for every
+    eval-split document, the FRACTION of its distinct 5-grams that
+    appear anywhere in the training split, top-20 most-contaminated.
+    Binary decontamination over-drops (one boilerplate 5-gram kills
+    a document); real pipelines threshold on this ratio instead and
+    audit the tail — which is exactly this report.
+
+    Same physical discipline as l19: distinct grams explode once,
+    the train side reduces to a DISTINCT gram relation (vocabulary-
+    bounded), and the per-doc hit count comes from an INNER join on
+    the gram hash carrying (gram, doc ids) only — text never
+    shuffles. The denominator is a count over the same exploded
+    relation, so one scan feeds both sides; top-20 is a
+    TakeOrderedAndProject, not a global sort.
+    """
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (NGRAM - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, NGRAM)),
+        )
+    )
+    with_grams = documents.filter(F.size(toks) >= NGRAM).select(
+        "doc_id", "source", F.explode(grams).alias("gram")
+    )
+    is_train = F.col("source").isin(*TRAIN_SOURCES)
+    train_grams = with_grams.filter(is_train).select("gram").distinct()
+    eval_grams = with_grams.filter(~is_train)
+    totals = eval_grams.groupBy("source", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams")
+    )
+    hits = (
+        eval_grams.join(train_grams, "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        totals.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "n_grams",
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+                / F.col("n_grams"),
+                6,
+            ).alias("overlap_frac"),
+        )
+        .orderBy(F.col("overlap_frac").desc(), "doc_id")
+        .limit(20)
+    )

@@ -145,6 +145,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "f16_url_parse",
         "l28_bigram_counts",
         "l29_source_centroids",
+        "l30_contamination_report",
     }
 )
 
