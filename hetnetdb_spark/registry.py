@@ -146,6 +146,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "l28_bigram_counts",
         "l29_source_centroids",
         "l30_contamination_report",
+        "s21_incremental_ingest",
     }
 )
 

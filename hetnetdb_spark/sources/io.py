@@ -829,3 +829,100 @@ def s20_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("price_b").cast("int").alias("max_price_b"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# S21 — manifest-based incremental ingest (process only unseen files)
+# --------------------------------------------------------------------------
+
+S21_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT)   AS n,
+       ROUND(SUM(value), 6)       AS sum_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("s21_incremental_ingest", oracle=S21_ORACLE, impure=True)
+def s21_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S21 — incremental batch ingest with a processed-file
+    manifest: the non-streaming half of S7. A landing directory
+    receives files over time; each ingest pass lists it, anti-joins
+    the listing against the manifest, processes ONLY unseen files,
+    appends their partial aggregates to a cumulative store, and
+    records them. Two passes run here — files A+B land, ingest;
+    file C lands, ingest — and the oracle asserts the convergence
+    contract: incremental processing must equal full reprocessing
+    (per-type counts/sums over ALL events). Batch 2 touching only
+    file C (not re-reading A/B) is asserted separately in
+    tests/test_invariants.py::test_s21_second_batch_is_incremental.
+
+    Scale posture: the manifest is (file, batch) rows — bounded by
+    file count, not data; per-batch work is a scan of the NEW bytes
+    only plus a partial aggregate, and the cumulative store holds
+    per-(type, batch) partials merged by a final re-aggregate
+    (sum-of-sums — the same partial-merge algebra a18 demonstrates),
+    so re-ingest cost is O(new data) regardless of history size.
+    Listing is one driver-side directory read — metadata, not data
+    (at 100 TB this is the catalog/notification service's job, e.g.
+    file-arrival queues; the anti-join discipline is identical).
+    """
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    landing = os.path.join(SCRATCH, f"s21_landing_{tag}")
+    manifest_p = os.path.join(SCRATCH, f"s21_manifest_{tag}")
+    store = os.path.join(SCRATCH, f"s21_store_{tag}")
+    for p in (landing, manifest_p, store):
+        shutil.rmtree(p, ignore_errors=True)
+    os.makedirs(landing)
+
+    (events,) = load_tables(spark, sf_dir, "events")
+    src = events.select("event_id", "event_type", "value")
+
+    def land(part: int) -> None:
+        (
+            src.filter(F.col("event_id") % 3 == part)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(landing, f"part{part}"))
+        )
+
+    def ingest(batch_id: int) -> int:
+        arrived = sorted(
+            os.path.join(landing, d) for d in os.listdir(landing)
+        )
+        if os.path.exists(manifest_p):
+            seen = {
+                r.file for r in spark.read.parquet(manifest_p).collect()
+            }
+        else:
+            seen = set()
+        new = [p for p in arrived if p not in seen]
+        if not new:
+            return 0
+        partial = (
+            spark.read.parquet(*new)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        partial.write.mode("append").parquet(store)
+        spark.createDataFrame(
+            [(p, batch_id) for p in new], "file string, batch_id int"
+        ).write.mode("append").parquet(manifest_p)
+        return len(new)
+
+    land(0)
+    land(1)
+    ingest(1)
+    land(2)
+    ingest(2)
+
+    return (
+        spark.read.parquet(store)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.round(F.sum("sum_value"), 6).alias("sum_value"),
+        )
+    )

@@ -276,3 +276,25 @@ def test_concurrent_query_execution(spark):
     with ThreadPoolExecutor(max_workers=8) as pool:
         concurrent = dict(pool.map(run_one, names))
     assert concurrent == serial
+
+
+@needs_both
+def test_s21_second_batch_is_incremental(spark):
+    """s21's convergence is oracle-checked; the INCREMENTAL claim —
+    batch 2 processes only the newly-landed file — is pinned here
+    via the manifest: exactly 3 files total, 2 in batch 1, 1 in
+    batch 2, no file in two batches."""
+    from hetnetdb_spark.sources.io import SCRATCH
+    from hetnetdb_spark import registry
+
+    registry.QUERIES["s21_incremental_ingest"](spark, SF_SMALL).collect()
+    tag = os.path.basename(SF_SMALL.rstrip("/")).replace(".", "_")
+    manifest = spark.read.parquet(
+        os.path.join(SCRATCH, f"s21_manifest_{tag}")
+    ).collect()
+    by_batch: dict[int, list[str]] = {}
+    for r in manifest:
+        by_batch.setdefault(r.batch_id, []).append(r.file)
+    assert len(manifest) == 3
+    assert sorted(len(v) for v in by_batch.values()) == [1, 2]
+    assert len({r.file for r in manifest}) == 3, "a file was re-processed"
