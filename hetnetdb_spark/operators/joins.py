@@ -542,3 +542,77 @@ def j14_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.count(F.lit(1)).alias("n_overlapping_pairs"))
     )
+
+
+# --------------------------------------------------------------------------
+# J15 — as-of join with tolerance (keep-unmatched + staleness audit)
+# --------------------------------------------------------------------------
+
+J15_ORACLE = """
+SELECT p_event_id, asof_click_id, staleness_ms
+FROM (
+  SELECT p.event_id AS p_event_id,
+         c.event_id AS asof_click_id,
+         (epoch_us(p.ts) - epoch_us(c.ts)) // 1000 AS staleness_ms,
+         row_number() OVER (PARTITION BY p.event_id
+                            ORDER BY c.ts DESC, c.event_id DESC) AS rn
+  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    ON p.user_id = c.user_id
+   AND c.ts <= p.ts
+   AND c.ts >= p.ts - INTERVAL 1 HOUR
+) t
+WHERE rn = 1
+"""
+
+
+@query("j15_asof_tolerance", oracle=J15_ORACLE)
+def j15_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J15 — as-of join with a tolerance bound, keep-unmatched: for
+    each purchase, the latest click by the same user within the
+    last HOUR — and purchases with no such click survive with NULL
+    attribution (pandas `merge_asof(tolerance=...)` semantics,
+    which J9's inner form silently drops). The staleness column is
+    the attribution lag in milliseconds — integer arithmetic on
+    epoch micros on BOTH engines (`div 1000` / `// 1000`), because
+    second-granularity `date_diff` counts boundary *crossings* and
+    disagrees with a floored duration for sub-second offsets.
+
+    Same scale shape as J9: equi-join on user bounded by the
+    tolerance window, per-left-row `row_number() = 1`. The LEFT
+    join means unmatched purchases flow through the window with one
+    all-NULL match row — no second anti-join pass to re-attach
+    them.
+    """
+    (events,) = load_tables(spark, sf_dir, "events")
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("asof_click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    w = Window.partitionBy("p_event_id").orderBy(
+        F.col("c_ts").desc(), F.col("asof_click_id").desc()
+    )
+    return (
+        p.join(
+            c,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("c_ts") <= F.col("p_ts"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+            "left",
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "p_event_id",
+            "asof_click_id",
+            F.expr("(unix_micros(p_ts) - unix_micros(c_ts)) div 1000").alias(
+                "staleness_ms"
+            ),
+        )
+    )

@@ -147,6 +147,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "l29_source_centroids",
         "l30_contamination_report",
         "s21_incremental_ingest",
+        "j15_asof_tolerance",
     }
 )
 
