@@ -148,6 +148,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "l30_contamination_report",
         "s21_incremental_ingest",
         "j15_asof_tolerance",
+        "u09_partitioned_udtf",
     }
 )
 

@@ -337,3 +337,72 @@ def u08_cogrouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(merge, "c_custkey bigint, n_orders bigint, total_spend double")
         .withColumn("total_spend", r6(F.col("total_spend")))
     )
+
+
+# --------------------------------------------------------------------------
+# U9 — partitioned UDTF: TABLE(...) PARTITION BY / ORDER BY
+# --------------------------------------------------------------------------
+
+U9_ORACLE = """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT)                           AS n_purchases,
+       CAST(SUM(CASE WHEN value > prev_value THEN 1 ELSE 0 END) AS BIGINT)
+                                                          AS n_increases
+FROM (
+    SELECT user_id, value,
+           lag(value) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS prev_value
+    FROM events WHERE event_type = 'purchase' AND user_id < 20
+)
+GROUP BY user_id
+"""
+
+
+@query("u09_partitioned_udtf", oracle=U9_ORACLE, impure=True)
+def u09_partitioned_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U9 — Spark 4's partitioned-input UDTF: ``TABLE(...)
+    PARTITION BY user ORDER BY ts`` hands the class ONE user's rows
+    in time order, with `terminate()` emitting the per-partition
+    summary — the sequential-scan-per-key shape (compression
+    detectors, protocol parsers, order-dependent dedup) that plain
+    UDTFs can't express because they see arbitrary row order.
+
+    Here it counts value increases over each user's purchase
+    sequence — trivially a `lag` window (which is the oracle), used
+    deliberately so DuckDB certifies the partition/order contract:
+    wrong partitioning or ordering changes the increase count.
+    Scale: the PARTITION BY is one shuffle on user_id; state is one
+    scalar per partition, streamed row-at-a-time.
+    """
+
+    @udtf(returnType="user_id bigint, n_purchases bigint, n_increases bigint")
+    class IncreaseCounter:
+        def __init__(self):
+            self._user = None
+            self._prev = None
+            self._n = 0
+            self._inc = 0
+
+        def eval(self, row):
+            self._user = row["user_id"]
+            self._n += 1
+            if self._prev is not None and row["value"] > self._prev:
+                self._inc += 1
+            self._prev = row["value"]
+
+        def terminate(self):
+            if self._user is not None:
+                yield self._user, self._n, self._inc
+
+    (events,) = load_tables(spark, sf_dir, "events")
+    events.filter(
+        (F.col("event_type") == "purchase") & (F.col("user_id") < 20)
+    ).select("user_id", "ts", "event_id", "value").createOrReplaceTempView(
+        "u09_purchases"
+    )
+    spark.udtf.register("increase_counter", IncreaseCounter)
+    return spark.sql(
+        "SELECT * FROM increase_counter("
+        "TABLE(SELECT * FROM u09_purchases) "
+        "PARTITION BY user_id ORDER BY (ts, event_id))"
+    )
