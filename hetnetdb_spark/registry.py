@@ -149,6 +149,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "s21_incremental_ingest",
         "j15_asof_tolerance",
         "u09_partitioned_udtf",
+        "t11_paced_ingest",
     }
 )
 

@@ -600,3 +600,56 @@ def t10_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _run_to_memory(tracked, "t10_tws", "update")
     return spark.table("t10_tws")
+
+
+# --------------------------------------------------------------------------
+# T11 — trigger pacing: maxFilesPerTrigger under availableNow
+# --------------------------------------------------------------------------
+
+T11_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT)  AS n,
+       ROUND(SUM(value), 6)      AS sum_value
+FROM events
+GROUP BY event_type
+"""
+
+T11_FRAGMENTS = 8
+T11_FILES_PER_TRIGGER = 2
+
+
+@query("t11_paced_ingest", oracle=T11_ORACLE, impure=True)
+def t11_paced_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T11 — bounded-rate streaming ingest: the events table
+    fragmented into 8 files, streamed with ``maxFilesPerTrigger=2``
+    under ``availableNow`` — exactly 4 micro-batches (asserted by
+    the golden test via foreachBatch), each scanning only its file
+    quota. This is the back-pressure knob that turns a backlogged
+    landing zone into bounded-memory catch-up processing: state per
+    micro-batch is capped by files-per-trigger × file size, not by
+    backlog depth. The oracle asserts pacing changes NOTHING about
+    the answer: complete-mode totals equal the batch aggregate over
+    all events.
+    """
+    import shutil
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    frag = os.path.join(SCRATCH, f"t11_fragments_{tag}")
+    if not os.path.exists(os.path.join(frag, "_SUCCESS")):
+        shutil.rmtree(frag, ignore_errors=True)
+        (events,) = load_tables(spark, sf_dir, "events")
+        events.select("event_id", "ts", "user_id", "event_type", "value").repartition(
+            T11_FRAGMENTS
+        ).write.mode("overwrite").parquet(frag)
+
+    schema = spark.read.parquet(frag).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", T11_FILES_PER_TRIGGER)
+        .parquet(frag)
+    )
+    agged = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("sum_value")
+    )
+    _run_to_memory(agged, "t11_paced", "complete")
+    return spark.table("t11_paced")

@@ -182,3 +182,42 @@ def test_lsh_components_golden(spark):
     exact_n = registry.QUERIES["l11_dedup_components"](spark, SF_DIR).count()
     assert got["n_components"] >= exact_n  # split-only
     assert got["n_components"] <= exact_n * 1.10  # bounded fragmentation
+
+
+@pinned
+def test_t11_pacing_batch_count_golden(spark):
+    """t11's oracle proves pacing doesn't change the answer; the
+    PACING itself — 8 fragments ÷ maxFilesPerTrigger=2 = exactly 4
+    micro-batches — is pinned here through a foreachBatch counter
+    over the same fragmented layout."""
+    from pyspark.sql import functions as F
+
+    from hetnetdb_spark.streaming.queries import (
+        SCRATCH,
+        T11_FILES_PER_TRIGGER,
+        T11_FRAGMENTS,
+    )
+    import os
+
+    registry.QUERIES["t11_paced_ingest"](spark, SF_DIR).collect()
+    tag = os.path.basename(SF_DIR.rstrip("/")).replace(".", "_")
+    frag = os.path.join(SCRATCH, f"t11_fragments_{tag}")
+
+    batch_ids: list[int] = []
+    schema = spark.read.parquet(frag).schema
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", T11_FILES_PER_TRIGGER)
+        .parquet(frag)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .writeStream.outputMode("update")
+        # The callback must consume every partition: Spark 4.1's
+        # state-store commit validation rejects a foreachBatch that
+        # leaves partitions unprocessed (count() drains them all).
+        .foreachBatch(lambda bdf, bid: (bdf.count(), batch_ids.append(bid)))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(batch_ids) == T11_FRAGMENTS // T11_FILES_PER_TRIGGER, batch_ids
