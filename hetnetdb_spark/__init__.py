@@ -20,7 +20,14 @@ The public contract is :mod:`hetnetdb_spark.registry`: named queries
 (Spark side) paired with ANSI-SQL oracle strings (DuckDB side).
 """
 
-from hetnetdb_spark.api import list_queries, oracle_sql, profile, run, sql  # noqa: F401
+from hetnetdb_spark.api import (  # noqa: F401
+    ingest_csv,
+    list_queries,
+    oracle_sql,
+    profile,
+    run,
+    sql,
+)
 from hetnetdb_spark.registry import ORACLE, QUERIES, query  # noqa: F401
 
 __version__ = "0.1.0"

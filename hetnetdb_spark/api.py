@@ -56,3 +56,33 @@ def oracle_sql(name: str) -> str | None:
     """The DuckDB oracle SQL for ``name`` (None = rows-only op)."""
     registry.load_all()
     return registry.ORACLE.get(name)
+
+
+def ingest_csv(
+    spark: SparkSession,
+    path: str,
+    table_name: str,
+    schema: str | None = None,
+) -> DataFrame:
+    """The reference's primary ingestion flow — upload a CSV,
+    register it as a queryable table — as one call: read `path`
+    (header expected; `schema` as a DDL string pins column types, or
+    None for a one-pass inference scan), register under
+    `table_name`, return the DataFrame.
+
+    Registered as a temp view (session-scoped, like the reference's
+    per-server tables), so it composes with :func:`sql` — which
+    re-registers the parquet catalog but never drops temp views.
+    For durable, stats-backed tables, write parquet and go through
+    `catalog.register_views` instead; CSV is an ingest format, not a
+    storage layout (no pushdown, no row-group pruning, full-file
+    scans — see sources/io.py S2 notes).
+    """
+    reader = spark.read.option("header", True)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    df = reader.csv(path)
+    df.createOrReplaceTempView(table_name)
+    return df

@@ -298,3 +298,29 @@ def test_s21_second_batch_is_incremental(spark):
     assert len(manifest) == 3
     assert sorted(len(v) for v in by_batch.values()) == [1, 2]
     assert len({r.file for r in manifest}) == 3, "a file was re-processed"
+
+
+@needs_both
+def test_api_ingest_csv_roundtrip(spark, tmp_path):
+    """The reference's upload-CSV-then-query flow through
+    api.ingest_csv: typed read, registered name, SQL-joinable with
+    catalog tables."""
+    import hetnetdb_spark as hs
+
+    (nation,) = load_tables(spark, SF_SMALL, "nation")
+    src = str(tmp_path / "nation_csv")
+    nation.select("n_nationkey", "n_name", "n_regionkey").write.option(
+        "header", True
+    ).csv(src)
+
+    df = hs.ingest_csv(
+        spark, src, "uploaded_nation",
+        schema="n_nationkey INT, n_name STRING, n_regionkey INT",
+    )
+    assert df.schema.simpleString() == (
+        "struct<n_nationkey:int,n_name:string,n_regionkey:int>"
+    )
+    got = spark.sql(
+        "SELECT COUNT(*) AS n, SUM(n_nationkey) AS s FROM uploaded_nation"
+    ).collect()[0]
+    assert got["n"] == 25 and got["s"] == 300
