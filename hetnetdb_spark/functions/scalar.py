@@ -625,9 +625,9 @@ _F16_URLS = [
     (1, "https://docs.example.com/guide/intro?lang=en&ref=nav"),
     (2, "http://example.com/"),
     (3, "https://api.data.example.org:8443/v2/items?id=42"),
-    (4, "http://blog.sample.net/posts/2024/01/spark"),
+    (4, "http://blog.example.net/posts/2024/01/spark"),
     (5, "https://cdn.example.com/assets/app.js"),
-    (6, "http://shop.example.co/cart?id=9&promo="),
+    (6, "http://shop.example.org/cart?id=9&promo="),
 ]
 
 F16_ORACLE = """
