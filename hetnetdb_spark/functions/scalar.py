@@ -688,3 +688,69 @@ def f16_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("url_id")
     )
+
+
+# --------------------------------------------------------------------------
+# F17 — collation-aware comparison (Spark 4 UTF8_LCASE)
+# --------------------------------------------------------------------------
+
+F17_ORACLE = """
+WITH mangled AS (
+    SELECT n_nationkey,
+           CASE WHEN n_nationkey % 2 = 0 THEN upper(n_name)
+                ELSE lower(n_name) END AS name_cased,
+           n_regionkey
+    FROM nation
+)
+SELECT lower(name_cased)         AS name_ci,
+       CAST(COUNT(*) AS BIGINT)  AS n_rows,
+       CAST(COUNT(DISTINCT name_cased) AS BIGINT) AS n_case_variants,
+       CAST(SUM(n_regionkey) AS BIGINT)           AS region_sum
+FROM (SELECT * FROM mangled UNION ALL SELECT * FROM mangled)
+GROUP BY lower(name_cased)
+"""
+
+
+@query("f17_collation", oracle=F17_ORACLE)
+def f17_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F17 — Spark 4 collation support: grouping on a
+    ``UTF8_LCASE``-collated key collapses case variants WITHOUT
+    rewriting the data — the collation rides the type, so the
+    comparison semantics live in the plan, not in a lower() call
+    at every use site (the difference matters once the key is also
+    a join key or a bucketing column).
+
+    One trap, neutralized here: the representative value a collated
+    group-by emits is whichever variant a partition saw first —
+    partition-order NONdeterministic — so the output key is
+    explicitly `lower()`-normalized; only the GROUPING uses the
+    collation. The oracle (DuckDB has no column collations) states
+    the equivalent lower()-keyed aggregate.
+    """
+    (nation,) = load_tables(spark, sf_dir, "nation")
+    mangled = nation.select(
+        "n_nationkey",
+        F.when(
+            F.col("n_nationkey") % 2 == 0, F.upper("n_name")
+        ).otherwise(F.lower("n_name")).alias("name_cased"),
+        "n_regionkey",
+    )
+    doubled = mangled.unionByName(mangled)
+    return (
+        doubled.groupBy(
+            F.collate(F.col("name_cased"), "UTF8_LCASE").alias("name_key")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(
+                F.collate(F.col("name_cased"), "UTF8_BINARY")
+            ).alias("n_case_variants"),
+            F.sum("n_regionkey").alias("region_sum"),
+        )
+        .select(
+            F.lower(F.col("name_key")).cast("string").alias("name_ci"),
+            "n_rows",
+            "n_case_variants",
+            "region_sum",
+        )
+    )

@@ -150,6 +150,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "j15_asof_tolerance",
         "u09_partitioned_udtf",
         "t11_paced_ingest",
+        "f17_collation",
     }
 )
 
