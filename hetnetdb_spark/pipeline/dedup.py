@@ -550,26 +550,21 @@ def l11_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _l16_oracle() -> str:
     """Full-oracle twin of l16_components_lsh — inlined-plane LSH
-    banding (see `similarity.lsh_banded_sql`), exact verification,
-    then the same recursive-CTE transitive closure L11 uses, rolled
-    up to the one-row component summary."""
-    from hetnetdb_spark.pipeline.similarity import SIM_THRESHOLD, lsh_banded_sql
+    banding, candidates, and exact verification via the SAME shared
+    CTE fragments the l04 oracle uses (`similarity.lsh_banded_sql`
+    / `lsh_candidate_cte` / `lsh_verified_pairs_cte` — one
+    definition, two oracles), then the recursive-CTE transitive
+    closure L11 uses, rolled up to the one-row component summary."""
+    from hetnetdb_spark.pipeline.similarity import (
+        lsh_banded_sql,
+        lsh_candidate_cte,
+        lsh_verified_pairs_cte,
+    )
 
     return f"""
 WITH RECURSIVE {lsh_banded_sql()},
-cand AS (
-    SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
-    FROM banded a JOIN banded b
-      ON a.band_id = b.band_id AND a.band_val = b.band_val
-     AND a.vec_id < b.vec_id
-),
-pairs AS (
-    SELECT c.a_id, c.b_id
-    FROM cand c
-    JOIN embeddings ea ON ea.vec_id = c.a_id
-    JOIN embeddings eb ON eb.vec_id = c.b_id
-    WHERE ROUND({duck_dot("ea.embedding", "eb.embedding")}, 6) >= {SIM_THRESHOLD}
-),
+{lsh_candidate_cte()},
+{lsh_verified_pairs_cte()},
 edges AS (
     SELECT a_id AS src, b_id AS dst FROM pairs
     UNION ALL

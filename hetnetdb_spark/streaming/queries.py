@@ -37,38 +37,47 @@ from hetnetdb_spark.registry import query
 SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__)))), ".scratch")
 
-# Requested schema for the events stream (the file stream source
-# requires an explicit schema — no inference pass). events.ts is
-# TIMESTAMP(NANOS) in the parquet footer; requesting TIMESTAMP_NTZ
-# is the one representation Spark 4.1 serves deterministically
-# (µs-truncated wall clock — fixture values are µs-aligned, so
-# lossless). Do NOT request LongType here: 4.1's reader silently
-# fulfills that with epoch-MICROS (not nanos), so any ns-assuming
-# arithmetic downstream would be off by 1000×.
-EVENTS_PHYSICAL = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", TimestampNTZType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+def _events_physical(ts_type) -> StructType:
+    """Requested schema for the events stream (the file stream
+    source requires an explicit schema — no inference pass), with
+    the ts type matching what THIS runtime's batch reader produces:
+    Spark 4.1 reads the TIMESTAMP(NANOS) footer as TIMESTAMP_NTZ
+    (µs-truncated wall clock — fixture values are µs-aligned, so
+    lossless); a ≤4.0 runtime under `nanosAsLong` surfaces epoch-ns
+    LongType, and requesting NTZ there would fail schema
+    conversion. Do NOT request LongType on 4.1: its reader silently
+    fulfills that with epoch-MICROS (not nanos), so ns-assuming
+    arithmetic would be off by 1000×. Probing the batch schema (one
+    footer read) and mirroring it is the only version-safe
+    contract."""
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_type),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
 
 
 def _events_stream(spark: SparkSession, path: str) -> DataFrame:
     """S7 — streaming file source over the events parquet, with the
-    same NTZ→UTC-timestamp normalization as the batch catalog (the
-    session timezone is pinned UTC, so the cast is wall-clock
-    preserving). The file source requires a *directory*, so the scan
-    targets the sf dir with a glob filter selecting the events
-    file."""
+    same ts normalization as the batch catalog (see
+    `_events_physical`; the session timezone is pinned UTC, so the
+    NTZ→timestamp cast is wall-clock preserving and the ns-long
+    `div 1000` path matches catalog.load). The file source requires
+    a *directory*, so the scan targets the sf dir with a glob
+    filter selecting the events file."""
+    ts_type = spark.read.parquet(path).schema["ts"].dataType
     raw = (
-        spark.readStream.schema(EVENTS_PHYSICAL)
+        spark.readStream.schema(_events_physical(ts_type))
         .option("pathGlobFilter", os.path.basename(path))
         .parquet(os.path.dirname(path))
     )
+    if isinstance(ts_type, LongType):
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
@@ -635,12 +644,14 @@ def t11_paced_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     frag = os.path.join(SCRATCH, f"t11_fragments_{tag}")
-    if not os.path.exists(os.path.join(frag, "_SUCCESS")):
-        shutil.rmtree(frag, ignore_errors=True)
-        (events,) = load_tables(spark, sf_dir, "events")
-        events.select("event_id", "ts", "user_id", "event_type", "value").repartition(
-            T11_FRAGMENTS
-        ).write.mode("overwrite").parquet(frag)
+    # Recreate unconditionally: a _SUCCESS-gated cache would
+    # silently reuse a stale fragment count if T11_FRAGMENTS or the
+    # projection changes (the s19 stale-scratch lesson).
+    shutil.rmtree(frag, ignore_errors=True)
+    (events,) = load_tables(spark, sf_dir, "events")
+    events.select("event_id", "ts", "user_id", "event_type", "value").repartition(
+        T11_FRAGMENTS
+    ).write.mode("overwrite").parquet(frag)
 
     schema = spark.read.parquet(frag).schema
     stream = (

@@ -386,7 +386,15 @@ def u09_partitioned_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         def eval(self, row):
             self._user = row["user_id"]
             self._n += 1
-            if self._prev is not None and row["value"] > self._prev:
+            # NULL-safe like the oracle's CASE WHEN value > prev:
+            # SQL three-valued logic makes a NULL on either side "no
+            # increase" (never a crash); prev still advances to the
+            # raw previous value, NULL included, mirroring lag().
+            if (
+                self._prev is not None
+                and row["value"] is not None
+                and row["value"] > self._prev
+            ):
                 self._inc += 1
             self._prev = row["value"]
 

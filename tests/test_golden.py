@@ -104,10 +104,12 @@ def test_output_modes_golden(spark):
 @pinned
 def test_foreach_batch_contents_golden(spark):
     """T8's foreachBatch path, asserted on CONTENTS, not just row
-    counts: the union of every batch DataFrame the sink callback
-    receives must equal the batch-mode aggregate of the same input
-    (availableNow drains the full fixture, and counts are additive
-    across update-mode emissions of disjoint micro-batches)."""
+    counts. Update-mode emissions carry each changed key's NEW
+    CUMULATIVE aggregate (not a per-batch delta), so the correct
+    fold across micro-batches is latest-write-wins per key — summing
+    would double-count any key updated in two batches. With
+    availableNow draining the full fixture, the final per-key state
+    must equal the batch-mode aggregate."""
     from pyspark.sql import functions as F
 
     from hetnetdb_spark.streaming.queries import _events_stream
@@ -126,9 +128,9 @@ def test_foreach_batch_contents_golden(spark):
     q.awaitTermination()
 
     streamed: dict[str, int] = {}
-    for batch in batches:
+    for batch in batches:  # in batch order: later updates overwrite
         for r in batch:
-            streamed[r["event_type"]] = streamed.get(r["event_type"], 0) + r["n"]
+            streamed[r["event_type"]] = r["n"]
 
     (events,) = load_tables(spark, SF_DIR, "events")
     expected = {

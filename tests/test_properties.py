@@ -308,11 +308,18 @@ def test_exact_pairs_gemm_matches_naive(spark):
         for r in exact_pairs(spark, emb, tau).collect()
     }
 
+    # The naive side must round HALF_UP (the r6/DuckDB-ROUND mode
+    # the kernel contracts to), not Python round()'s half-to-even.
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r6_half_up(x: float) -> float:
+        return float(Decimal(repr(x)).quantize(Decimal("1e-6"), ROUND_HALF_UP))
+
     v64 = vecs.astype(np.float64)
     want = set()
     for i in range(n):
         for j in range(i + 1, n):
-            c = round(float(v64[i] @ v64[j]), 6)
+            c = r6_half_up(float(v64[i] @ v64[j]))
             if c >= tau:
                 want.add((i, j, c))
     assert got == want, (
