@@ -898,3 +898,85 @@ def l29_source_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({n_dims}, {stack_args}) AS (dim, centroid)",
         "n_docs",
     ).select("source", F.col("dim").cast("int"), "centroid", "n_docs")
+
+
+# --------------------------------------------------------------------------
+# L31 — dataset card: per-source corpus governance rollup
+# --------------------------------------------------------------------------
+
+L31_ORACLE = """
+WITH per_doc AS (
+    SELECT source, lang, doc_id,
+           len(string_split(text, ' '))    AS n_tokens,
+           n_chars,
+           md5(text)                       AS h
+    FROM documents
+),
+dups AS (
+    SELECT source,
+           COUNT(*) - COUNT(DISTINCT h)    AS n_dup_docs
+    FROM per_doc
+    GROUP BY source
+)
+SELECT p.source,
+       CAST(COUNT(*) AS BIGINT)                         AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT)                    AS total_tokens,
+       ROUND(AVG(CAST(n_tokens AS DOUBLE)), 6)          AS avg_tokens,
+       ROUND(AVG(CAST(n_chars AS DOUBLE)), 6)           AS avg_chars,
+       CAST(COUNT(DISTINCT lang) AS BIGINT)             AS n_langs,
+       ROUND(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 6)                             AS en_frac,
+       ROUND(MAX(d.n_dup_docs) * 1.0 / COUNT(*), 6)     AS dup_frac
+FROM per_doc p JOIN dups d ON p.source = d.source
+GROUP BY p.source
+ORDER BY p.source
+"""
+
+
+@query("l31_dataset_card", oracle=L31_ORACLE)
+def l31_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L31 — the dataset card: one governance row per source with
+    the numbers a corpus release publishes — volume (docs, tokens,
+    chars), language mix (distinct langs, English fraction), and
+    exact-duplicate rate (1 − distinct-hash/docs). This is the
+    rollup every curation pipeline ends with; the component metrics
+    exist as standalone operators (l05 token stats, l07
+    distribution, l01 dedup) and this query is their one-pass
+    composition.
+
+    One scan, one shuffle: all metrics are algebraic or
+    distinct-over-16-byte-hash aggregates grouped by source, so the
+    exchange carries per-source partial states (token sums, hash
+    sets bounded by distinct content). Nothing re-reads text after
+    the projection computes lengths and md5 map-side.
+    """
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.col("text"), " "))
+    return (
+        documents.select(
+            "source",
+            "lang",
+            "n_chars",
+            toks.alias("n_tokens"),
+            F.md5("text").alias("h"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg(F.col("n_tokens").cast("double")), 6).alias("avg_tokens"),
+            F.round(F.avg(F.col("n_chars").cast("double")), 6).alias("avg_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.round(
+                F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("en_frac"),
+            F.round(
+                (F.count(F.lit(1)) - F.countDistinct("h"))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("dup_frac"),
+        )
+        .orderBy("source")
+    )

@@ -151,6 +151,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "u09_partitioned_udtf",
         "t11_paced_ingest",
         "f17_collation",
+        "l31_dataset_card",
     }
 )
 
