@@ -754,3 +754,37 @@ def f17_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "region_sum",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# F18 — ordered string aggregation (Spark 4 listagg WITHIN GROUP)
+# --------------------------------------------------------------------------
+
+F18_ORACLE = """
+SELECT n_regionkey,
+       string_agg(n_name, ',' ORDER BY n_name)  AS names,
+       CAST(COUNT(*) AS BIGINT)                 AS n
+FROM nation
+GROUP BY n_regionkey
+"""
+
+
+@query("f18_listagg", oracle=F18_ORACLE, impure=True)
+def f18_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F18 — `listagg(...) WITHIN GROUP (ORDER BY ...)`, new in
+    Spark 4: ordered string aggregation without the
+    concat_ws(sort_array(collect_list(...))) three-step. The
+    explicit WITHIN GROUP ordering is what makes the result
+    deterministic under any partitioning — an unordered listagg
+    concatenates in partition-arrival order and would never
+    hash-match an oracle (the same trap as collect_list, a09).
+    DuckDB twin is `string_agg(... ORDER BY ...)`.
+    """
+    (nation,) = load_tables(spark, sf_dir, "nation")
+    nation.createOrReplaceTempView("f18_nation")
+    return spark.sql(
+        "SELECT n_regionkey, "
+        "listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS names, "
+        "COUNT(*) AS n "
+        "FROM f18_nation GROUP BY n_regionkey"
+    )

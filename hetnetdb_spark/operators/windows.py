@@ -492,3 +492,58 @@ def w08_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lagged.select(
         "user_id", "hour", "hour_value", F.round(num / den, 6).alias("ewma")
     )
+
+
+# --------------------------------------------------------------------------
+# A21 — rolling distinct users (7-day trailing window per event type)
+# --------------------------------------------------------------------------
+
+A21_ORACLE = """
+WITH days AS (
+    SELECT DISTINCT event_type, date_trunc('day', ts) AS day FROM events
+)
+SELECT d.event_type, d.day,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS users_7d
+FROM days d
+JOIN events e
+  ON e.event_type = d.event_type
+ AND date_trunc('day', e.ts) BETWEEN d.day - INTERVAL 6 DAY AND d.day
+GROUP BY d.event_type, d.day
+"""
+
+
+@query("a21_rolling_distinct", oracle=A21_ORACLE)
+def a21_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A21 — trailing-7-day distinct users per event type: the DAU/
+    WAU-style rolling-reach metric. COUNT(DISTINCT) is not a legal
+    Spark window function, so the rolling form composes from what
+    IS: pre-aggregate each (type, day) to its user SET (one hash
+    agg — the shuffle carries per-day sets, bounded by daily reach,
+    never raw events), then a RANGE frame over day numbers unions
+    the trailing 7 sets in codegen
+    (`size(array_distinct(flatten(collect_list(...))))`). The
+    oracle spells the semantics as a day×events range join —
+    different plan, same numbers, which is the point: the window
+    form touches each event once, the join form re-reads each event
+    up to 7×.
+    """
+    (events,) = load_tables(spark, sf_dir, "events")
+    daily = (
+        events.groupBy(
+            "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+        )
+        .agg(F.collect_set("user_id").alias("uset"))
+        .withColumn("dayn", F.unix_date(F.col("day").cast("date")))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("dayn")
+        .rangeBetween(-6, 0)
+    )
+    return _parallel_by(spark, daily, "event_type").select(
+        "event_type",
+        "day",
+        F.size(
+            F.array_distinct(F.flatten(F.collect_list("uset").over(w)))
+        ).cast("long").alias("users_7d"),
+    )

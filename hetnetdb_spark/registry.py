@@ -152,6 +152,8 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "t11_paced_ingest",
         "f17_collation",
         "l31_dataset_card",
+        "f18_listagg",
+        "a21_rolling_distinct",
     }
 )
 
