@@ -788,3 +788,49 @@ def f18_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "COUNT(*) AS n "
         "FROM f18_nation GROUP BY n_regionkey"
     )
+
+
+# --------------------------------------------------------------------------
+# F19 — error-safe functions: try_divide / try_cast / try_to_number
+# --------------------------------------------------------------------------
+
+F19_ORACLE = """
+SELECT o_orderkey,
+       ROUND(o_totalprice / NULLIF(o_custkey % 50, 0), 6) AS price_per_bucket,
+       TRY_CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS prio_num,
+       TRY_CAST(o_orderstatus AS DOUBLE)                    AS status_num
+FROM orders
+WHERE o_orderkey < 200
+ORDER BY o_orderkey
+"""
+
+
+@query("f19_try_functions", oracle=F19_ORACLE)
+def f19_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F19 — the `try_` function family: NULL-on-failure arithmetic
+    and casting instead of job-killing exceptions. Under ANSI mode
+    (Spark 4's default) `x / 0` and a malformed cast RAISE; a 100 TB
+    pipeline wants the row quarantined, not the stage failed —
+    `try_divide` / `try_cast` are that contract in the plan itself,
+    with no UDF and no pre-validation pass. The oracle mirrors with
+    DuckDB's TRY_CAST and `NULLIF` guard (`o_custkey % 50` is 0 for every 50th customer, so
+    `price_per_bucket` exercises divide-by-zero → NULL on real
+    rows; casting letter-valued `o_orderstatus` to DOUBLE exercises
+    unparseable-cast → NULL on every row, and the priority digit
+    parses on every row).
+    """
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_orderkey") < 200)
+        .select(
+            "o_orderkey",
+            F.round(
+                F.try_divide(F.col("o_totalprice"), F.col("o_custkey") % 50), 6
+            ).alias("price_per_bucket"),
+            F.substring("o_orderpriority", 1, 1).try_cast("bigint").alias(
+                "prio_num"
+            ),
+            F.col("o_orderstatus").try_cast("double").alias("status_num"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -154,6 +154,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "l31_dataset_card",
         "f18_listagg",
         "a21_rolling_distinct",
+        "f19_try_functions",
     }
 )
 
