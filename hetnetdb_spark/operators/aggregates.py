@@ -473,17 +473,37 @@ def a14_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@query("a16_hll_sketch_union", oracle=None)
+A16_ORACLE = """
+SELECT CAST(COUNT(DISTINCT DATE_TRUNC('month', o_orderdate)) AS BIGINT)
+           AS n_months,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+       TRUE AS approx_within_2pct
+FROM orders
+"""
+
+
+@query("a16_hll_sketch_union", oracle=A16_ORACLE)
 def a16_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A16 (rows-only: sketch binaries are engine-specific) — the
-    incremental-distinct pattern: build one HyperLogLog sketch per
-    month (`hll_sketch_agg`), then merge sketches (`hll_union_agg`)
-    for the global estimate instead of re-scanning history. At
-    100 TB this is THE way rolling distinct-user counts work: daily
-    partitions each persist a KB-sized sketch, and any date range is
-    answered by unioning sketches — O(days), not O(rows). The exact
-    distinct runs alongside to expose the estimate error
-    (golden-pinned ±2% in tests/test_golden.py)."""
+    """A16 — the incremental-distinct pattern: build one HyperLogLog
+    sketch per month (`hll_sketch_agg`), then merge sketches
+    (`hll_union_agg`) for the global estimate instead of re-scanning
+    history. At 100 TB this is THE way rolling distinct-user counts
+    work: daily partitions each persist a KB-sized sketch, and any
+    date range is answered by unioning sketches — O(days), not
+    O(rows).
+
+    Oracle strategy: the sketch binary and its estimate are
+    engine-specific, so the estimate itself can't hash-compare — but
+    the CONTRACT can. The query emits the exact distinct (hash-
+    comparable) plus `approx_within_2pct`, the merged-sketch estimate
+    checked against the exact count at the sketch's pinned relative-
+    error bound (lgConfigK=12 → ~1.6% standard error; ±2% is the
+    golden bound tests/test_golden.py pins). The oracle emits the
+    same exact count and literal TRUE: if the HLL merge ever drifts
+    past 2%, the boolean flips and the driver's hash check fails.
+    HLL merge is max-per-register — associative and commutative — so
+    the Spark-side estimate is deterministic under any partition
+    order and the boolean is stable, not a flake."""
     (orders,) = load_tables(spark, sf_dir, "orders")
     monthly = orders.groupBy(
         F.date_trunc("month", F.col("o_orderdate")).alias("month")
@@ -495,7 +515,14 @@ def a16_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("approx_customers"),
     )
     exact = orders.agg(F.countDistinct("o_custkey").alias("exact_customers"))
-    return merged.crossJoin(exact)
+    return merged.crossJoin(exact).select(
+        "n_months",
+        "exact_customers",
+        (
+            F.abs(F.col("approx_customers") - F.col("exact_customers"))
+            <= F.lit(0.02) * F.col("exact_customers")
+        ).alias("approx_within_2pct"),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -607,7 +634,7 @@ SELECT l_returnflag,
        CAST(COUNT(*) AS BIGINT)                              AS n,
        ROUND(corr(l_quantity, l_extendedprice), 6)           AS corr_qty_price,
        ROUND(corr(l_discount, l_extendedprice), 6)           AS corr_disc_price,
-       ROUND(covar_samp(l_quantity, l_extendedprice), 6)     AS cov_qty_price,
+       ROUND(covar_samp(l_quantity, l_extendedprice), 2)     AS cov_qty_price,
        ROUND(covar_pop(l_discount, l_tax), 6)                AS cov_disc_tax
 FROM lineitem
 GROUP BY l_returnflag
@@ -622,17 +649,22 @@ def a19_correlation_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed form over sum/sum-of-products moments), so Spark computes
     partial moments map-side and merges — one scan, one shuffle of
     per-group moment tuples, regardless of how many pairs are
-    profiled. The co-moment formulas are numerically stable
-    (Welford-style updates in both engines), and 6dp rounding
-    absorbs the last-ulp merge-order drift the `r6` discipline
-    exists for. Complements s17's per-column profile with the
-    between-column view a feature-selection pass needs."""
+    profiled. Rounding is magnitude-aware: `corr` is in [-1, 1] and
+    `cov_disc_tax` is O(1e-3), so 6dp absorbs last-ulp merge-order
+    drift there, but `covar_samp(l_quantity, l_extendedprice)` is
+    O(1e4-1e5) and its distributed-vs-sequential co-moment merge
+    drifts past 1e-6 ABSOLUTE at scale (the round-4 driver caught
+    exactly this), so that column rounds at 2dp on both sides.
+    Complements s17's per-column profile with the between-column
+    view a feature-selection pass needs."""
     (lineitem,) = load_tables(spark, sf_dir, "lineitem")
     return lineitem.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
         r6(F.corr("l_quantity", "l_extendedprice")).alias("corr_qty_price"),
         r6(F.corr("l_discount", "l_extendedprice")).alias("corr_disc_price"),
-        r6(F.covar_samp("l_quantity", "l_extendedprice")).alias("cov_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "cov_qty_price"
+        ),
         r6(F.covar_pop("l_discount", "l_tax")).alias("cov_disc_tax"),
     )
 

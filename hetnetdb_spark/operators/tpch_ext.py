@@ -376,7 +376,7 @@ WITH natval AS (
 SELECT l_partkey AS p_key, ROUND(SUM(val), 6) AS value
 FROM natval
 GROUP BY l_partkey
-HAVING ROUND(SUM(val), 6) > (SELECT ROUND(SUM(val) * 0.01, 6) FROM natval)
+HAVING ROUND(SUM(val) / (SELECT SUM(val) FROM natval), 6) > 0.01
 ORDER BY value DESC, p_key
 """
 
@@ -393,11 +393,15 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes it twice — the relation is cheap and early-pruned by
     the broadcast nation filter; caching would pin memory for no
     measurable win at any SF). The threshold scalar broadcasts into
-    the HAVING filter, so the comparison is map-side. Both sides of
-    the threshold comparison are rounded to 6dp first (mirrored in
-    the oracle's HAVING): the sums are independent float
-    accumulations in each engine, and a part group sitting within
-    drift of the 1% cutoff must pass or fail identically in both.
+    the HAVING filter, so the comparison is map-side.
+
+    Float discipline: the cutoff compare is SCALE-FREE — both
+    engines compare `round(group_sum / grand_total, 6) > 0.01`.
+    Comparing raw sums (even 6dp-rounded) is unsafe because the
+    grand total is O(1e9-1e10) and independent accumulation orders
+    drift well past 1e-6 absolute; the ratio is O(0.01) with ~1e-15
+    relative drift, so the 6dp boundary flips with probability
+    ~1e-9, not ~1 (the a19 lesson applied).
     """
     lineitem, supplier, nation = load_tables(spark, sf_dir, "lineitem", "supplier", "nation")
     natval = (
@@ -411,15 +415,15 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_extendedprice") * F.col("l_quantity")).alias("val"),
         )
     )
-    threshold = natval.agg(r6(F.sum("val") * F.lit(0.01)).alias("cutoff"))
+    total = natval.agg(F.sum("val").alias("grand_total"))
     return (
         natval.groupBy("l_partkey")
-        .agg(r6(F.sum("val")).alias("value"))
-        .join(F.broadcast(threshold))
-        .filter(F.col("value") > F.col("cutoff"))
+        .agg(F.sum("val").alias("raw_value"))
+        .join(F.broadcast(total))
+        .filter(r6(F.col("raw_value") / F.col("grand_total")) > F.lit(0.01))
         .select(
             F.col("l_partkey").alias("p_key"),
-            "value",
+            r6(F.col("raw_value")).alias("value"),
         )
         .orderBy(F.col("value").desc(), "p_key")
     )

@@ -352,7 +352,7 @@ SELECT g.user_id,
            PARTITION BY g.user_id ORDER BY g.hour
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
        ) AS value_ff,
-       CAST(CASE WHEN h.hour_value IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap
+       CAST(CASE WHEN h.hour IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap
 FROM grid g
 LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour
 """
@@ -377,7 +377,11 @@ def w07_time_grid_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     size), and the last observation per user emits only itself, so
     the output covers exactly [min_hour, max_hour]. Hour-bucket sums
     are rounded before the fill so both engines fill identical
-    values.
+    values. Both engines derive `is_gap` from row PRESENCE (Spark:
+    the exploded hour differs from the observation hour; oracle: the
+    grid->hourly join missed, tested on the join KEY `h.hour`, not
+    on `hour_value`'s nullability) so the flag is independent of the
+    value column's schema.
     """
     (events,) = load_tables(spark, sf_dir, "events")
     hourly = (

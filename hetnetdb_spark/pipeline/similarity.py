@@ -188,9 +188,15 @@ def exact_pairs(spark: SparkSession, emb: DataFrame, tau: float) -> DataFrame:
     threshold run Spark-side through `r6` (HALF_UP — DuckDB ROUND's
     mode), never numpy's `np.round` (half-to-even) — the exact
     divergence class the u08 advice fix removed. The margin covers
-    both round-promotion (raw 0.3499996 → 0.35) and any last-ulp
-    difference between the blocked BLAS accumulation and the
-    oracle's sequential fold.
+    round-promotion (raw 0.3499996 → 0.35) at the prefilter, and a
+    GUARD BAND protects the final rounding itself: a blocked-BLAS
+    dot can differ from the oracle's sequential left-associative
+    fold by a few ulps, so any emitted dot within 1e-12 of a 6dp
+    HALF_UP boundary (|...xxx.5| scaled by 1e6) is recomputed with
+    the same sequential fold DuckDB's `list_aggregate('sum')` and
+    this repo's `dot()` (zip_with+aggregate) use — making all three
+    spellings agree on rounded membership for every pair, not just
+    pairs away from boundaries.
 
     The (ids, matrix) broadcast is memoized per (application,
     plan, tau): every caller — and the bench's warm loop — reuses
@@ -223,9 +229,19 @@ def exact_pairs(spark: SparkSession, emb: DataFrame, tau: float) -> DataFrame:
             A = np.stack(part["embedding"].to_numpy()).astype(np.float64)
             C = A @ B.T
             ai, bi = np.nonzero((C >= margin) & (a_ids[:, None] < ids_b[None, :]))
-            yield pd.DataFrame(
-                {"a_id": a_ids[ai], "b_id": ids_b[bi], "raw": C[ai, bi]}
-            )
+            raw = C[ai, bi].copy()
+            # Guard band: a raw dot within 1e-12 of a 6dp HALF_UP
+            # rounding boundary gets recomputed with the oracle's
+            # sequential left-associative fold (plain += loop), so
+            # BLAS-vs-fold ulp drift can never flip r6 membership.
+            frac = np.abs((np.abs(raw) * 1e6) % 1.0 - 0.5)
+            for r in np.nonzero(frac < 1e-6)[0]:
+                arow, brow = A[ai[r]], B[bi[r]]
+                s = 0.0
+                for k in range(arow.shape[0]):
+                    s += arow[k] * brow[k]
+                raw[r] = s
+            yield pd.DataFrame({"a_id": a_ids[ai], "b_id": ids_b[bi], "raw": raw})
 
     pairs = (
         emb.select("vec_id", "embedding")
@@ -485,7 +501,17 @@ def _lloyd_refine(emb: DataFrame, seeds: DataFrame) -> DataFrame:
     aggregates in ONE hash aggregate (partial/map-side combined), so
     the shuffle carries K×DIM partial sums, never vectors. More
     iterations = a `for` loop over this function; one suffices to
-    demonstrate the iterative-algorithm shape."""
+    demonstrate the iterative-algorithm shape.
+
+    Determinism: Spark's `avg` accumulates doubles in partition
+    order while the oracle's AVG folds sequentially, so the two
+    double means can differ in the last ulps (~1e-16 absolute).
+    Each mean is therefore rounded to 7dp BEFORE the FLOAT cast on
+    both sides: the 1e-7 granule is ~10× coarser than float32's own
+    quantization step at these magnitudes and ~1e9× coarser than
+    the drift, so both engines quantize to the same FLOAT centroid
+    unless a mean sits within 1e-16 of a 7dp boundary — a ~1e-9
+    per-component residual, down from ~1e-8 with a raw cast."""
     w = Window.partitionBy("vec_id").orderBy(F.col("s").desc(), F.col("cid"))
     assigned = (
         emb.crossJoin(F.broadcast(seeds))
@@ -496,7 +522,8 @@ def _lloyd_refine(emb: DataFrame, seeds: DataFrame) -> DataFrame:
     return assigned.groupBy("cid").agg(
         F.array(
             *[
-                F.avg(F.element_at("embedding", i + 1).cast("double")).cast("float")
+                F.round(F.avg(F.element_at("embedding", i + 1).cast("double")), 7)
+                .cast("float")
                 for i in range(DIM)
             ]
         ).alias("ce")
@@ -522,7 +549,7 @@ def _l03_ivf_oracle() -> str:
     through the same double-mean → FLOAT quantization on both
     engines."""
     cent_cols = ",\n           ".join(
-        f"CAST(AVG(CAST(embedding[{i}] AS DOUBLE)) AS FLOAT) AS c{i}"
+        f"CAST(ROUND(AVG(CAST(embedding[{i}] AS DOUBLE)), 7) AS FLOAT) AS c{i}"
         for i in range(1, DIM + 1)
     )
     dot_cent = " + ".join(

@@ -137,34 +137,35 @@ def _verified_names() -> set[str]:
 #: at 50 entries; round 2's L/T/S/U tail must not be displaced
 #: again). Once the next CORRECTNESS file lands, survivors of this
 #: list sort first automatically and the list should be rotated.
-#: (Round 4: rotated — round 3's ~74 additions have now waited a full
-#: round and sort into tiers 0/1 via CORRECTNESS_r03.json.)
-NEW_THIS_ROUND: frozenset[str] = frozenset(
+#: (Round 5: rotated — round 4's 14 additions have now waited a full
+#: round and sort into tiers 0/1 via CORRECTNESS_r04.json.)
+NEW_THIS_ROUND: frozenset[str] = frozenset()
+
+#: Queries whose ORACLE or semantics changed this round while already
+#: holding a green/rows-only CORRECTNESS row. The green row certifies
+#: the OLD contract, so they must re-enter the verification window as
+#: if unverified (a19's round-4 hash fail plus every query touched by
+#: the round-5 float-discipline fixes).
+RECHECK_THIS_ROUND: frozenset[str] = frozenset(
     {
-        "w08_ewma_smoothing",
-        "f16_url_parse",
-        "l28_bigram_counts",
-        "l29_source_centroids",
-        "l30_contamination_report",
-        "s21_incremental_ingest",
-        "j15_asof_tolerance",
-        "u09_partitioned_udtf",
-        "t11_paced_ingest",
-        "f17_collation",
-        "l31_dataset_card",
-        "f18_listagg",
-        "a21_rolling_distinct",
-        "f19_try_functions",
+        "a16_hll_sketch_union",   # rows-only -> full ±2%-bound oracle
+        "q11_important_stock",    # cutoff compare -> scale-free ratio
+        "w07_time_grid_gapfill",  # oracle is_gap now join-key based
+        "l03_knn_ivf",            # centroid means rounded to 7dp
+        "l04_simjoin_exact",      # GEMM guard-band sequential recompute
+        "l04_simjoin_lsh",        # inherits exact_pairs guard band
     }
 )
 
 #: Names forced to the very front of the verification window while
-#: they lack a driver-green CORRECTNESS row. u06_python_udtf is the
-#: one SURVEY §2 row never reached by the driver's bounded window;
-#: it registers impure (UDTF registration side effect) and would
-#: otherwise sort behind every pure unverified query and risk missing
-#: the ~50-entry window a second round running.
-FRONT_OF_LINE: tuple[str, ...] = ("u06_python_udtf",)
+#: they lack a driver-green CORRECTNESS row. a19 is round 4's one red
+#: row (magnitude-aware rounding fixed this round) and a16 trades its
+#: no-oracle declaration for a real error-bound oracle — both must
+#: not miss the ~50-entry window.
+FRONT_OF_LINE: tuple[str, ...] = (
+    "a16_hll_sketch_union",
+    "a19_correlation_profile",
+)
 
 
 def _prioritize() -> None:
@@ -185,7 +186,7 @@ def _prioritize() -> None:
     is preserved within each tier, so the ordering is deterministic
     for a given set of CORRECTNESS files.
     """
-    verified = _verified_names()
+    verified = _verified_names() - RECHECK_THIS_ROUND
 
     def tier(name: str) -> int:
         if name in FRONT_OF_LINE and name not in verified:

@@ -345,5 +345,9 @@ def test_l29_centroids_no_vector_explosion(spark):
     unpivot ABOVE the aggregate exchange, never below it."""
     plan = executed_plan(registry.QUERIES["l29_source_centroids"](spark, SF_DIR))
     assert "partial_avg" in plan, plan
-    below_exchange = plan.split("Exchange", 1)[1]
+    # Anchor to the aggregate's hashpartitioning exchange (not just
+    # any "Exchange" token) so the check really reads "below the
+    # aggregate shuffle", and guard its presence first.
+    assert "Exchange hashpartitioning" in plan, plan
+    below_exchange = plan.split("Exchange hashpartitioning", 1)[1]
     assert "Generate" not in below_exchange, plan

@@ -315,11 +315,22 @@ def test_exact_pairs_gemm_matches_naive(spark):
     def r6_half_up(x: float) -> float:
         return float(Decimal(repr(x)).quantize(Decimal("1e-6"), ROUND_HALF_UP))
 
+    # Reference dot is the SEQUENTIAL left-associative fold — the
+    # order DuckDB's list_aggregate('sum') and Spark's
+    # zip_with+aggregate compute — NOT numpy's BLAS ddot, so this
+    # pins the kernel-vs-oracle parity contract, not GEMM-vs-BLAS.
     v64 = vecs.astype(np.float64)
+
+    def seq_dot(a, b) -> float:
+        s = 0.0
+        for k in range(a.shape[0]):
+            s += float(a[k]) * float(b[k])
+        return s
+
     want = set()
     for i in range(n):
         for j in range(i + 1, n):
-            c = r6_half_up(float(v64[i] @ v64[j]))
+            c = r6_half_up(seq_dot(v64[i], v64[j]))
             if c >= tau:
                 want.add((i, j, c))
     assert got == want, (
