@@ -711,3 +711,71 @@ def a20_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping_id().cast("long").alias("gid"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+# --------------------------------------------------------------------------
+# A22 — arg-extremum (max_by/min_by) + deterministic mode per group
+# --------------------------------------------------------------------------
+
+A22_ORACLE = """
+WITH status_counts AS (
+    SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+           row_number() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY COUNT(*) DESC, o_orderstatus
+           ) AS rn
+    FROM orders
+    GROUP BY o_orderpriority, o_orderstatus
+)
+SELECT a.o_orderpriority,
+       CAST(arg_max(a.o_orderkey, a.o_orderkey) AS BIGINT)       AS newest_key,
+       ROUND(arg_max(a.o_totalprice, a.o_orderkey), 6)           AS newest_price,
+       ROUND(arg_min(a.o_totalprice, a.o_orderkey), 6)           AS oldest_price,
+       CAST(arg_max(a.o_custkey, a.o_orderkey) AS BIGINT)        AS newest_cust,
+       (SELECT s.o_orderstatus FROM status_counts s
+        WHERE s.o_orderpriority = a.o_orderpriority AND s.rn = 1) AS mode_status
+FROM orders a
+GROUP BY a.o_orderpriority
+ORDER BY a.o_orderpriority
+"""
+
+
+@query("a22_argmax_mode", oracle=A22_ORACLE)
+def a22_argmax_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A22 — arg-extremum aggregates: `max_by`/`min_by` (DuckDB
+    arg_max/arg_min) pull a DIFFERENT column's value from the
+    extremal row — "the price of each priority's newest order" —
+    without a self-join back to the row, and they merge map-side
+    like any algebraic aggregate (carry the best (key, value) pair).
+
+    Determinism discipline: every max_by/min_by here orders by the
+    UNIQUE o_orderkey — both engines define arg-extrema on ties as
+    "any tied row", so arg over a non-unique ordering value is an
+    engine-defined result and is deliberately avoided. Same for
+    mode: native `mode()` breaks frequency ties in engine-defined
+    encounter order, so the mode is spelled as the deterministic
+    count + row_number idiom (tie -> lexicographically first
+    status), the W6 top-k shape over |groups|x|domain| rows — tiny,
+    and parity-safe where the native aggregate is not. The rollup
+    and the mode branch share one shuffle key (priority), and the
+    mode join is a broadcast of a 5-row relation."""
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    agg = orders.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", "o_orderkey").cast("long").alias("newest_key"),
+        r6(F.max_by("o_totalprice", "o_orderkey")).alias("newest_price"),
+        r6(F.min_by("o_totalprice", "o_orderkey")).alias("oldest_price"),
+        F.max_by("o_custkey", "o_orderkey").cast("long").alias("newest_cust"),
+    )
+    wm = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("n").desc(), "o_orderstatus"
+    )
+    mode = (
+        orders.groupBy("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") == 1)
+        .select("o_orderpriority", F.col("o_orderstatus").alias("mode_status"))
+    )
+    return agg.join(F.broadcast(mode), "o_orderpriority").orderBy(
+        "o_orderpriority"
+    )

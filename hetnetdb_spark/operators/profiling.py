@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from hetnetdb_spark.catalog import load_tables
 from hetnetdb_spark.registry import query
@@ -136,3 +137,92 @@ def s17_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return wide.select(F.explode(rows).alias("s")).select("s.*")
+
+
+# --------------------------------------------------------------------------
+# S22 — fixed-width value histogram (distribution profile)
+# --------------------------------------------------------------------------
+
+S22_NBUCKETS = 12
+
+S22_ORACLE = f"""
+WITH stats AS (
+    SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx FROM orders
+),
+b AS (
+    SELECT LEAST(
+               CAST(FLOOR((o_totalprice - mn)
+                          / ((mx - mn) / {S22_NBUCKETS}.0)) AS BIGINT),
+               {S22_NBUCKETS - 1}) AS bucket
+    FROM orders, stats
+),
+counts AS (
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows FROM b GROUP BY bucket
+)
+SELECT c.bucket,
+       ROUND(s.mn + c.bucket * ((s.mx - s.mn) / {S22_NBUCKETS}.0), 6)       AS lo,
+       ROUND(s.mn + (c.bucket + 1) * ((s.mx - s.mn) / {S22_NBUCKETS}.0), 6) AS hi,
+       c.n_rows,
+       ROUND(CAST(c.n_rows AS DOUBLE)
+             / (SELECT CAST(SUM(n_rows) AS DOUBLE) FROM counts), 6)         AS pct
+FROM counts c, stats s
+ORDER BY bucket
+"""
+
+
+@query("s22_value_histogram", oracle=S22_ORACLE)
+def s22_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S22 (beyond contract) — fixed-width 12-bucket histogram of
+    `o_totalprice`: the distribution-shape companion to s17's scalar
+    profile (a skew/outlier check before choosing join strategies or
+    partition keys is exactly this query).
+
+    Two-pass by necessity: pass 1 is a global min/max aggregate (a
+    1-row broadcast), pass 2 buckets every row map-side with
+    `floor((x-min)/width)` and feeds a {S22_NBUCKETS}-group hash agg
+    — the shuffle carries {S22_NBUCKETS} partial counts per task, so
+    at 100 TB the cost is two scans and a constant-size exchange
+    (and pass 1 reads only the one column thanks to parquet column
+    pruning; with known static edges it collapses to one pass).
+
+    Float parity: bucket edges and indices derive from MIN/MAX —
+    exact parquet doubles, no accumulation — so `(x - mn) / width`
+    is the same IEEE arithmetic on identical operands in both
+    engines; the only rounding is the display rounding of edges and
+    pct. Empty buckets are absent on both sides (no row fabrication
+    to disagree on)."""
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    stats = orders.agg(
+        F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
+    )
+    width = (F.col("mx") - F.col("mn")) / F.lit(float(S22_NBUCKETS))
+    bucketed = (
+        orders.select("o_totalprice")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.least(
+                F.floor((F.col("o_totalprice") - F.col("mn")) / width),
+                F.lit(S22_NBUCKETS - 1),
+            )
+            .cast("long")
+            .alias("bucket"),
+            "mn",
+            "mx",
+        )
+    )
+    counts = bucketed.groupBy("bucket", "mn", "mx").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    total = F.sum("n_rows").over(Window.partitionBy())
+    return (
+        counts.select(
+            "bucket",
+            F.round(F.col("mn") + F.col("bucket") * width, 6).alias("lo"),
+            F.round(F.col("mn") + (F.col("bucket") + 1) * width, 6).alias("hi"),
+            "n_rows",
+            F.round(F.col("n_rows").cast("double") / total.cast("double"), 6).alias(
+                "pct"
+            ),
+        )
+        .orderBy("bucket")
+    )

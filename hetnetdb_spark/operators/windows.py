@@ -551,3 +551,107 @@ def a21_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(F.flatten(F.collect_list("uset").over(w)))
         ).cast("long").alias("users_7d"),
     )
+
+
+# --------------------------------------------------------------------------
+# W9 — rolling z-score anomaly detection over the hourly telemetry series
+# --------------------------------------------------------------------------
+
+W9_LOOKBACK = 24   # trailing hours in the baseline window
+W9_MIN_OBS = 8     # observations required before scoring
+W9_SIGMA = 2.0     # |z| threshold for the anomaly flag
+
+W9_ORACLE = f"""
+WITH hourly AS (
+  SELECT user_id,
+         date_trunc('hour', ts) AS hour,
+         ROUND(SUM(COALESCE(value, 0)), 6) AS hour_value
+  FROM events
+  WHERE user_id < 10
+  GROUP BY user_id, date_trunc('hour', ts)
+),
+scored AS (
+  SELECT user_id, hour, hour_value,
+         CAST(COUNT(hour_value) OVER w AS BIGINT) AS n_win,
+         ROUND(AVG(hour_value) OVER w, 6)         AS mean_prev,
+         ROUND(stddev_samp(hour_value) OVER w, 6) AS std_prev
+  FROM hourly
+  WINDOW w AS (
+      PARTITION BY user_id ORDER BY hour
+      ROWS BETWEEN {W9_LOOKBACK} PRECEDING AND 1 PRECEDING
+  )
+)
+SELECT user_id, hour, hour_value, n_win, mean_prev, std_prev,
+       CASE WHEN n_win >= {W9_MIN_OBS} AND std_prev > 0.001
+            THEN ROUND((hour_value - mean_prev) / std_prev, 6)
+       END AS zscore,
+       CAST(CASE WHEN n_win >= {W9_MIN_OBS} AND std_prev > 0.001
+                  AND ABS(ROUND((hour_value - mean_prev) / std_prev, 6))
+                      > {W9_SIGMA}
+            THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+FROM scored
+"""
+
+
+@query("w09_rolling_zscore", oracle=W9_ORACLE)
+def w09_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W9 — rolling z-score anomaly detection: score each hourly
+    observation against the mean/stddev of its user's TRAILING 24
+    observed hours (current row excluded, so a spike can't absorb
+    itself into its own baseline), flag |z| > 2 once at least 8
+    baseline points exist. This is the thresholding stage w08's
+    smoothing feeds — together they're the standard telemetry
+    anomaly stack.
+
+    Plan: one hash-agg to hourly buckets, then count/avg/stddev all
+    evaluate over ONE user_id window (single exchange, single sort —
+    Spark computes the three aggregates in one WindowExec pass).
+    Float discipline: baseline mean and stddev are rounded to 6dp
+    FIRST, so both engines divide bit-identical operands and the
+    derived zscore/flag cannot straddle a rounding boundary unless
+    the inputs already did (w07/w08's discipline); the `std > 0.001`
+    guard keeps the division away from the noise-amplifying
+    near-constant-baseline regime on both sides, compared on the
+    ROUNDED value so the branch itself is parity-safe. Bounded to
+    user_id < 10 like w08; the plan is user-count independent.
+    """
+    (events,) = load_tables(spark, sf_dir, "events")
+    hourly = (
+        events.filter(F.col("user_id") < 10)
+        .groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(
+            F.round(F.sum(F.coalesce(F.col("value"), F.lit(0.0))), 6).alias(
+                "hour_value"
+            )
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(-W9_LOOKBACK, -1)
+    )
+    scored = _parallel_by(spark, hourly, "user_id").select(
+        "user_id",
+        "hour",
+        "hour_value",
+        F.count("hour_value").over(w).cast("long").alias("n_win"),
+        F.round(F.avg("hour_value").over(w), 6).alias("mean_prev"),
+        F.round(F.stddev_samp("hour_value").over(w), 6).alias("std_prev"),
+    )
+    ok = (F.col("n_win") >= W9_MIN_OBS) & (F.col("std_prev") > 0.001)
+    z = F.round(
+        (F.col("hour_value") - F.col("mean_prev")) / F.col("std_prev"), 6
+    )
+    return scored.select(
+        "user_id",
+        "hour",
+        "hour_value",
+        "n_win",
+        "mean_prev",
+        "std_prev",
+        F.when(ok, z).alias("zscore"),
+        F.when(ok & (F.abs(z) > W9_SIGMA), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("is_anomaly"),
+    )

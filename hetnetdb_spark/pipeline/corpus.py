@@ -387,3 +387,136 @@ def l30_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("overlap_frac").desc(), "doc_id")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# L32 — corpus mixture plan + deterministic down-sample to target weights
+# --------------------------------------------------------------------------
+
+L32_BUDGET_FRAC = 0.5   # sample down to half the corpus tokens
+L32_HASH_MOD = 10000    # md5 bucket resolution for the sampler
+
+L32_ORACLE = f"""
+WITH per_doc AS (
+    SELECT doc_id, source,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 8)
+                AS BIGINT) % {L32_HASH_MOD} AS bucket
+    FROM documents
+),
+per_src AS (
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS src_tokens
+    FROM per_doc GROUP BY source
+),
+tot AS (
+    SELECT CAST(SUM(src_tokens) AS BIGINT) AS total_tokens,
+           CAST(COUNT(*) AS BIGINT)        AS n_sources
+    FROM per_src
+),
+rates AS (
+    SELECT s.source, s.n_docs, s.src_tokens,
+           LEAST(1.0,
+                 CAST(t.total_tokens AS DOUBLE) * {L32_BUDGET_FRAC}
+                   / t.n_sources / s.src_tokens) AS rate
+    FROM per_src s, tot t
+)
+SELECT r.source, r.n_docs, r.src_tokens,
+       ROUND(r.rate, 6) AS rate,
+       CAST(COUNT(d.doc_id) FILTER (
+            WHERE CAST(d.bucket AS DOUBLE) / {L32_HASH_MOD} < r.rate
+       ) AS BIGINT) AS n_sampled,
+       CAST(COALESCE(SUM(d.n_tok) FILTER (
+            WHERE CAST(d.bucket AS DOUBLE) / {L32_HASH_MOD} < r.rate
+       ), 0) AS BIGINT) AS sampled_tokens
+FROM rates r JOIN per_doc d ON d.source = r.source
+GROUP BY r.source, r.n_docs, r.src_tokens, r.rate
+ORDER BY r.source
+"""
+
+
+@query("l32_corpus_mixture", oracle=L32_ORACLE)
+def l32_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L32 — training-mixture planning AND the down-sample that
+    executes it, in one pass: given a token budget (half the corpus)
+    and a target mixture (uniform across sources), compute each
+    source's sampling rate `min(1, budget_share / src_tokens)` and
+    apply it with a deterministic content hash — the data-mixing
+    step that turns a raw crawl into a weighted training corpus.
+
+    Plan shape: one scan computes per-doc token counts and the md5
+    sample bucket map-side; a per-source hash agg (|sources| groups)
+    yields the rate table, which BROADCASTS back onto the per-doc
+    relation — so the sample decision `bucket/10000 < rate` runs
+    map-side with no second shuffle, and the final per-source
+    rollup is again |sources|-sized. At 100 TB: two scans of one
+    string column or one scan + cached per-doc projection;
+    everything shuffled is O(|sources|).
+
+    Determinism: the sampler is the house md5-bucket spell (l10's
+    split discipline — engine-portable, reshuffle-invariant, and
+    stable run-to-run, unlike `rand()` or engine hashes); rates are
+    derived from exact BIGINT token counts through an identically-
+    associated chain of double ops, so both engines compare
+    bit-identical doubles at the `< rate` branch."""
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    per_doc = documents.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":mix"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % L32_HASH_MOD
+        ).alias("bucket"),
+    )
+    per_src = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("src_tokens"),
+    )
+    tot = per_src.agg(
+        F.sum("src_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    rates = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "src_tokens",
+        F.least(
+            F.lit(1.0),
+            F.col("total_tokens").cast("double")
+            * F.lit(L32_BUDGET_FRAC)
+            / F.col("n_sources")
+            / F.col("src_tokens"),
+        ).alias("rate"),
+    )
+    picked = F.col("bucket").cast("double") / F.lit(float(L32_HASH_MOD)) < F.col(
+        "rate"
+    )
+    return (
+        per_doc.join(F.broadcast(rates), "source")
+        .groupBy("source", "n_docs", "src_tokens", "rate")
+        .agg(
+            F.count(F.when(picked, 1)).cast("long").alias("n_sampled"),
+            F.coalesce(F.sum(F.when(picked, F.col("n_tok"))), F.lit(0))
+            .cast("long")
+            .alias("sampled_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "src_tokens",
+            r6(F.col("rate")).alias("rate"),
+            "n_sampled",
+            "sampled_tokens",
+        )
+        .orderBy("source")
+    )

@@ -809,3 +809,91 @@ def l26_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nm").cast("long").alias("n_members"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# L33 — incremental dedup: today's batch against yesterday's corpus
+# --------------------------------------------------------------------------
+
+L33_ORACLE = """
+WITH corpus AS (
+    SELECT doc_id, md5(text) AS h FROM documents
+),
+batch AS (
+    SELECT doc_id + 200000 AS doc_id, source, md5(text) AS h
+    FROM documents WHERE doc_id % 7 = 3
+    UNION ALL
+    SELECT doc_id + 300000 AS doc_id, source, md5(text || ' v2') AS h
+    FROM documents WHERE doc_id % 7 = 4
+),
+flagged AS (
+    SELECT b.doc_id, b.source,
+           EXISTS (SELECT 1 FROM corpus c WHERE c.h = b.h) AS is_dup
+    FROM batch b
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT)                                   AS n_batch,
+       CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)    AS n_dropped,
+       CAST(SUM(CASE WHEN is_dup THEN 0 ELSE 1 END) AS BIGINT)    AS n_kept,
+       CAST(MIN(CASE WHEN NOT is_dup THEN doc_id END) AS BIGINT)  AS first_kept_id
+FROM flagged
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query("l33_incremental_dedup", oracle=L33_ORACLE)
+def l33_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L33 — the INCREMENTAL form of l01: dedup a new ingest batch
+    against an existing corpus without re-clustering the corpus.
+    Daily crawl pipelines run exactly this — yesterday's documents
+    are settled, today's batch is checked against them and only
+    novel content lands.
+
+    Simulated batch: every 7th doc re-crawled verbatim under a new
+    id (must drop) plus every 7th-offset-4 doc with edited text
+    (must survive). The dedup key is `md5(text)` — the l01/l10
+    engine-portable content-hash discipline.
+
+    Plan: a LEFT SEMI membership probe of the batch against the
+    corpus hash set, shuffling 16-byte hashes on both sides, never
+    text (corpus text stays columnar at its scan). The probe result
+    feeds a per-source rollup. At 100 TB the corpus side reduces to
+    its distinct-hash relation — persist it once as a bucketed table
+    keyed on the hash and the daily probe becomes a co-located join
+    with NO corpus re-shuffle; a Bloom filter over corpus hashes
+    (j11 machinery) is the constant-memory pre-filter when even the
+    hash relation dwarfs the batch. Spark spells the probe as an
+    `is_dup` flag via a left join on the deduplicated corpus-hash
+    projection so kept/dropped roll up in one aggregate (semi+anti
+    would scan the probe twice)."""
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    corpus_h = documents.select(F.md5("text").alias("h")).distinct()
+    batch = (
+        documents.filter(F.col("doc_id") % 7 == 3)
+        .select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            "source",
+            F.md5("text").alias("h"),
+        )
+        .unionByName(
+            documents.filter(F.col("doc_id") % 7 == 4).select(
+                (F.col("doc_id") + 300000).alias("doc_id"),
+                "source",
+                F.md5(F.concat(F.col("text"), F.lit(" v2"))).alias("h"),
+            )
+        )
+    )
+    flagged = batch.join(
+        corpus_h.withColumn("is_dup", F.lit(True)), "h", "left"
+    ).select("doc_id", "source", F.coalesce("is_dup", F.lit(False)).alias("is_dup"))
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_batch"),
+            F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).alias("n_dropped"),
+            F.sum(F.when(F.col("is_dup"), 0).otherwise(1)).alias("n_kept"),
+            F.min(F.when(~F.col("is_dup"), F.col("doc_id"))).alias("first_kept_id"),
+        )
+        .orderBy("source")
+    )

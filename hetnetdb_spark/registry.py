@@ -139,7 +139,15 @@ def _verified_names() -> set[str]:
 #: list sort first automatically and the list should be rotated.
 #: (Round 5: rotated — round 4's 14 additions have now waited a full
 #: round and sort into tiers 0/1 via CORRECTNESS_r04.json.)
-NEW_THIS_ROUND: frozenset[str] = frozenset()
+NEW_THIS_ROUND: frozenset[str] = frozenset(
+    {
+        "w09_rolling_zscore",
+        "s22_value_histogram",
+        "l32_corpus_mixture",
+        "l33_incremental_dedup",
+        "a22_argmax_mode",
+    }
+)
 
 #: Queries whose ORACLE or semantics changed this round while already
 #: holding a green/rows-only CORRECTNESS row. The green row certifies
