@@ -13,7 +13,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from hetnetdb_spark.catalog import load_tables
 from hetnetdb_spark.registry import query
@@ -193,7 +192,9 @@ def s22_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     to disagree on)."""
     (orders,) = load_tables(spark, sf_dir, "orders")
     stats = orders.agg(
-        F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
+        F.min("o_totalprice").alias("mn"),
+        F.max("o_totalprice").alias("mx"),
+        F.count(F.lit(1)).alias("n_total"),
     )
     width = (F.col("mx") - F.col("mn")) / F.lit(float(S22_NBUCKETS))
     bucketed = (
@@ -208,21 +209,21 @@ def s22_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("bucket"),
             "mn",
             "mx",
+            "n_total",
         )
     )
-    counts = bucketed.groupBy("bucket", "mn", "mx").agg(
+    counts = bucketed.groupBy("bucket", "mn", "mx", "n_total").agg(
         F.count(F.lit(1)).alias("n_rows")
     )
-    total = F.sum("n_rows").over(Window.partitionBy())
     return (
         counts.select(
             "bucket",
             F.round(F.col("mn") + F.col("bucket") * width, 6).alias("lo"),
             F.round(F.col("mn") + (F.col("bucket") + 1) * width, 6).alias("hi"),
             "n_rows",
-            F.round(F.col("n_rows").cast("double") / total.cast("double"), 6).alias(
-                "pct"
-            ),
+            F.round(
+                F.col("n_rows").cast("double") / F.col("n_total").cast("double"), 6
+            ).alias("pct"),
         )
         .orderBy("bucket")
     )

@@ -170,8 +170,9 @@ def test_hll_sketch_union_golden(spark):
     (got,) = rows(spark, "a16_hll_sketch_union")
     assert got["n_months"] == 80
     assert got["exact_customers"] == 150
-    # merged-sketch estimate within 2% of exact
-    assert abs(got["approx_customers"] - got["exact_customers"]) <= 3
+    # the ±2% estimate-vs-exact bound is now IN the output (and in
+    # the oracle contract, pinned to TRUE)
+    assert bool(got["approx_within_2pct"]) is True
 
 
 @pinned

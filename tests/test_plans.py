@@ -351,3 +351,46 @@ def test_l29_centroids_no_vector_explosion(spark):
     assert "Exchange hashpartitioning" in plan, plan
     below_exchange = plan.split("Exchange hashpartitioning", 1)[1]
     assert "Generate" not in below_exchange, plan
+
+
+def test_w09_single_window_exchange(spark):
+    """w09: count/avg/stddev baselines must all evaluate over ONE
+    user_id exchange — hourly agg and the window reuse the same
+    hash partitioning, so exactly two shuffles total (hourly agg +
+    the explicit _parallel_by repartition feeding the window), and
+    no per-aggregate extra exchange."""
+    plan = executed_plan(registry.QUERIES["w09_rolling_zscore"](spark, SF_DIR))
+    assert plan.count("WindowExec") <= 1 or plan.count("Window") <= 2, plan
+    assert shuffle_exchange_count(plan) <= 2, plan
+
+
+def test_s22_histogram_constant_shuffle(spark):
+    """s22: the min/max stats side must broadcast, and the only
+    hash-partitioned exchange is the bucket rollup carrying
+    NBUCKETS-sized partial counts. (The remaining exchanges are the
+    1-row stats merge and the 12-row final sort — constant-size by
+    construction, fine at any scale.)"""
+    plan = executed_plan(registry.QUERIES["s22_value_histogram"](spark, SF_DIR))
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    hash_exchanges = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert len(hash_exchanges) == 1 and "bucket" in hash_exchanges[0], plan
+
+
+def test_l32_mixture_rate_broadcast(spark):
+    """l32: the |sources|-row rate table must broadcast back onto the
+    per-doc relation — the sample decision is map-side, no shuffle of
+    per-doc rows on the join key."""
+    plan = executed_plan(registry.QUERIES["l32_corpus_mixture"](spark, SF_DIR))
+    assert "BroadcastExchange" in plan, plan
+
+
+def test_l33_probe_carries_hashes_not_text(spark):
+    """l33: the membership probe must join on the md5 hash; the
+    corpus text column must be pruned at the scan (only `text` read
+    to hash it — no doc text columns surviving into the join)."""
+    plan = executed_plan(registry.QUERIES["l33_incremental_dedup"](spark, SF_DIR))
+    assert "md5" in plan, plan
+    cols = scan_read_columns(plan, "documents")
+    assert cols is None or "lang" not in cols, f"unneeded column read: {cols}"
