@@ -82,16 +82,51 @@ def a03_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@query("a04_approx_count_distinct", oracle=None)
+A4_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT)  AS exact_n_supp,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_n_orders,
+       TRUE AS supp_within_6pct,
+       TRUE AS orders_within_6pct
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("a04_approx_count_distinct", oracle=A4_ORACLE)
 def a04_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A4 — HyperLogLog++ distinct estimate (rows-only check: the
-    estimate is engine-specific by design). This is the scale path
-    for distinct counts: one pass, fixed-size sketch per group,
-    mergeable across partitions — no Expand, no second shuffle."""
+    """A4 — HyperLogLog++ distinct estimate: the scale path for
+    distinct counts — one pass, fixed-size sketch per group,
+    mergeable across partitions; no Expand, no second shuffle.
+
+    Oracle strategy (a16's "approximate ≠ unverifiable" contract):
+    the estimate itself is engine-specific, so the query emits the
+    EXACT distinct counts (hash-comparable) plus per-column flags
+    checking the estimate against them at a pinned 6% bound — 3×
+    the requested rsd=0.02, i.e. a three-standard-error band the
+    HLL++ bias-corrected estimator stays inside for these
+    cardinalities (1–25k per group; empirically ≤2.2% here). The
+    oracle pins the flags TRUE: estimator drift past the band is a
+    hash FAIL, not an invisible quality loss. The exact counts ride
+    the same aggregate (Spark plans both in one pass), and the HLL
+    merge is register-max — partition-order independent — so the
+    flags are stable, not flaky."""
     (lineitem,) = load_tables(spark, sf_dir, "lineitem")
-    return lineitem.groupBy("l_returnflag").agg(
+    agg = lineitem.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_suppkey", rsd=0.02).alias("approx_n_supp"),
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_n_orders"),
+        F.countDistinct("l_suppkey").alias("exact_n_supp"),
+        F.countDistinct("l_orderkey").alias("exact_n_orders"),
+    )
+    within = lambda a, e: (  # noqa: E731
+        F.abs(F.col(a) - F.col(e)) <= F.lit(0.06) * F.col(e)
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_n_supp",
+        "exact_n_orders",
+        within("approx_n_supp", "exact_n_supp").alias("supp_within_6pct"),
+        within("approx_n_orders", "exact_n_orders").alias("orders_within_6pct"),
     )
 
 

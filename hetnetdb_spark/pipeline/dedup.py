@@ -146,7 +146,7 @@ def l02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# L2 — MinHash + banded LSH near-dup join (rows-only: engine hashes)
+# L2 — MinHash + banded LSH near-dup join (FULL oracle: portable hashes)
 # --------------------------------------------------------------------------
 
 N_HASHES = 32
@@ -154,20 +154,105 @@ N_BANDS = 8
 ROWS_PER_BAND = N_HASHES // N_BANDS
 JACCARD_THRESHOLD = 0.5
 
+#: DuckDB spelling of the shingle set that matches _SHINGLE_SPARK
+#: exactly, INCLUDING short docs: `list_slice` clamps like Spark's
+#: `slice`, so a 1-token doc yields the same partial shingle in both
+#: engines (the l02_ngram oracle sidesteps this with a length filter;
+#: the minhash replay must not, because the Spark side hashes every
+#: doc).
+_SHINGLE_DUCK = (
+    "list_distinct(list_transform("
+    "range(1, GREATEST(len(string_split(text, ' ')) - 2, 1) + 1), "
+    "i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')))"
+)
 
-@query("l02_minhash_neardup", oracle=None)
+
+def _mh_hash_duck(j: int, x: str = "x") -> str:
+    """Portable 60-bit hash h_j(x): the first 15 hex chars of
+    md5('j:' || x) as a BIGINT — bit-identical in Spark via
+    conv(substr(md5(...), 1, 15), 16, 10). 15 chars keeps the value
+    inside a signed 64-bit long in both engines."""
+    return f"CAST('0x' || substr(md5('{j}:' || {x}), 1, 15) AS BIGINT)"
+
+
+def _mh_hash_spark(j: int, s):
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{j}:"), s)), 1, 15), 16, 10
+    ).cast("long")
+
+
+def _l02_minhash_oracle() -> str:
+    mh_cols = ",\n           ".join(
+        f"list_min(list_transform(sh, x -> {_mh_hash_duck(j)})) AS mh{j}"
+        for j in range(N_HASHES)
+    )
+    band_rows = "\n    UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, "
+        + " || ',' || ".join(
+            f"CAST(mh{b * ROWS_PER_BAND + r} AS VARCHAR)"
+            for r in range(ROWS_PER_BAND)
+        )
+        + " AS bucket FROM mh"
+        for b in range(N_BANDS)
+    )
+    return f"""
+WITH s AS (
+    SELECT doc_id, {_SHINGLE_DUCK} AS sh FROM documents
+),
+mh AS (
+    SELECT doc_id,
+           {mh_cols}
+    FROM s
+),
+banded AS (
+    {band_rows}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM banded a JOIN banded b
+      ON a.band_id = b.band_id AND a.bucket = b.bucket
+     AND a.doc_id < b.doc_id
+),
+verified AS (
+    SELECT c.a_id, c.b_id
+    FROM cand c
+    JOIN s sa ON sa.doc_id = c.a_id
+    JOIN s sb ON sb.doc_id = c.b_id
+    WHERE CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE)
+          / (len(sa.sh) + len(sb.sh)
+             - len(list_filter(sa.sh, x -> list_contains(sb.sh, x))))
+          >= {JACCARD_THRESHOLD}
+)
+SELECT 'minhash-lsh' AS strategy,
+       (SELECT COUNT(*) FROM cand)     AS n_candidates,
+       (SELECT COUNT(*) FROM verified) AS n_verified
+"""
+
+
+@query("l02_minhash_neardup", oracle=_l02_minhash_oracle())
 def l02_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2 scale path (rows-only) — MinHash signatures + banded LSH.
+    """L2 scale path — MinHash signatures + banded LSH. FULL oracle
+    since round 5: the hash family is the portable md5-derived
+    h_j(x) = int(md5('j:'||x)[:15 hex]) instead of engine-private
+    xxhash64, so the DuckDB twin replays signatures, banding,
+    candidate join, and exact-Jaccard verification end to end —
+    the same approximate-yet-verifiable upgrade l04's hyperplane
+    replay made in round 4. (In a single-engine production deploy
+    the family swaps back to xxhash64 for hash throughput — the
+    pipeline shape is hash-agnostic; md5 costs ~3× per shingle and
+    buys cross-engine bit-parity.)
 
     Signature: for permutation j (0..31), min over distinct shingles
-    of ``xxhash64(j, shingle)`` — deterministic, seedable, no ml-lib
-    model object to ship. Bands: 8 × 4 minhashes hashed to one
-    bucket key; pairs sharing any band bucket are candidates
+    of h_j(shingle) — deterministic, seedable, no ml-lib model
+    object to ship. Bands: 8 × 4 minhashes; the band key is the
+    VERBATIM 4-tuple (joined as CSV — no second hash, nothing to
+    diverge on); pairs sharing any band bucket are candidates
     (P[candidate] ≈ 1-(1-j⁴)⁸ — >0.96 for j≥0.7). Candidates then
-    verify with exact Jaccard ≥ 0.5. The join is an equi-join on
-    (band_id, bucket) — shuffle of 8·N short rows, never N².
-    Output is the self-measuring summary: candidates, verified, and
-    the exact-metric pair count on the same doc range.
+    verify with exact Jaccard ≥ 0.5 (integer set sizes — the
+    threshold compare is exact on both engines). The join is an
+    equi-join on (band_id, bucket) — shuffle of 8·N short rows,
+    never N². Output is the self-measuring summary: candidate and
+    verified counts.
     """
     (documents,) = load_tables(spark, sf_dir, "documents")
     docs = documents.select("doc_id", F.expr(_SHINGLE_SPARK).alias("sh"))
@@ -176,7 +261,7 @@ def l02_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sh",
         *[
             F.array_min(
-                F.transform(F.col("sh"), lambda s, j=j: F.xxhash64(F.lit(j), s))
+                F.transform(F.col("sh"), lambda s, j=j: _mh_hash_spark(j, s))
             ).alias(f"mh{j}")
             for j in range(N_HASHES)
         ],
@@ -192,11 +277,12 @@ def l02_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band_id"),
-                        F.xxhash64(
+                        F.concat_ws(
+                            ",",
                             *[
-                                F.col(f"mh{b * ROWS_PER_BAND + r}")
+                                F.col(f"mh{b * ROWS_PER_BAND + r}").cast("string")
                                 for r in range(ROWS_PER_BAND)
-                            ]
+                            ],
                         ).alias("bucket"),
                     )
                     for b in range(N_BANDS)
@@ -234,33 +320,90 @@ def l02_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# L2 — SimHash near-dup (rows-only: engine hashes)
+# L2 — SimHash near-dup (FULL oracle: portable hashes)
 # --------------------------------------------------------------------------
 
-SIMHASH_BITS = 64
+SIMHASH_BITS = 60
 SIMHASH_BANDS = 4
 BITS_PER_SIMHASH_BAND = SIMHASH_BITS // SIMHASH_BANDS
 MAX_HAMMING = 8
 
 
-@query("l02_simhash_neardup", oracle=None)
-def l02_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2 alternative (rows-only) — 64-bit SimHash with band-blocked
-    hamming search.
+def _l02_simhash_oracle() -> str:
+    vote_cols = ",\n           ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"CASE WHEN v{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END"
+        for i in range(SIMHASH_BITS)
+    )
+    mask = (1 << BITS_PER_SIMHASH_BAND) - 1
+    band_rows = "\n    UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band_id, "
+        f"(simhash >> {b * BITS_PER_SIMHASH_BAND}) & {mask} AS band_val FROM fps"
+        for b in range(SIMHASH_BANDS)
+    )
+    return f"""
+WITH toks AS (
+    SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+    FROM documents
+),
+h AS (
+    SELECT doc_id, {_mh_hash_duck(0, "tok")} AS h FROM toks
+),
+votes AS (
+    SELECT doc_id,
+           {vote_cols}
+    FROM h GROUP BY doc_id
+),
+fps AS (
+    SELECT doc_id, {sig} AS simhash FROM votes
+),
+banded AS (
+    {band_rows}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+           a.simhash AS a_sig, b.simhash AS b_sig
+    FROM banded a JOIN banded b
+      ON a.band_id = b.band_id AND a.band_val = b.band_val
+     AND a.doc_id < b.doc_id
+),
+near AS (
+    SELECT a_id, b_id FROM cand
+    WHERE bit_count(xor(a_sig, b_sig)) <= {MAX_HAMMING}
+)
+SELECT 'simhash' AS strategy,
+       (SELECT COUNT(*) FROM cand) AS n_candidates,
+       (SELECT COUNT(*) FROM near) AS n_near
+"""
 
-    Fingerprint: explode tokens once, hash each token, then 64
+
+@query("l02_simhash_neardup", oracle=_l02_simhash_oracle())
+def l02_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 alternative — 60-bit SimHash with band-blocked hamming
+    search. FULL oracle since round 5: token hashes come from the
+    same portable md5-derived family as the minhash rework
+    (h_0(tok), 15 hex chars → 60 bits — the width a signed BIGINT
+    holds identically in both engines, hence 60 not 64), so the
+    DuckDB twin replays votes, bit-packing, banding, and the
+    hamming verification bit-for-bit.
+
+    Fingerprint: explode tokens once, hash each token, then 60
     conditional sign-sums in ONE hash aggregate per doc (map-side
     partial — the explode never shuffles raw tokens, only the
-    per-doc partial vote vector). Bits pack into a single long;
-    near-dup pairs must share one of 4 16-bit bands (pigeonhole: any
-    pair within hamming 8 shares a band when distance spreads over
-    4 bands... a standard blocking heuristic), then verify with
-    `bit_count(a XOR b) <= 8`.
+    per-doc partial vote vector). Vote ties (sum == 0) set the bit
+    to 0 via the strict `> 0` on both engines. Bits pack into a
+    single long; near-dup pairs must share one of 4 15-bit bands
+    (pigeonhole: any pair within hamming 8 shares a band when
+    distance spreads over 4 bands... a standard blocking
+    heuristic), then verify with `bit_count(a XOR b) <= 8`.
     """
     (documents,) = load_tables(spark, sf_dir, "documents")
     toks = documents.select(
         "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("tok")
-    ).select("doc_id", F.xxhash64("tok").alias("h"))
+    ).select("doc_id", _mh_hash_spark(0, F.col("tok")).alias("h"))
     votes = toks.groupBy("doc_id").agg(
         *[
             F.sum(

@@ -162,6 +162,9 @@ RECHECK_THIS_ROUND: frozenset[str] = frozenset(
         "l03_knn_ivf",            # centroid means rounded to 7dp
         "l04_simjoin_exact",      # GEMM guard-band sequential recompute
         "l04_simjoin_lsh",        # inherits exact_pairs guard band
+        "a04_approx_count_distinct",  # rows-only -> ±6%-bound oracle
+        "l02_minhash_neardup",    # rows-only -> portable-hash replay oracle
+        "l02_simhash_neardup",    # rows-only -> portable-hash replay oracle
     }
 )
 

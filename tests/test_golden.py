@@ -28,15 +28,20 @@ def rows(spark, name):
 
 @pinned
 def test_minhash_neardup_golden(spark):
+    # Re-pinned in round 5 when the hash family moved from xxhash64
+    # to the portable md5-derived h_j (the full-oracle upgrade).
     assert rows(spark, "l02_minhash_neardup") == [
-        {"strategy": "minhash-lsh", "n_candidates": 27, "n_verified": 26}
+        {"strategy": "minhash-lsh", "n_candidates": 28, "n_verified": 28}
     ]
 
 
 @pinned
 def test_simhash_neardup_golden(spark):
+    # Re-pinned in round 5: 60-bit portable hashes, 15-bit bands
+    # (candidate count rises with the smaller band domain; the
+    # hamming verification is what bounds the output).
     assert rows(spark, "l02_simhash_neardup") == [
-        {"strategy": "simhash", "n_candidates": 14284, "n_near": 8985}
+        {"strategy": "simhash", "n_candidates": 42764, "n_near": 31723}
     ]
 
 
@@ -76,10 +81,15 @@ def test_engine_hashes_golden(spark):
 
 @pinned
 def test_approx_count_distinct_golden(spark):
+    # Round 5: the estimate moved inside the contract — the output
+    # carries exact counts plus the ±6% bound flags the oracle pins.
     got = {r["l_returnflag"]: r for r in rows(spark, "a04_approx_count_distinct")}
-    assert got["N"]["approx_n_orders"] == 1115
-    assert got["A"]["approx_n_orders"] == 1074
-    assert got["R"]["approx_n_orders"] == 1083
+    assert got["N"]["exact_n_orders"] == 1110
+    assert got["A"]["exact_n_orders"] == 1081
+    assert got["R"]["exact_n_orders"] == 1096
+    assert all(
+        r["supp_within_6pct"] and r["orders_within_6pct"] for r in got.values()
+    )
 
 
 @pinned
