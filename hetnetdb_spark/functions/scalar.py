@@ -332,13 +332,27 @@ def f09_hash_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("f09_engine_hashes", oracle=None)
+F9_ENGINE_ORACLE = """
+SELECT CAST(COUNT(DISTINCT c_name) AS BIGINT) AS n_distinct_hash,
+       CAST(COUNT(*) AS BIGINT)               AS n_distinct_id,
+       CAST(COUNT(*) AS BIGINT)               AS n_rows
+FROM customer
+"""
+
+
+@query("f09_engine_hashes", oracle=F9_ENGINE_ORACLE)
 def f09_engine_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F9 (rows-only) — xxhash64 and monotonically_increasing_id are
+    """F9 — xxhash64 and monotonically_increasing_id are
     engine-defined (xxhash64's seed/mixing and the id's partition
-    encoding are Spark-specific), so the check is structural:
-    xxhash64 must be collision-free on the unique key column and
-    every generated id distinct."""
+    encoding are Spark-specific), so their VALUES can't be oracle-
+    compared — but their structural contract can: xxhash64 must be
+    collision-free on the unique key column (n_distinct_hash =
+    COUNT(DISTINCT input) — a 64-bit hash colliding on 150..150k
+    keys would be a real defect, P < 1e-9) and every generated id
+    distinct (n_distinct_id = COUNT(*)). The oracle states those
+    identities over exact semantics, turning the former rows-only
+    declaration into a checkable property pin (f09's a16-style
+    upgrade)."""
     (customer,) = load_tables(spark, sf_dir, "customer")
     hashed = customer.select(
         F.xxhash64("c_name").alias("h"),

@@ -127,28 +127,76 @@ def l12_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@query("l15_stratified_sample", oracle=None)
+L15_FRACTIONS = {"en": 0.5, "de": 0.8, "fr": 0.8, "es": 1.0, "ja": 1.0}
+
+L15_ORACLE = (
+    "SELECT lang,\n"
+    "       CAST(COUNT(*) AS BIGINT) AS n_total,\n"
+    "       CASE lang "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in L15_FRACTIONS.items())
+    + " ELSE 0.0 END AS frac,\n"
+    "       TRUE AS within_5sigma\n"
+    "FROM documents\n"
+    "GROUP BY lang"
+)
+
+
+@query("l15_stratified_sample", oracle=L15_ORACLE)
 def l15_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L15 (rows-only: engine RNG) — `sampleBy` with per-language
-    fractions and a fixed seed: the data-mixing primitive (oversample
-    scarce languages, downsample the head) for corpus construction.
-    Seeded Bernoulli sampling is deterministic per row within Spark
-    (golden-pinned in tests/test_golden.py) but engine-specific, so
-    no DuckDB oracle exists. Map-only at any scale — each partition
-    samples independently, nothing shuffles until the summary."""
+    """L15 — `sampleBy` with per-language fractions and a fixed
+    seed: the data-mixing primitive (oversample scarce languages,
+    downsample the head) for corpus construction. Map-only at any
+    scale — each partition samples independently, nothing shuffles
+    until the summary.
+
+    Oracle strategy (the a16/a04 bound pattern): seeded Bernoulli
+    sampling is deterministic within Spark but engine-specific, so
+    the sampled COUNT can't hash-compare — its STATISTICAL contract
+    can. The output carries each stratum's exact total, the
+    requested fraction, and a flag pinning the realized sample
+    inside a 5-sigma binomial band (sigma = sqrt(n·f·(1-f)); for
+    f = 1.0 the band is zero, so es/ja must keep EVERY row — an
+    exact pin, not a tolerance — and a stratum absent from the
+    fractions map, like the fixture's zh, must sample exactly ZERO
+    rows). The oracle computes the same totals/fractions over exact
+    semantics and pins the flag TRUE: a biased or broken sampler
+    fails the hash check. (The exact per-seed counts remain
+    golden-pinned in tests/test_golden.py for drift detection
+    across Spark versions.)"""
     (documents,) = load_tables(spark, sf_dir, "documents")
-    fractions = {"en": 0.5, "de": 0.8, "fr": 0.8, "es": 1.0, "ja": 1.0}
-    sampled = documents.sampleBy("lang", fractions, seed=42)
-    return (
-        sampled.groupBy("lang")
-        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    sampled = documents.sampleBy("lang", L15_FRACTIONS, seed=42)
+    frac_expr = None
+    for k, v in L15_FRACTIONS.items():
+        cond = F.when(F.col("lang") == k, F.lit(v))
+        frac_expr = cond if frac_expr is None else frac_expr.when(
+            F.col("lang") == k, F.lit(v)
+        )
+    frac_expr = frac_expr.otherwise(F.lit(0.0))
+    counts = (
+        documents.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_total"))
         .join(
-            documents.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total")),
+            sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled")),
             "lang",
+            "left",
         )
-        .withColumn(
-            "rate", F.round(F.col("n_sampled") / F.col("n_total"), 2)
-        )
+        .withColumn("n_sampled", F.coalesce("n_sampled", F.lit(0)))
+        .withColumn("frac", frac_expr)
+    )
+    sigma = F.sqrt(
+        F.col("n_total").cast("double") * F.col("frac") * (F.lit(1.0) - F.col("frac"))
+    )
+    return counts.select(
+        "lang",
+        "n_total",
+        "frac",
+        (
+            F.abs(
+                F.col("n_sampled").cast("double")
+                - F.col("frac") * F.col("n_total").cast("double")
+            )
+            <= F.lit(5.0) * sigma
+        ).alias("within_5sigma"),
     )
 
 

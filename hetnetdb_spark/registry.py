@@ -165,6 +165,8 @@ RECHECK_THIS_ROUND: frozenset[str] = frozenset(
         "a04_approx_count_distinct",  # rows-only -> ±6%-bound oracle
         "l02_minhash_neardup",    # rows-only -> portable-hash replay oracle
         "l02_simhash_neardup",    # rows-only -> portable-hash replay oracle
+        "f09_engine_hashes",      # rows-only -> collision-free property pin
+        "l15_stratified_sample",  # rows-only -> 5-sigma binomial bound
     }
 )
 

