@@ -445,14 +445,15 @@ def l32_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply it with a deterministic content hash — the data-mixing
     step that turns a raw crawl into a weighted training corpus.
 
-    Plan shape: one scan computes per-doc token counts and the md5
-    sample bucket map-side; a per-source hash agg (|sources| groups)
-    yields the rate table, which BROADCASTS back onto the per-doc
-    relation — so the sample decision `bucket/10000 < rate` runs
-    map-side with no second shuffle, and the final per-source
-    rollup is again |sources|-sized. At 100 TB: two scans of one
-    string column or one scan + cached per-doc projection;
-    everything shuffled is O(|sources|).
+    Plan shape: ONE scan computes per-doc token counts and the md5
+    sample bucket map-side, then immediately collapses to the
+    (source, bucket) grain — at most |sources|×10000 rows, the only
+    relation that ever shuffles, bounded regardless of corpus size.
+    The rate table derives from that relation (|sources| groups),
+    broadcasts back onto it, and the sample decision
+    `bucket/10000 < rate` plus the final rollup run over the
+    bucket-grain rows — the text column is read exactly once at any
+    scale, and every post-scan exchange is constant-size.
 
     Determinism: the sampler is the house md5-bucket spell (l10's
     split discipline — engine-portable, reshuffle-invariant, and
@@ -478,9 +479,22 @@ def l32_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             % L32_HASH_MOD
         ).alias("bucket"),
     )
-    per_src = per_doc.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_tok").alias("src_tokens"),
+    # Cache the bucket-grain relation: it is consumed twice (rate
+    # derivation + final rollup) and Spark recomputes shared
+    # subtrees, which would re-scan the text column. The cache is
+    # bounded at |sources|×10000 short rows by construction — the
+    # one relation you'd persist at 100 TB too.
+    per_bucket = (
+        per_doc.groupBy("source", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_b"),
+            F.sum("n_tok").alias("tok_b"),
+        )
+        .cache()
+    )
+    per_src = per_bucket.groupBy("source").agg(
+        F.sum("n_docs_b").alias("n_docs"),
+        F.sum("tok_b").alias("src_tokens"),
     )
     tot = per_src.agg(
         F.sum("src_tokens").alias("total_tokens"),
@@ -502,11 +516,13 @@ def l32_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rate"
     )
     return (
-        per_doc.join(F.broadcast(rates), "source")
+        per_bucket.join(F.broadcast(rates), "source")
         .groupBy("source", "n_docs", "src_tokens", "rate")
         .agg(
-            F.count(F.when(picked, 1)).cast("long").alias("n_sampled"),
-            F.coalesce(F.sum(F.when(picked, F.col("n_tok"))), F.lit(0))
+            F.coalesce(F.sum(F.when(picked, F.col("n_docs_b"))), F.lit(0))
+            .cast("long")
+            .alias("n_sampled"),
+            F.coalesce(F.sum(F.when(picked, F.col("tok_b"))), F.lit(0))
             .cast("long")
             .alias("sampled_tokens"),
         )

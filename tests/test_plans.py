@@ -380,10 +380,12 @@ def test_s22_histogram_constant_shuffle(spark):
 
 def test_l32_mixture_rate_broadcast(spark):
     """l32: the |sources|-row rate table must broadcast back onto the
-    per-doc relation — the sample decision is map-side, no shuffle of
-    per-doc rows on the join key."""
+    cached bucket-grain relation (BroadcastHashJoin — the exchange
+    node itself may print as a reused/AQE query stage), and the text
+    column must be scanned exactly once."""
     plan = executed_plan(registry.QUERIES["l32_corpus_mixture"](spark, SF_DIR))
-    assert "BroadcastExchange" in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+    assert plan.count("FileScan parquet") == 1, plan
 
 
 def test_l33_probe_carries_hashes_not_text(spark):
