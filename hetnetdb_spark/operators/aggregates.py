@@ -814,3 +814,69 @@ def a22_argmax_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.join(F.broadcast(mode), "o_orderpriority").orderBy(
         "o_orderpriority"
     )
+
+
+# --------------------------------------------------------------------------
+# A23 — approx_percentile with a checkable rank-error contract
+# --------------------------------------------------------------------------
+
+A23_ACCURACY = 10000  # Spark's default percentile_approx accuracy knob
+
+A23_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       TRUE AS p50_rank_ok,
+       TRUE AS p90_rank_ok
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("a23_approx_percentile_bound", oracle=A23_ORACLE)
+def a23_approx_percentile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A23 — `percentile_approx` (Greenwald-Khanna sketch: one pass,
+    mergeable, fixed memory — the 100 TB path a08's exact
+    percentile cannot take) verified against its own contract: GK
+    guarantees the returned value's RANK is within n/accuracy of
+    the requested quantile. A value-tolerance check would be wrong
+    (value error is unbounded on skewed data); the rank check is
+    the real guarantee, and with heavy ties (l_quantity is integer
+    1..50) a value occupies a rank INTERVAL [count(<v), count(<=v)],
+    so the flag asserts that interval overlaps [q-eps, q+eps].
+
+    Plan: one grouped agg computes the sketch values + exact counts;
+    the 3-row result broadcasts back onto lineitem for the rank
+    counts (map-side compares, second |groups|-sized agg); flags
+    derive from exact integer counts and literal bounds, so both
+    engines — the oracle simply pins them TRUE over exact COUNT(*)
+    — agree bit-for-bit. Estimator drift past the published bound
+    is a hash FAIL (the a16/a04 pattern, applied to quantiles)."""
+    (lineitem,) = load_tables(spark, sf_dir, "lineitem")
+    eps = 1.0 / A23_ACCURACY + 1e-9
+    sk = lineitem.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_quantity", 0.5, A23_ACCURACY).alias("v50"),
+        F.percentile_approx("l_quantity", 0.9, A23_ACCURACY).alias("v90"),
+    )
+    joined = lineitem.select("l_returnflag", "l_quantity").join(
+        F.broadcast(sk), "l_returnflag"
+    )
+    counted = joined.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("l_quantity") < F.col("v50"), 1)).alias("lt50"),
+        F.count(F.when(F.col("l_quantity") <= F.col("v50"), 1)).alias("le50"),
+        F.count(F.when(F.col("l_quantity") < F.col("v90"), 1)).alias("lt90"),
+        F.count(F.when(F.col("l_quantity") <= F.col("v90"), 1)).alias("le90"),
+    )
+
+    def rank_ok(lt: str, le: str, q: float):
+        n = F.col("n_rows").cast("double")
+        return (F.col(le).cast("double") / n >= F.lit(q - eps)) & (
+            F.col(lt).cast("double") / n <= F.lit(q + eps)
+        )
+
+    return counted.select(
+        "l_returnflag",
+        "n_rows",
+        rank_ok("lt50", "le50", 0.5).alias("p50_rank_ok"),
+        rank_ok("lt90", "le90", 0.9).alias("p90_rank_ok"),
+    )

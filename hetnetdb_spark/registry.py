@@ -146,6 +146,8 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "l32_corpus_mixture",
         "l33_incremental_dedup",
         "a22_argmax_mode",
+        "s23_malformed_records",
+        "a23_approx_percentile_bound",
     }
 )
 

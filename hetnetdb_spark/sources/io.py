@@ -926,3 +926,87 @@ def s21_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("sum_value"), 6).alias("sum_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# S23 — malformed-record handling (PERMISSIVE quarantine vs DROPMALFORMED)
+# --------------------------------------------------------------------------
+
+S23_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(COUNT(*) FILTER (WHERE n_nationkey % 5 = 2) AS BIGINT)  AS n_corrupt,
+       CAST(COUNT(*) FILTER (WHERE n_nationkey % 5 <> 2) AS BIGINT) AS n_good,
+       CAST(COUNT(*) FILTER (WHERE n_nationkey % 5 <> 2) AS BIGINT) AS n_dropmalformed,
+       CAST(SUM(n_nationkey) FILTER (WHERE n_nationkey % 5 <> 2) AS BIGINT)
+           AS key_sum_good
+FROM nation
+"""
+
+
+@query("s23_malformed_records", oracle=S23_ORACLE, impure=True)
+def s23_malformed_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S23 (beyond contract) — the dirty-ingest path every real
+    pipeline needs: a CSV where every 5th-offset-2 row is corrupted
+    (non-numeric key, truncated fields), read twice — PERMISSIVE
+    with a `columnNameOfCorruptRecord` quarantine column (bad rows
+    survive as raw text for a dead-letter audit, good fields parse
+    normally), and DROPMALFORMED (bad rows silently dropped). The
+    output cross-checks the two modes against each other AND against
+    the known corruption pattern: quarantined + parsed == total, and
+    the DROPMALFORMED count must equal the PERMISSIVE good count.
+
+    The corruption is injected deterministically from nation (key %
+    5 == 2 -> 'bad-<key>' with a missing column), so the oracle
+    states the expected accounting over exact semantics. Both reads
+    are schema-explicit (no inference scan); parsing and the
+    null-flag aggregation are map-side, one tiny final merge — the
+    quarantine pattern costs nothing extra at 100 TB.
+    """
+    (nation,) = load_tables(spark, sf_dir, "nation")
+    path = os.path.join(SCRATCH, "s23_dirty_csv")
+    lines = nation.select(
+        F.when(
+            F.col("n_nationkey") % 5 == 2,
+            F.concat(F.lit("bad-"), F.col("n_nationkey").cast("string"), F.lit(",x")),
+        )
+        .otherwise(
+            F.concat_ws(
+                ",",
+                F.col("n_nationkey").cast("string"),
+                F.col("n_name"),
+                F.col("n_regionkey").cast("string"),
+            )
+        )
+        .alias("value")
+    )
+    lines.write.mode("overwrite").text(path)
+
+    schema = "n_nationkey INT, n_name STRING, n_regionkey INT, _bad STRING"
+    permissive = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .csv(path)
+    )
+    dropped = (
+        spark.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .option("mode", "DROPMALFORMED")
+        .csv(path)
+    )
+    audit = permissive.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(F.col("_bad").isNotNull(), 1)).alias("n_corrupt"),
+        F.count(F.when(F.col("_bad").isNull(), 1)).alias("n_good"),
+        F.sum(F.when(F.col("_bad").isNull(), F.col("n_nationkey"))).alias(
+            "key_sum_good"
+        ),
+    )
+    # count("n_nationkey"), not count(1): the CSV reader prunes
+    # unreferenced columns BEFORE parsing, so a bare count reads
+    # zero columns, never attempts the INT conversion, and
+    # DROPMALFORMED drops nothing (observed: 25 == total). Counting
+    # the key column forces its parse; the corrupted rows then fail
+    # conversion and are dropped as intended.
+    return audit.crossJoin(
+        dropped.agg(F.count("n_nationkey").alias("n_dropmalformed"))
+    ).select("n_total", "n_corrupt", "n_good", "n_dropmalformed", "key_sum_good")
