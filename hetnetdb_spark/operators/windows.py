@@ -655,3 +655,55 @@ def w09_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("is_anomaly"),
     )
+
+
+# --------------------------------------------------------------------------
+# W10 — period-over-period growth (MoM revenue deltas via lag)
+# --------------------------------------------------------------------------
+
+W10_ORACLE = """
+WITH monthly AS (
+    SELECT o_orderpriority,
+           date_trunc('month', o_orderdate) AS month,
+           ROUND(SUM(o_totalprice), 6)      AS revenue
+    FROM orders
+    GROUP BY o_orderpriority, date_trunc('month', o_orderdate)
+)
+SELECT o_orderpriority, month, revenue,
+       ROUND(lag(revenue) OVER w, 6) AS prev_revenue,
+       ROUND((revenue - lag(revenue) OVER w)
+             / lag(revenue) OVER w * 100, 6) AS growth_pct
+FROM monthly
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY month)
+"""
+
+
+@query("w10_mom_growth", oracle=W10_ORACLE)
+def w10_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W10 — month-over-month growth per priority class: the
+    period-over-period KPI shape (lag over a pre-aggregated period
+    series) every reporting layer runs. First period's growth is
+    NULL by definition (no prior), identically on both engines.
+
+    Plan: monthly hash-agg (|priorities|×|months| groups), then lag
+    + the growth arithmetic over ONE priority-partitioned window —
+    the shuffle carries the aggregated series, never orders rows.
+    Float discipline: monthly revenue is rounded to 6dp BEFORE the
+    growth division (w09's rounded-operand rule), so both engines
+    divide bit-identical doubles; growth_pct is a ratio of O(1e6)
+    sums — computed from rounded operands it cannot straddle a
+    boundary unless the inputs already did."""
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        "o_orderpriority",
+        F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+    ).agg(F.round(F.sum("o_totalprice"), 6).alias("revenue"))
+    w = Window.partitionBy("o_orderpriority").orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return _parallel_by(spark, monthly, "o_orderpriority").select(
+        "o_orderpriority",
+        "month",
+        "revenue",
+        r6(prev).alias("prev_revenue"),
+        r6((F.col("revenue") - prev) / prev * F.lit(100)).alias("growth_pct"),
+    )

@@ -148,6 +148,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "a22_argmax_mode",
         "s23_malformed_records",
         "a23_approx_percentile_bound",
+        "w10_mom_growth",
     }
 )
 

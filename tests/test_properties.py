@@ -254,6 +254,15 @@ def test_float_results_partition_invariant(spark):
         "q17_small_quantity_order",
         "q19_disjunctive_join",
         "events_tumbling_1h",
+        # round-5 additions whose outputs derive from floats or
+        # sketches: the z-score (rounded-operand division), the
+        # mixture rates (double chain from exact longs), and the GK
+        # rank flags (the sketch VALUE may legally vary with merge
+        # order, but the published rank bound — hence the flags and
+        # counts — must not).
+        "w09_rolling_zscore",
+        "l32_corpus_mixture",
+        "a23_approx_percentile_bound",
     ]
     base = {}
     for name in RISKY:
