@@ -170,6 +170,7 @@ RECHECK_THIS_ROUND: frozenset[str] = frozenset(
         "l02_simhash_neardup",    # rows-only -> portable-hash replay oracle
         "f09_engine_hashes",      # rows-only -> collision-free property pin
         "l15_stratified_sample",  # rows-only -> 5-sigma binomial bound
+        "u08_cogrouped_pandas",   # demo domain bounded (20.8s -> 0.9s)
     }
 )
 

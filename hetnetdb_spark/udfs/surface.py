@@ -295,12 +295,15 @@ def u07_arrow_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # U8 — cogrouped applyInPandas (two-sided Arrow merge)
 # --------------------------------------------------------------------------
 
-U8_ORACLE = """
+U8_KEY_BOUND = 500  # bounded demo domain: the API shape is the point
+
+U8_ORACLE = f"""
 SELECT c_custkey,
        CAST(COUNT(o_orderkey) AS BIGINT)        AS n_orders,
        ROUND(COALESCE(SUM(o_totalprice), 0), 6) AS total_spend
 FROM customer
 LEFT JOIN orders ON o_custkey = c_custkey
+WHERE c_custkey < {U8_KEY_BOUND}
 GROUP BY c_custkey
 """
 
@@ -313,7 +316,12 @@ def u08_cogrouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     join expresses (custom as-of rules, per-entity reconciliation,
     stateful pairing). The built-in equivalent of THIS function is
     the left-join aggregate the oracle runs, which is why joins
-    should stay joins: the cogroup pays one Arrow crossing per side.
+    should stay joins: the cogroup pays one Arrow crossing per side
+    PLUS a Python function invocation per key (~1.3 ms each —
+    measured 20.8 s over the unbounded 15k-customer domain at sf0.1,
+    vs 30 ms for the equivalent join), so the demo runs on a bounded
+    key range like the rest of the U surface; real per-key merge
+    logic amortizes that cost over work a join cannot express.
     One shuffle per input on the cogroup key, same as the join it
     replaces. The UDF returns the raw float sum; rounding happens
     uniformly in Spark's ``r6`` (HALF_UP, matching DuckDB's ROUND)
@@ -332,8 +340,13 @@ def u08_cogrouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer, orders = load_tables(spark, sf_dir, "customer", "orders")
     return (
         customer.select("c_custkey")
+        .filter(F.col("c_custkey") < U8_KEY_BOUND)
         .groupBy("c_custkey")
-        .cogroup(orders.select("o_custkey", "o_totalprice").groupBy("o_custkey"))
+        .cogroup(
+            orders.select("o_custkey", "o_totalprice")
+            .filter(F.col("o_custkey") < U8_KEY_BOUND)
+            .groupBy("o_custkey")
+        )
         .applyInPandas(merge, "c_custkey bigint, n_orders bigint, total_spend double")
         .withColumn("total_spend", r6(F.col("total_spend")))
     )
