@@ -121,13 +121,39 @@ def _decode_bytes(data: bytes, width: int, height: int) -> list[float]:
     return [c / n for c in counts] + [float(min(width, height))]
 
 
-@query("l08_image_features", oracle=None)
+L8_FEATURES_ORACLE = r"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_images,
+       ROUND(AVG(CAST(CAST(
+           length(text) - length(regexp_replace(text, '[\x00-\x3f]', '', 'g'))
+           AS DOUBLE) / GREATEST(octet_length(encode(text)), 1) AS FLOAT)), 6)
+           AS avg_bin0,
+       CAST(5 AS INTEGER) AS feat_dim
+FROM documents
+WHERE doc_id % 3 = 0
+"""
+
+
+@query("l08_image_features", oracle=L8_FEATURES_ORACLE)
 def l08_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L8 (rows-only) — decode + feature-extract 'images' through
-    mapInPandas: binary in, fixed-width `array<float>` out, one
-    Arrow batch per crossing. Column pruning matters: only
-    image-mime rows reach Python, and the projection carries just
-    (doc_id, data, width, height)."""
+    """L8 — decode + feature-extract 'images' through mapInPandas:
+    binary in, fixed-width `array<float>` out, one Arrow batch per
+    crossing. Column pruning matters: only image-mime rows reach
+    Python, and the projection carries just (doc_id, data, width,
+    height).
+
+    FULL oracle since round 5: the stub decoder's bin-0 count is
+    "payload bytes < 0x40", and because the fixture payload is the
+    UTF-8 encoding of `text`, those bytes are EXACTLY the characters
+    with codepoint <= 0x3F (multibyte sequences contribute only
+    bytes >= 0x80) — so DuckDB replays the feature from the text
+    column: chars-in-class via regexp, byte length via
+    octet_length(encode(text)), the same double division, the same
+    float32 quantization the Arrow `array<float>` applies, then a
+    6dp-rounded average. A real codec would break this identity and
+    the query would honestly revert to rows-only — the oracle
+    certifies the Spark-side plumbing (filter pushdown, Arrow batch
+    shape, per-doc arithmetic), which is what this container can
+    test."""
 
     def extract(batches):
         for pdf in batches:
@@ -151,7 +177,7 @@ def l08_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = images.mapInPandas(extract, "doc_id long, features array<float>")
     return feats.agg(
         F.count(F.lit(1)).alias("n_images"),
-        F.avg(F.element_at("features", 1)).alias("avg_bin0"),
+        F.round(F.avg(F.element_at("features", 1)), 6).alias("avg_bin0"),
         F.min(F.size("features")).alias("feat_dim"),
     )
 
@@ -170,7 +196,16 @@ def l08_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame rows), the batch shape real video frame-sampling has.
     Frames here are byte slices (stub decoder); each output row
     carries the frame index and a content hash so downstream exact
-    dedup (L1) composes directly."""
+    dedup (L1) composes directly.
+
+    Rows-only cause (checked round 5): the replay needs byte-level
+    BLOB slicing in the oracle engine, and this DuckDB build has
+    neither substring(BLOB) nor blob bracket slicing (and sha256
+    takes VARCHAR only — a slice can split a multibyte char, so a
+    text round-trip is not UTF-8-safe). The sibling
+    l08_image_features DOES replay in SQL because its feature needs
+    only byte-CLASS counts, which UTF-8 structure exposes through
+    char-level functions."""
 
     def sample(batches):
         for pdf in batches:
