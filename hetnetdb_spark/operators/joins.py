@@ -616,3 +616,52 @@ def j15_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# J16 — LATERAL correlated subquery (top-k per driving row)
+# --------------------------------------------------------------------------
+
+J16_SQL = """
+SELECT c.c_custkey, c.c_name, o.o_orderkey,
+       ROUND(o.o_totalprice, 6) AS top_price
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 2
+) o
+WHERE c.c_mktsegment = 'BUILDING'
+ORDER BY c.c_custkey, o.o_orderkey
+"""
+
+
+@query("j16_lateral_topk", oracle=J16_SQL, impure=True)
+def j16_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J16 — ANSI LATERAL join: for each BUILDING customer, the
+    correlated subquery returns their 2 highest-value orders. Both
+    engines execute the IDENTICAL SQL string (the oracle *is* this
+    query), so this pins the lateral surface itself, not a
+    reimplementation.
+
+    What Catalyst does with it is the point: the per-row correlated
+    LIMIT decorrelates to `WindowGroupLimit(row_number ≤ 2)` with a
+    PARTIAL pass *below* the exchange — each map task keeps at most
+    2 orders per customer before any shuffle — then a broadcast
+    hash join against the filtered customers. That is exactly the
+    top-k-per-group plan `window_top3_orders_per_cust` hand-writes;
+    a naive engine would re-execute the subquery per driving row
+    (O(|customers|) scans). At 100 TB the shuffle carries ≤2 rows
+    per (customer × input partition) and the customer filter is
+    pushed to the scan footer. ORDER BY carries the unique
+    o_orderkey tiebreaker so both engines select the same rows when
+    prices tie (registry float discipline).
+
+    Registered impure: building the plan registers temp views
+    (s05's SQL-entry pattern)."""
+    from hetnetdb_spark.catalog import register_views
+
+    register_views(spark, sf_dir, "customer", "orders")
+    return spark.sql(J16_SQL)

@@ -707,3 +707,57 @@ def w10_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(prev).alias("prev_revenue"),
         r6((F.col("revenue") - prev) / prev * F.lit(100)).alias("growth_pct"),
     )
+
+
+# --------------------------------------------------------------------------
+# W11 — cumulative distinct users (running-reach series)
+# --------------------------------------------------------------------------
+
+W11_ORACLE = """
+WITH fm AS (
+    SELECT o_custkey, MIN(date_trunc('month', o_orderdate)) AS month
+    FROM orders GROUP BY o_custkey
+),
+nm AS (
+    SELECT month, CAST(COUNT(*) AS BIGINT) AS new_customers
+    FROM fm GROUP BY month
+)
+SELECT month, new_customers,
+       CAST(SUM(new_customers) OVER (ORDER BY month) AS BIGINT)
+           AS cum_customers
+FROM nm ORDER BY month
+"""
+
+
+@query("w11_running_distinct", oracle=W11_ORACLE)
+def w11_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W11 — cumulative distinct customers by order month: the
+    running-reach curve ("total unique customers to date").
+    COUNT(DISTINCT) over a growing window is illegal in Spark (and
+    O(N·periods) where legal), so the scalable identity is used
+    instead: a customer contributes to the cumulative count exactly
+    once, in their FIRST month — running distinct = running SUM of
+    first-appearance counts.
+
+    Plan: per-customer min(month) hash agg (the only full-width
+    shuffle, carrying (custkey, month) pairs with map-side partial
+    min), a |months|-row second agg, then one running-sum window
+    over the |months|-row series. The unpartitioned window is safe
+    BECAUSE it runs post-aggregation: |months| rows regardless of
+    order count — the same bounded-series argument as w10's month
+    grid. At 100 TB nothing changes: the orders scan prunes to 2
+    columns and all post-scan state is |customers| partial mins,
+    then |months| rows."""
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    first_month = orders.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("month", F.col("o_orderdate"))).alias("month")
+    )
+    monthly = first_month.groupBy("month").agg(
+        F.count(F.lit(1)).alias("new_customers")
+    )
+    w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, 0)
+    return monthly.select(
+        "month",
+        "new_customers",
+        F.sum("new_customers").over(w).cast("long").alias("cum_customers"),
+    ).orderBy("month")

@@ -536,3 +536,124 @@ def l32_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# L34 — repeated-passage removal (C4-style sub-document dedup)
+# --------------------------------------------------------------------------
+
+PASSAGE_TOKENS = 8
+
+L34_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+),
+p AS (
+    SELECT doc_id, source, CAST(u.s AS BIGINT) AS s,
+           array_to_string(list_slice(toks, u.s, u.s + {PASSAGE_TOKENS - 1}), ' ')
+               AS passage
+    FROM t, LATERAL unnest(range(1, len(toks) + 1, {PASSAGE_TOKENS})) AS u(s)
+),
+dup AS (SELECT md5(passage) AS h FROM p GROUP BY 1 HAVING COUNT(*) > 1),
+flag AS (
+    SELECT doc_id, source, s, passage,
+           md5(passage) IN (SELECT h FROM dup) AS dropped
+    FROM p
+),
+clean AS (
+    SELECT doc_id, source,
+           COUNT(*)                                   AS n_pass,
+           SUM(CASE WHEN dropped THEN 1 ELSE 0 END)   AS n_drop,
+           COALESCE(string_agg(passage, ' ' ORDER BY s)
+                    FILTER (WHERE NOT dropped), '')   AS clean_text
+    FROM flag GROUP BY doc_id, source
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT)                       AS n_docs,
+       CAST(SUM(n_pass) AS BIGINT)                    AS n_passages,
+       CAST(SUM(n_drop) AS BIGINT)                    AS n_dropped,
+       CAST(COUNT(DISTINCT md5(clean_text)) AS BIGINT) AS n_clean_distinct,
+       CAST(SUM(length(clean_text)) AS BIGINT)        AS clean_chars,
+       ROUND(1.0 - SUM(n_drop) * 1.0 / SUM(n_pass), 6) AS kept_frac
+FROM clean GROUP BY source ORDER BY source
+"""
+
+
+@query("l34_passage_dedup", oracle=L34_ORACLE)
+def l34_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L34 — sub-document dedup: drop every non-overlapping 8-token
+    passage that occurs more than once ANYWHERE in the corpus, then
+    reassemble the surviving passages in order (the C4 "repeated
+    three-sentence span" rule re-expressed at passage granularity —
+    exact-dedup (L1) removes whole duplicate documents, this removes
+    boilerplate shared *between* otherwise-distinct documents).
+
+    Plan shape — text never crosses a shuffle: passage hashes derive
+    map-side from one scan; the duplicate set is an md5-key hash agg
+    (16-byte keys + counts); per-doc dropped *positions* (not text)
+    aggregate on doc_id; the drop-position arrays join back to the
+    documents scan (tiny side — only docs that lose a passage — so
+    Catalyst broadcasts it by estimate, and at 100 TB the join keys
+    are still just (doc_id, int array)); reassembly is a map-side
+    index-filter over the re-derived chunk array. The output rollup
+    ships per-source partial states only. At 100 TB the same plan
+    holds: the only payload-bearing relation (documents) is read
+    twice and shuffled never; a production variant would write
+    clean_text to a partitioned sink (S6) instead of rolling up.
+
+    Determinism: passage boundaries are pure per-row arithmetic
+    (same `sequence`/`range` spell l17 proved engine-parity for);
+    duplicate membership is exact string equality via md5; the
+    rollup compares exact BIGINTs plus one r6 ratio of exact counts.
+    """
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.size(toks), F.lit(PASSAGE_TOKENS)),
+        lambda s: F.concat_ws(" ", F.slice(toks, s, PASSAGE_TOKENS)),
+    )
+
+    pass_ids = documents.select(
+        "doc_id", F.posexplode(chunks).alias("pos", "passage")
+    ).select("doc_id", "pos", F.md5("passage").alias("h"))
+
+    dup_hashes = (
+        pass_ids.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .select("h")
+    )
+
+    drops_per_doc = (
+        pass_ids.join(dup_hashes, "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("drop_pos"))
+    )
+
+    empty = F.array().cast("array<integer>")
+    drop_pos = F.coalesce(F.col("drop_pos"), empty)
+    kept = F.filter(chunks, lambda c, i: ~F.array_contains(drop_pos, i))
+    cleaned = (
+        documents.join(drops_per_doc, "doc_id", "left")
+        .select(
+            "source",
+            F.size(chunks).cast("long").alias("n_pass"),
+            F.size(drop_pos).cast("long").alias("n_drop"),
+            F.array_join(kept, " ").alias("clean_text"),
+        )
+    )
+    return (
+        cleaned.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_pass").alias("n_passages"),
+            F.sum("n_drop").alias("n_dropped"),
+            F.countDistinct(F.md5("clean_text")).alias("n_clean_distinct"),
+            F.sum(F.length("clean_text")).alias("clean_chars"),
+            r6(
+                F.lit(1.0)
+                - F.sum("n_drop").cast("double") / F.sum("n_pass").cast("double")
+            ).alias("kept_frac"),
+        )
+        .orderBy("source")
+    )

@@ -149,6 +149,9 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "s23_malformed_records",
         "a23_approx_percentile_bound",
         "w10_mom_growth",
+        "l34_passage_dedup",
+        "w11_running_distinct",
+        "j16_lateral_topk",
     }
 )
 
