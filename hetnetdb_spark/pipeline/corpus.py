@@ -613,9 +613,16 @@ def l34_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda s: F.concat_ws(" ", F.slice(toks, s, PASSAGE_TOKENS)),
     )
 
-    pass_ids = documents.select(
-        "doc_id", F.posexplode(chunks).alias("pos", "passage")
-    ).select("doc_id", "pos", F.md5("passage").alias("h"))
+    # Cached: consumed by both the duplicate-hash agg and the
+    # drop-position semi-join; without it Spark recomputes the
+    # subtree and the text column is scanned a third time. Bounded
+    # at one (doc_id, pos, 32-char hash) row per passage — ~1/10 of
+    # corpus text bytes, the hash index you'd persist at 100 TB.
+    pass_ids = (
+        documents.select("doc_id", F.posexplode(chunks).alias("pos", "passage"))
+        .select("doc_id", "pos", F.md5("passage").alias("h"))
+        .cache()
+    )
 
     dup_hashes = (
         pass_ids.groupBy("h")

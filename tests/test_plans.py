@@ -396,3 +396,50 @@ def test_l33_probe_carries_hashes_not_text(spark):
     assert "md5" in plan, plan
     cols = scan_read_columns(plan, "documents")
     assert cols is None or "lang" not in cols, f"unneeded column read: {cols}"
+
+
+def test_l34_text_stays_out_of_shuffles(spark):
+    """l34: every hashpartitioning exchange must key on hashes, ids,
+    or the per-source rollup — never raw passage/clean text; the
+    duplicate-hash set and the drop-position table must come back as
+    broadcast builds; and the cached passage-id relation caps the
+    documents scans at two (derive + reassemble)."""
+    plan = executed_plan(registry.QUERIES["l34_passage_dedup"](spark, SF_DIR))
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "passage#" not in ln and "text#" not in ln.replace(
+                "clean_text", ""
+            ), ln
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    # Both the duplicate-hash agg and the drop-position semi-join
+    # must read the CACHED passage-id relation, not re-derive it
+    # from a third documents scan. (InMemoryRelation blocks print
+    # their recipe FileScan, so counting raw FileScan lines
+    # overcounts — count the cache consumers instead.)
+    assert plan.count("InMemoryTableScan") == 2, plan
+
+
+def test_w11_bounded_series_window(spark):
+    """w11: the running sum must execute over the |months|-row
+    aggregated series (SinglePartition exchange ABOVE two hash
+    aggs), and the orders scan must prune to exactly the two
+    columns the identity needs."""
+    plan = executed_plan(registry.QUERIES["w11_running_distinct"](spark, SF_DIR))
+    assert "Exchange SinglePartition" in plan, plan
+    hash_exchanges = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert len(hash_exchanges) == 2, plan
+    cols = scan_read_columns(plan, "orders")
+    assert cols is None or set(cols) <= {"o_custkey", "o_orderdate"}, cols
+
+
+def test_j16_lateral_decorrelates_to_group_limit(spark):
+    """j16: the correlated LATERAL LIMIT must decorrelate to a
+    WindowGroupLimit with a Partial pass below the exchange (map-side
+    top-2 per customer), joined via broadcast hash join — not a
+    per-row subquery re-execution or nested loop."""
+    plan = executed_plan(registry.QUERIES["j16_lateral_topk"](spark, SF_DIR))
+    assert "WindowGroupLimit" in plan and "Partial" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "NestedLoop" not in plan, plan
