@@ -152,6 +152,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "l34_passage_dedup",
         "w11_running_distinct",
         "j16_lateral_topk",
+        "u10_iter_pandas_udf",
     }
 )
 

@@ -18,6 +18,8 @@ a lateral range join.
 
 from __future__ import annotations
 
+from typing import Iterator
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -426,4 +428,69 @@ def u09_partitioned_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT * FROM increase_counter("
         "TABLE(SELECT * FROM u09_purchases) "
         "PARTITION BY user_id ORDER BY (ts, event_id))"
+    )
+
+
+# --------------------------------------------------------------------------
+# U10 — iterator-of-series pandas_udf (amortized per-task init)
+# --------------------------------------------------------------------------
+
+U10_ORACLE = """
+SELECT CASE lang
+         WHEN 'en' THEN 'latin' WHEN 'es' THEN 'latin'
+         WHEN 'fr' THEN 'latin' WHEN 'de' THEN 'latin'
+         ELSE 'other'
+       END AS script,
+       CAST(COUNT(*) AS BIGINT)   AS n_docs,
+       CAST(SUM(CASE WHEN regexp_matches(text, 'stream|batch')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+FROM documents
+GROUP BY script
+ORDER BY script
+"""
+
+_LATIN = frozenset({"en", "es", "fr", "de"})
+
+
+@query("u10_iter_pandas_udf", oracle=U10_ORACLE)
+def u10_iter_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U10 — ``Iterator[Series] -> Iterator[Series]`` pandas_udf:
+    the variant for UDFs with expensive one-time state (a compiled
+    model, a tokenizer, a regex set). State builds ONCE per task
+    before the loop, then every Arrow batch streams through it —
+    with the plain scalar pandas_udf the init would re-run per
+    batch, and with a row UDF per row. Here the "model" is a
+    compiled regex, deliberately cheap so the oracle can replay the
+    semantics exactly; the pattern is what's being pinned, the
+    regex stands in for a real classifier load.
+
+    Scale: one Python worker per task streams all its batches
+    through the same state — per-task init cost amortizes over
+    partition size, so bigger partitions IMPROVE the ratio at
+    100 TB. Built-in alternative for THIS logic: `rlike` + a map
+    literal (no crossing at all) — the iterator form earns its
+    crossing only when the init genuinely cannot live in the JVM.
+    """
+    import re
+
+    @pandas_udf("boolean")
+    def flag(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        pattern = re.compile(r"stream|batch")  # per-task init, once
+        for batch in batches:
+            yield batch.str.contains(pattern)
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    script = (
+        F.when(F.col("lang").isin(*sorted(_LATIN)), F.lit("latin"))
+        .otherwise(F.lit("other"))
+        .alias("script")
+    )
+    return (
+        documents.select(script, flag(F.col("text")).alias("flagged"))
+        .groupBy("script")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("flagged").cast("long")).alias("n_flagged"),
+        )
+        .orderBy("script")
     )
