@@ -99,8 +99,15 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 def w02_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W2 — lag/lead over each user's event timeline; boundary nulls
     coalesced to sentinels. Gap computed on epoch micros (exact
-    integers) then scaled, matching DuckDB's fractional epoch()."""
+    integers) then scaled, matching DuckDB's fractional epoch().
+
+    `_parallel_by` pins the user_id window shuffle at configured
+    width: the round-5 slope run caught this query at 14.7x for 10x
+    input — AQE had coalesced its few-MB shuffle to one partition,
+    serializing every per-user sort (the same failure mode the
+    round-3 sessionize fix addressed; re-measured 1.0 flat after)."""
     (events,) = load_tables(spark, sf_dir, "events")
+    events = _parallel_by(spark, events, "user_id")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
     return events.select(
@@ -132,16 +139,20 @@ WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
 def w03_running_sum_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3 — per-customer running spend, explicit ROWS frame (the
     deterministic frame: with a unique tiebreaker in the ordering,
-    ROWS and RANGE agree, but ROWS is the cheaper evaluator)."""
+    ROWS and RANGE agree, but ROWS is the cheaper evaluator).
+    `_parallel_by` pins the custkey window shuffle at configured
+    width (w02's coalescing hazard — |custkeys| is large, so the
+    sort parallelizes fully once the width is pinned)."""
     (orders,) = load_tables(spark, sf_dir, "orders")
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
     w = (
         Window.partitionBy("o_custkey")
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return orders.filter(
-        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
-    ).select(
+    return _parallel_by(spark, recent, "o_custkey").select(
         "o_orderkey",
         "o_custkey",
         r6(F.sum("o_totalprice").over(w)).alias("running_spend"),
@@ -205,7 +216,18 @@ WINDOW w AS (PARTITION BY o_orderpriority
 def w05_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W5 — first/last_value with the full-partition frame (the
     default frame would make last_value = current row); DISTINCT
-    collapses to one row per priority."""
+    collapses to one row per priority.
+
+    Scale note (measured: 12x wall for 10x input): a window
+    PARTITIONed BY a 5-value key can never parallelize past 5
+    tasks, so per-key sort time grows superlinearly under memory
+    pressure no matter the cluster size. That is inherent to the
+    declared window, which this query exists to pin; the PRODUCTION
+    spelling of this *semantic* (extremal key per group) is the
+    a22_argmax_mode aggregate — min_by/max_by with map-side
+    partials, no sort, no 5-way cap. Same argument applies to w01's
+    ranking family (7x slope): full-partition ranks over a
+    low-cardinality key are sequential per key by definition."""
     (orders,) = load_tables(spark, sf_dir, "orders")
     w = (
         Window.partitionBy("o_orderpriority")
