@@ -36,12 +36,11 @@ TOLERANCE_MS = 3_600_000  # j15's 1-hour attribution window
 OUT_SCHEMA = "p_event_id bigint, asof_click_id bigint, staleness_ms bigint"
 
 
-def _merge_asof_group(key, dfs) -> pd.DataFrame:
+def _merge_asof_group(key, p: pd.DataFrame, c: pd.DataFrame) -> pd.DataFrame:
     """Per-user merge_asof: purchases left-joined to the latest
     click at-or-before each purchase within the tolerance. Clicks
     sort by (ts, event_id) so merge_asof's pick-last-on-tie equals
     the range join's ORDER BY ts DESC, event_id DESC."""
-    p, c = dfs
     if p.empty:
         return pd.DataFrame(columns=["p_event_id", "asof_click_id", "staleness_ms"])
     p = p.sort_values(["ts", "event_id"]).reset_index(drop=True)
