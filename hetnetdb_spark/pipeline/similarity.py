@@ -540,14 +540,13 @@ def _chain_dot(a: str, b: str) -> str:
     )
 
 
-def _l03_ivf_oracle() -> str:
-    """Full-oracle twin of l03_knn_ivf — replays seed assignment,
-    the Lloyd refinement (64 AVG-cast-FLOAT centroid components),
-    final assignment, 2-centroid probing, and the pruned top-10.
-    Every dot is a left-associative chain (`_chain_dot`) so argmax
-    comparisons see bit-identical scores; centroid components pass
-    through the same double-mean → FLOAT quantization on both
-    engines."""
+def _ivf_assign_ctes() -> str:
+    """The seeds → seed_assign → cent → assigned CTE chain shared by
+    the IVF (l03) and SemDeDup (l35) oracles — one deterministic
+    Lloyd pass from fixed seeds, every dot a left-associative chain,
+    centroid means 7dp-rounded before the FLOAT cast (see
+    `_lloyd_refine` for why the quantization makes the argmax
+    bit-reproducible across engines)."""
     cent_cols = ",\n           ".join(
         f"CAST(ROUND(AVG(CAST(embedding[{i}] AS DOUBLE)), 7) AS FLOAT) AS c{i}"
         for i in range(1, DIM + 1)
@@ -556,12 +555,8 @@ def _l03_ivf_oracle() -> str:
         f"CAST(e.embedding[{i}] AS DOUBLE) * CAST(c.c{i} AS DOUBLE)"
         for i in range(1, DIM + 1)
     )
-    dot_cent_q = " + ".join(
-        f"CAST(q.embedding[{i}] AS DOUBLE) * CAST(c.c{i} AS DOUBLE)"
-        for i in range(1, DIM + 1)
-    )
     return f"""
-WITH seeds AS (
+seeds AS (
     SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < {N_CENTROIDS}
 ),
 seed_assign AS (
@@ -589,7 +584,24 @@ assigned AS (
                ) AS rn
         FROM embeddings e CROSS JOIN cent c
     ) WHERE rn = 1
-),
+)"""
+
+
+
+def _l03_ivf_oracle() -> str:
+    """Full-oracle twin of l03_knn_ivf — replays seed assignment,
+    the Lloyd refinement (64 AVG-cast-FLOAT centroid components),
+    final assignment, 2-centroid probing, and the pruned top-10.
+    Every dot is a left-associative chain (`_chain_dot`) so argmax
+    comparisons see bit-identical scores; centroid components pass
+    through the same double-mean → FLOAT quantization on both
+    engines."""
+    dot_cent_q = " + ".join(
+        f"CAST(q.embedding[{i}] AS DOUBLE) * CAST(c.c{i} AS DOUBLE)"
+        for i in range(1, DIM + 1)
+    )
+    return f"""
+WITH {_ivf_assign_ctes()},
 q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
 probe AS (
     SELECT c.cid
@@ -662,4 +674,110 @@ def l03_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", r6(dot(F.col("embedding"), F.col("qe"))).alias("cosine"))
         .orderBy(F.col("cosine").desc(), "vec_id")
         .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# L35 — SemDeDup-style semantic dedup (cluster-pruned pair search)
+# --------------------------------------------------------------------------
+
+
+def _l35_oracle() -> str:
+    return f"""
+WITH {_ivf_assign_ctes()},
+pairs AS (
+    SELECT a.cluster, b.vec_id AS dropped_id
+    FROM assigned a JOIN assigned b
+      ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    WHERE ROUND(({_chain_dot("a.embedding", "b.embedding")}), 6)
+          >= {SIM_THRESHOLD}
+),
+dropped AS (
+    SELECT cluster, COUNT(DISTINCT dropped_id) AS n_dropped
+    FROM pairs GROUP BY cluster
+),
+per AS (
+    SELECT cluster, COUNT(*) AS n_vecs FROM assigned GROUP BY cluster
+)
+SELECT p.cluster,
+       CAST(p.n_vecs AS BIGINT)                  AS n_vecs,
+       CAST(COALESCE(d.n_dropped, 0) AS BIGINT)  AS n_dropped,
+       CAST(p.n_vecs - COALESCE(d.n_dropped, 0) AS BIGINT) AS n_kept
+FROM per p LEFT JOIN dropped d USING (cluster)
+ORDER BY p.cluster
+"""
+
+
+@query("l35_semantic_dedup", oracle=_l35_oracle())
+def l35_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L35 — SemDeDup-style semantic dedup: cluster the embedding
+    space (the l03 IVF layout — one deterministic Lloyd pass from
+    fixed seeds), then search duplicate pairs ONLY within each
+    cluster and drop the higher id of every qualifying pair (the
+    greedy lowest-id keeper l02_embedding_neardup defines). This is
+    the published SemDeDup recipe: k-means prunes the O(N²) pair
+    space to Σ n_k², betting that cross-cluster pairs are below
+    threshold — l02's exact corpus-wide twin measures exactly what
+    that bet loses.
+
+    Scale: the pair join shuffles on the cluster id, so every
+    comparison is partition-local; at 100 TB the assignment IS the
+    bucketed layout (same argument as l03) and K grows with corpus
+    size to hold n_k ≈ N/K bounded — the quadratic term never sees
+    N. The assigned relation (id, vector, cluster) is cached: it
+    feeds both sides of the pair join plus the rollup, and it is
+    precisely the relation a deployment would persist.
+
+    Determinism: assignment replays l03's bit-reproducible argmax
+    (shared `_ivf_assign_ctes`); pair membership compares
+    `r6(dot)` ≥ τ with both engines folding identical doubles in
+    identical left-associative order (the l04 verified-pairs
+    discipline)."""
+    (emb,) = load_tables(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    cent = _lloyd_refine(emb.select("vec_id", "embedding"), seeds)
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("cscore").desc(), F.col("cid")
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "embedding",
+            "cid",
+            dot(F.col("embedding"), F.col("ce")).alias("cscore"),
+        )
+        .withColumn("arn", F.row_number().over(w_assign))
+        .filter(F.col("arn") == 1)
+        .select("vec_id", "embedding", F.col("cid").alias("cluster"))
+        .cache()
+    )
+    a = assigned.select(
+        "cluster", F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb")
+    )
+    b = assigned.select(
+        "cluster", F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb")
+    )
+    dropped = (
+        a.join(b, "cluster")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(r6(dot(F.col("a_emb"), F.col("b_emb"))) >= F.lit(SIM_THRESHOLD))
+        .groupBy("cluster")
+        .agg(F.countDistinct("b_id").alias("n_dropped"))
+    )
+    per = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_vecs"))
+    nd = F.coalesce(F.col("n_dropped"), F.lit(0)).cast("long")
+    return (
+        per.join(dropped, "cluster", "left")
+        .select(
+            "cluster",
+            F.col("n_vecs").cast("long").alias("n_vecs"),
+            nd.alias("n_dropped"),
+            (F.col("n_vecs") - F.coalesce(F.col("n_dropped"), F.lit(0)))
+            .cast("long")
+            .alias("n_kept"),
+        )
+        .orderBy("cluster")
     )

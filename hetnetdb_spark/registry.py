@@ -153,6 +153,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "w11_running_distinct",
         "j16_lateral_topk",
         "u10_iter_pandas_udf",
+        "l35_semantic_dedup",
     }
 )
 

@@ -263,6 +263,11 @@ def test_float_results_partition_invariant(spark):
         "w09_rolling_zscore",
         "l32_corpus_mixture",
         "a23_approx_percentile_bound",
+        # l35: cluster assignment argmaxes over avg()-derived
+        # centroids and pair membership thresholds r6(dot) — both
+        # must be partition-count invariant (7dp centroid rounding
+        # + identical fold order are what guarantee it).
+        "l35_semantic_dedup",
     ]
     base = {}
     for name in RISKY:
