@@ -154,6 +154,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "j16_lateral_topk",
         "u10_iter_pandas_udf",
         "l35_semantic_dedup",
+        "t12_stream_outer_join",
     }
 )
 

@@ -664,3 +664,146 @@ def t11_paced_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _run_to_memory(agged, "t11_paced", "complete")
     return spark.table("t11_paced")
+
+
+# --------------------------------------------------------------------------
+# T12 — stream-stream LEFT OUTER join (watermark-gated null emission)
+# --------------------------------------------------------------------------
+
+T12_SPLIT = "2024-01-16 00:00:00"
+
+T12_ORACLE = f"""
+WITH r1 AS (
+    SELECT * FROM events WHERE ts < TIMESTAMP '{T12_SPLIT}'
+),
+wm AS (
+    SELECT LEAST(
+        (SELECT MAX(ts) FROM r1 WHERE event_type = 'click'),
+        (SELECT MAX(ts) FROM r1 WHERE event_type = 'purchase')
+    ) - INTERVAL 2 HOUR AS w
+),
+c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+matched AS (
+    SELECT c.event_id AS c_id, c.user_id
+    FROM c JOIN p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+),
+unmatched AS (
+    SELECT c.event_id FROM c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM p
+        WHERE p.user_id = c.user_id
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    )
+    AND c.ts + INTERVAL 1 HOUR < (SELECT w FROM wm) - INTERVAL 1 MINUTE
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM matched)               AS n_matched,
+       (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM matched) AS n_users_matched,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM unmatched)             AS n_unmatched_flushed
+"""
+
+
+@query("t12_stream_outer_join", oracle=T12_ORACLE, impure=True)
+def t12_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T12 — watermarked stream-stream LEFT OUTER join: every click
+    joined to its purchases within 1 hour, clicks with NO purchase
+    surviving as null rows. Outer results are watermark-GATED: a
+    null row may only emit once the join watermark proves no future
+    match can arrive, and Spark flushes those evictions during the
+    NEXT batch — a single-batch availableNow run would emit zero
+    null rows. So the query manufactures a second batch exactly like
+    t04: run 1 streams events before {T12_SPLIT} (persisting
+    watermark = min(max click ts, max purchase ts) − 2h in the
+    checkpoint), then the rest lands and run 2 resumes, during
+    which run-1 state older than the watermark is evicted and
+    emitted null-joined.
+
+    Determinism contract mirrored by the oracle: ALL matched pairs
+    emit (boundary-straddling clicks are provably un-evictable
+    before their match arrives: c_ts ≥ split − 1h > watermark);
+    null rows emit exactly for unmatched clicks with
+    c_ts + 1h < watermark, counted with a 1-minute safety margin
+    on BOTH engines so the state-store boundary comparison (< vs ≤,
+    last-ulp) cannot flip a row between the two sides. The margin
+    rows are EXCLUDED from both counts, not trusted to either
+    engine. Scale: state is bounded by (watermark delay + join
+    window) × arrival rate per key — the eviction being tested here
+    is the mechanism that makes an infinite outer join finite."""
+    import shutil
+
+    (events,) = load_tables(spark, sf_dir, "events")
+    base = os.path.join(SCRATCH, "t12_outer")
+    shutil.rmtree(base, ignore_errors=True)
+    src = os.path.join(base, "src")
+    ckpt = os.path.join(base, "ckpt")
+    out = os.path.join(base, "out")
+    split = F.lit(T12_SPLIT).cast("timestamp")
+
+    def run_available_now() -> None:
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        clicks = (
+            stream.filter(F.col("event_type") == "click")
+            .select(
+                F.col("user_id").alias("c_user"),
+                F.col("event_id").alias("c_id"),
+                F.col("ts").alias("c_ts"),
+            )
+            .withWatermark("c_ts", "2 hours")
+        )
+        purchases = (
+            stream.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user"),
+                F.col("event_id").alias("p_id"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "2 hours")
+        )
+        joined = clicks.join(
+            purchases,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+            "leftOuter",
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    events.filter(F.col("ts") < split).coalesce(1).write.mode("overwrite").parquet(src)
+    run_available_now()
+    events.filter(F.col("ts") >= split).coalesce(1).write.mode("append").parquet(src)
+    run_available_now()
+
+    r1 = events.filter(F.col("ts") < split)
+    wm_row = (
+        r1.groupBy()
+        .agg(
+            F.least(
+                F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+                F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+            ).alias("w")
+        )
+        .collect()[0]
+    )  # one scalar: the persisted run-1 watermark, for the margin filter
+    wm = F.lit(wm_row["w"]) - F.expr("INTERVAL 2 HOURS")
+
+    emitted = spark.read.parquet(out)
+    flushed_null = F.col("p_id").isNull() & (
+        F.col("c_ts") + F.expr("INTERVAL 1 HOUR") < wm - F.expr("INTERVAL 1 MINUTE")
+    )
+    return emitted.agg(
+        F.sum(F.col("p_id").isNotNull().cast("long")).alias("n_matched"),
+        F.countDistinct(F.when(F.col("p_id").isNotNull(), F.col("c_user"))).alias(
+            "n_users_matched"
+        ),
+        F.sum(flushed_null.cast("long")).alias("n_unmatched_flushed"),
+    )
