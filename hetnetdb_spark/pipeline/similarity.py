@@ -781,3 +781,96 @@ def l35_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+# --------------------------------------------------------------------------
+# L36 — triangle count / clustering coefficient of the similarity graph
+# --------------------------------------------------------------------------
+
+L36_ORACLE = f"""
+WITH p AS (
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           ROUND({duck_dot("a.embedding", "b.embedding")}, 6) AS cosine
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < b.vec_id
+),
+e AS (SELECT a_id, b_id FROM p WHERE cosine >= {SIM_THRESHOLD}),
+tri AS (
+    SELECT COUNT(*) AS t
+    FROM e e1
+    JOIN e e2 ON e2.a_id = e1.b_id
+    JOIN e e3 ON e3.a_id = e1.a_id AND e3.b_id = e2.b_id
+),
+deg AS (
+    SELECT id, COUNT(*) AS d
+    FROM (SELECT a_id AS id FROM e UNION ALL SELECT b_id AS id FROM e)
+    GROUP BY id
+),
+w AS (SELECT SUM(d * (d - 1) / 2) AS wedges FROM deg)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg)  AS n_nodes,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM e)    AS n_edges,
+       (SELECT CAST(t AS BIGINT) FROM tri)         AS n_triangles,
+       ROUND(3.0 * (SELECT t FROM tri)
+             / NULLIF((SELECT wedges FROM w), 0), 6) AS clustering_coeff
+"""
+
+
+@query("l36_triangle_count", oracle=L36_ORACLE)
+def l36_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L36 — triangle count + global clustering coefficient of the
+    cosine-similarity graph: the structural profile that tells a
+    dedup pipeline whether near-dup clusters are cliquish (safe to
+    collapse transitively, l11/l16's assumption) or chainy (greedy
+    keepers over-drop — the hazard l26's docstring names).
+
+    Algorithm is the standard distributed one: edges oriented
+    low-id → high-id (each triangle counted exactly once as
+    a<b<c), then two equi-joins — e1(a,b) ⋈ e2(b,c) builds wedges,
+    ⋈ e3(a,c) closes them. Orientation bounds the join fan-out by
+    out-degree (production orients by DEGREE, the classic
+    skew-killer for power-law graphs — id order stands in at
+    fixture scale where degrees are near-uniform); every join
+    shuffles ids only. Wedge count Σ d(d−1)/2 is exact integer
+    arithmetic, so the coefficient is an r6 ratio of exact counts.
+
+    Edge source here is the O(N²) GEMM verification twin (bounded
+    to oracle scale); at corpus scale edges come from
+    `l04_simjoin_lsh`'s banded candidates — identical downstream
+    plan either way."""
+    (emb,) = load_tables(spark, sf_dir, "embeddings")
+    e = exact_pairs(spark, emb, SIM_THRESHOLD).select("a_id", "b_id").cache()
+
+    e1 = e.select(F.col("a_id").alias("a"), F.col("b_id").alias("b"))
+    e2 = e.select(F.col("a_id").alias("b"), F.col("b_id").alias("c"))
+    e3 = e.select(F.col("a_id").alias("a"), F.col("b_id").alias("c"))
+    tri = (
+        e1.join(e2, "b")
+        .join(e3, ["a", "c"], "left_semi")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+
+    deg = (
+        e.select(F.col("a_id").alias("id"))
+        .unionAll(e.select(F.col("b_id").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum(F.col("d") * (F.col("d") - 1)) / 2).cast("long").alias("wedges"),
+    )
+    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        stats.crossJoin(n_edges)
+        .crossJoin(tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            F.col("t").alias("n_triangles"),
+            r6(
+                F.lit(3.0)
+                * F.col("t")
+                / F.nullif(F.col("wedges"), F.lit(0)).cast("double")
+            ).alias("clustering_coeff"),
+        )
+    )

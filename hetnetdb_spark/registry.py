@@ -155,6 +155,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "u10_iter_pandas_udf",
         "l35_semantic_dedup",
         "t12_stream_outer_join",
+        "l36_triangle_count",
     }
 )
 
