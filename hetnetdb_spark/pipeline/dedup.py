@@ -25,7 +25,7 @@ fuzziness:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -1037,6 +1037,137 @@ def l33_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).alias("n_dropped"),
             F.sum(F.when(F.col("is_dup"), 0).otherwise(1)).alias("n_kept"),
             F.min(F.when(~F.col("is_dup"), F.col("doc_id"))).alias("first_kept_id"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# L37 — portable bloom-filter membership probe (approximate l33)
+# --------------------------------------------------------------------------
+
+BLOOM_M = 1024  # bits — deliberately small so false positives are observable
+BLOOM_K = 2     # hash functions
+
+L37_ORACLE = f"""
+WITH corpus AS (SELECT text, md5(text) AS h FROM documents),
+bits AS (
+    SELECT DISTINCT bit FROM (
+        SELECT CAST('0x' || substr(md5(text || ':b0'), 1, 8) AS BIGINT)
+               % {BLOOM_M} AS bit FROM corpus
+        UNION
+        SELECT CAST('0x' || substr(md5(text || ':b1'), 1, 8) AS BIGINT)
+               % {BLOOM_M} AS bit FROM corpus
+    )
+),
+batch AS (
+    SELECT doc_id + 200000 AS doc_id, source, text
+    FROM documents WHERE doc_id % 7 = 3
+    UNION ALL
+    SELECT doc_id + 300000 AS doc_id, source, text || ' v2' AS text
+    FROM documents WHERE doc_id % 7 = 4
+),
+probe AS (
+    SELECT b.doc_id, b.source,
+           (CAST('0x' || substr(md5(b.text || ':b0'), 1, 8) AS BIGINT)
+                % {BLOOM_M} IN (SELECT bit FROM bits)
+            AND
+            CAST('0x' || substr(md5(b.text || ':b1'), 1, 8) AS BIGINT)
+                % {BLOOM_M} IN (SELECT bit FROM bits)) AS flagged,
+           md5(b.text) IN (SELECT h FROM corpus)       AS is_member
+    FROM batch b
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT)                           AS n_batch,
+       CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_true_members,
+       CAST(SUM(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT)   AS n_flagged,
+       CAST(SUM(CASE WHEN flagged AND NOT is_member
+                     THEN 1 ELSE 0 END) AS BIGINT)        AS n_false_pos,
+       CAST(SUM(CASE WHEN is_member AND NOT flagged
+                     THEN 1 ELSE 0 END) AS BIGINT)        AS n_missed
+FROM probe
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query("l37_portable_bloom_probe", oracle=L37_ORACLE)
+def l37_portable_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L37 — l33's membership probe at the scale where even the
+    16-byte hash set is too big to ship: the corpus compresses to a
+    BLOOM_M-bit bloom filter (1024 bits here, BLOOM_K=2 md5-derived
+    hash functions — the engine-PORTABLE family, same argument as the r5
+    minhash upgrade, so DuckDB replays the filter bit-for-bit and
+    the false positives are *oracle-checked*, not just bounded).
+    The m is deliberately tiny so FPs are observable; production
+    sizes m for the target rate and the plan is unchanged.
+
+    Plan: the set-bit table (≤ m rows) is the ONLY corpus artifact
+    the probe touches — it broadcasts, so a daily batch probes
+    map-side with zero corpus re-scan and zero shuffle of batch
+    text; the exact-membership column (the bloom's ground truth)
+    exists here for the accounting and at 100 TB is what you
+    consult only for flagged rows (FP-rate × batch rows instead of
+    batch rows). n_missed is structurally zero — a bloom filter has
+    no false negatives — and the oracle pins that as a hard column,
+    not a comment."""
+    (documents,) = load_tables(spark, sf_dir, "documents")
+
+    def bit(col: Column, salt: str) -> Column:
+        return (
+            F.conv(F.substring(F.md5(F.concat(col, F.lit(salt))), 1, 8), 16, 10)
+            .cast("long")
+            % BLOOM_M
+        )
+
+    bits = (
+        documents.select(bit(F.col("text"), ":b0").alias("bit"))
+        .unionAll(documents.select(bit(F.col("text"), ":b1").alias("bit")))
+        .distinct()
+    )
+    corpus_h = documents.select(F.md5("text").alias("h")).distinct()
+
+    batch = (
+        documents.filter(F.col("doc_id") % 7 == 3)
+        .select(
+            (F.col("doc_id") + 200000).alias("doc_id"), "source", "text"
+        )
+        .unionAll(
+            documents.filter(F.col("doc_id") % 7 == 4).select(
+                (F.col("doc_id") + 300000).alias("doc_id"),
+                "source",
+                F.concat(F.col("text"), F.lit(" v2")).alias("text"),
+            )
+        )
+    )
+    b0 = bits.select(F.col("bit").alias("hit0"))
+    b1 = bits.select(F.col("bit").alias("hit1"))
+    probed = (
+        batch.withColumn("p0", bit(F.col("text"), ":b0"))
+        .withColumn("p1", bit(F.col("text"), ":b1"))
+        .withColumn("h", F.md5("text"))
+        .join(F.broadcast(b0), F.col("p0") == F.col("hit0"), "left")
+        .join(F.broadcast(b1), F.col("p1") == F.col("hit1"), "left")
+        .join(
+            F.broadcast(corpus_h.withColumn("member", F.lit(1))), "h", "left"
+        )
+        .select(
+            "source",
+            (F.col("hit0").isNotNull() & F.col("hit1").isNotNull()).alias(
+                "flagged"
+            ),
+            F.col("member").isNotNull().alias("is_member"),
+        )
+    )
+    t = lambda c: F.sum(c.cast("long"))  # noqa: E731
+    return (
+        probed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_batch"),
+            t(F.col("is_member")).alias("n_true_members"),
+            t(F.col("flagged")).alias("n_flagged"),
+            t(F.col("flagged") & ~F.col("is_member")).alias("n_false_pos"),
+            t(F.col("is_member") & ~F.col("flagged")).alias("n_missed"),
         )
         .orderBy("source")
     )

@@ -156,6 +156,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "l35_semantic_dedup",
         "t12_stream_outer_join",
         "l36_triangle_count",
+        "l37_portable_bloom_probe",
     }
 )
 
