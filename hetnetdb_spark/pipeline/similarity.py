@@ -874,3 +874,124 @@ def l36_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering_coeff"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# L38 — PageRank over the similarity graph (unrolled-iteration oracle)
+# --------------------------------------------------------------------------
+
+PR_ITERS = 5
+PR_DAMP = 0.85
+
+
+def _l38_oracle() -> str:
+    """PageRank replayed in SQL: the recursion is UNROLLED into
+    PR_ITERS chained CTEs (r1..r5), each one join+aggregate over the
+    previous rank table — no recursive-CTE aggregate restrictions to
+    fight, and the iteration structure is literally visible. Every
+    iteration rounds ranks at 9dp on both engines (contributions are
+    O(1/N) sums of ≤deg terms, so merge-order drift ~1e-18 sits 9
+    orders below the granule), making each iteration's input
+    bit-identical across engines — the l03 centroid-quantization
+    argument applied to an iterative fixpoint."""
+    iters = []
+    prev = "r0"
+    for i in range(1, PR_ITERS + 1):
+        iters.append(f"""
+r{i} AS (
+    SELECT n.id,
+           ROUND((1 - {PR_DAMP}) / (SELECT n_nodes FROM meta)
+                 + {PR_DAMP} * COALESCE(SUM(p.rank / p.deg), 0), 9) AS rank
+    FROM nodes n
+    LEFT JOIN dedges d ON d.dst = n.id
+    LEFT JOIN (SELECT r.id, r.rank, g.deg
+               FROM {prev} r JOIN degs g ON g.id = r.id) p
+           ON p.id = d.src
+    GROUP BY n.id
+)""")
+        prev = f"r{i}"
+    chain = ",".join(iters)
+    return f"""
+WITH p AS (
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           ROUND({duck_dot("a.embedding", "b.embedding")}, 6) AS cosine
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < b.vec_id
+),
+e AS (SELECT a_id, b_id FROM p WHERE cosine >= {SIM_THRESHOLD}),
+dedges AS (
+    SELECT a_id AS src, b_id AS dst FROM e
+    UNION ALL
+    SELECT b_id AS src, a_id AS dst FROM e
+),
+nodes AS (SELECT DISTINCT src AS id FROM dedges),
+degs AS (SELECT src AS id, COUNT(*) AS deg FROM dedges GROUP BY src),
+meta AS (SELECT COUNT(*) AS n_nodes FROM nodes),
+r0 AS (
+    SELECT id, ROUND(1.0 / (SELECT n_nodes FROM meta), 9) AS rank FROM nodes
+),{chain}
+SELECT id, ROUND(rank, 6) AS rank
+FROM {prev}
+ORDER BY rank DESC, id
+LIMIT 10
+"""
+
+
+@query("l38_pagerank", oracle=_l38_oracle())
+def l38_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L38 — PageRank (5 damped iterations) over the undirected
+    cosine-similarity graph: which documents sit at the center of
+    near-duplicate neighborhoods — the authority signal a dedup
+    pipeline can use to pick cluster representatives (l26 picks by
+    quality; this picks by centrality).
+
+    The iterative-DataFrame shape: each iteration is
+    contributions-join → per-node aggregate, built LAZILY — five
+    iterations compose into one DAG and Catalyst plans them
+    together (for unbounded iteration counts the l11 pattern
+    applies: localCheckpoint every few rounds to truncate lineage).
+    Per-iteration state that shuffles is (node, rank) pairs only —
+    at 100 TB the edge list is partitioned by dst and ranks
+    co-partition with it, the standard distributed-PageRank layout.
+
+    Determinism: ranks round at 9dp after every iteration on BOTH
+    engines, so each iteration consumes bit-identical inputs and
+    the oracle's unrolled-CTE replay (`_l38_oracle`) stays
+    hash-exact; the final report rounds at r6 with the id
+    tiebreaker. Isolated vectors (no qualifying edge) are excluded
+    — PageRank over singletons is the uniform prior by definition."""
+    (emb,) = load_tables(spark, sf_dir, "embeddings")
+    e = exact_pairs(spark, emb, SIM_THRESHOLD).select("a_id", "b_id")
+    dedges = (
+        e.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+        .unionAll(e.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
+        .cache()
+    )
+    nodes = dedges.select(F.col("src").alias("id")).distinct()
+    degs = dedges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    meta = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+
+    ranks = nodes.crossJoin(F.broadcast(meta)).select(
+        "id", F.round(F.lit(1.0) / F.col("n_nodes"), 9).alias("rank")
+    )
+    for _ in range(PR_ITERS):
+        contrib = (
+            dedges.join(ranks, dedges["src"] == ranks["id"])
+            .join(degs, "src")
+            .select(F.col("dst"), (F.col("rank") / F.col("deg")).alias("c"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["id"] == contrib["dst"], "left")
+            .groupBy("id")
+            .agg(F.coalesce(F.sum("c"), F.lit(0.0)).alias("s"))
+            .crossJoin(F.broadcast(meta))
+            .select(
+                "id",
+                F.round(
+                    (1 - PR_DAMP) / F.col("n_nodes") + PR_DAMP * F.col("s"), 9
+                ).alias("rank"),
+            )
+        )
+    return ranks.select("id", r6(F.col("rank")).alias("rank")).orderBy(
+        F.col("rank").desc(), "id"
+    ).limit(10)

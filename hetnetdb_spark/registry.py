@@ -157,6 +157,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "t12_stream_outer_join",
         "l36_triangle_count",
         "l37_portable_bloom_probe",
+        "l38_pagerank",
     }
 )
 
