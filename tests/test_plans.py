@@ -443,3 +443,28 @@ def test_j16_lateral_decorrelates_to_group_limit(spark):
     assert "WindowGroupLimit" in plan and "Partial" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "NestedLoop" not in plan, plan
+
+
+def test_l35_pairs_shuffle_on_cluster_only(spark):
+    """l35: the pair self-join must shuffle on the cluster id (ids +
+    vectors partition-local — never an unclustered N² cross join),
+    and the centroid table must broadcast into the assignment pass."""
+    plan = executed_plan(registry.QUERIES["l35_semantic_dedup"](spark, SF_DIR))
+    assert "BroadcastExchange" in plan or "BroadcastQueryStage" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert any(
+        "Exchange hashpartitioning" in ln and "cluster" in ln
+        for ln in plan.splitlines()
+    ), plan
+
+
+def test_l37_probe_is_broadcast_map_side(spark):
+    """l37: the set-bit table and the exact-hash table must come back
+    as broadcast builds — the batch probe may not shuffle its text."""
+    plan = executed_plan(
+        registry.QUERIES["l37_portable_bloom_probe"](spark, SF_DIR)
+    )
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "text#" not in ln, ln
