@@ -158,6 +158,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "l36_triangle_count",
         "l37_portable_bloom_probe",
         "l38_pagerank",
+        "u11_apply_in_arrow",
     }
 )
 

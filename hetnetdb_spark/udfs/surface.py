@@ -494,3 +494,85 @@ def u10_iter_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("script")
     )
+
+
+# --------------------------------------------------------------------------
+# U11 — applyInArrow (pyarrow-native grouped apply, no pandas)
+# --------------------------------------------------------------------------
+
+U11_ORACLE = """
+WITH qc AS (
+    SELECT l_returnflag, l_quantity, COUNT(*) AS c
+    FROM lineitem GROUP BY l_returnflag, l_quantity
+),
+modal AS (
+    SELECT l_returnflag, l_quantity AS mode_qty
+    FROM (
+        SELECT l_returnflag, l_quantity,
+               row_number() OVER (PARTITION BY l_returnflag
+                                  ORDER BY c DESC, l_quantity) AS rn
+        FROM qc
+    ) WHERE rn = 1
+)
+SELECT q.l_returnflag,
+       CAST(SUM(q.c) AS BIGINT)               AS n,
+       CAST(SUM(q.l_quantity * q.c) AS BIGINT) AS sum_qty,
+       CAST(COUNT(*) AS BIGINT)               AS n_distinct_qty,
+       CAST(MAX(m.mode_qty) AS BIGINT)        AS mode_qty
+FROM qc q JOIN modal m USING (l_returnflag)
+GROUP BY q.l_returnflag
+ORDER BY q.l_returnflag
+"""
+
+
+@query("u11_apply_in_arrow", oracle=U11_ORACLE)
+def u11_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U11 — ``groupBy().applyInArrow``: the Spark 4 grouped apply
+    that hands each group over as a **pyarrow.Table** — no pandas
+    materialization, so columnar data stays columnar through the
+    crossing (value_counts here runs on Arrow buffers directly).
+    The right variant when the per-group logic is expressible in
+    pyarrow.compute or feeds an Arrow-native library (datasets,
+    DuckDB, polars) — pandas conversion would only add a copy.
+
+    Per-group logic: quantity distribution profile — count, exact
+    integer sum, distinct quantity levels, and the modal quantity
+    with a min-value tie-break (the a22 deterministic-mode rule).
+    Quantities are small integers, so every arithmetic result is
+    exact and the oracle twin is drift-free by construction.
+
+    Same scale caveat as every grouped apply (u03/u04/u08): the full
+    group ships to one worker, no partial combine — bounded groups
+    only (|returnflag| = 3 here), and the docstring-of-record for
+    unbounded keys remains "joins should stay joins"."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def profile(table: pa.Table) -> pa.Table:
+        qty = table.column("l_quantity")
+        vc = pc.value_counts(qty)  # struct<values, counts> Arrow array
+        counts = vc.field("counts")
+        values = vc.field("values")
+        top = pc.max(counts).as_py()
+        modal = pc.min(pc.filter(values, pc.equal(counts, top))).as_py()
+        return pa.table(
+            {
+                "l_returnflag": [table.column("l_returnflag")[0].as_py()],
+                "n": [table.num_rows],
+                "sum_qty": [int(pc.sum(qty).as_py())],
+                "n_distinct_qty": [len(vc)],
+                "mode_qty": [int(modal)],
+            }
+        )
+
+    (lineitem,) = load_tables(spark, sf_dir, "lineitem")
+    return (
+        lineitem.select("l_returnflag", "l_quantity")
+        .groupBy("l_returnflag")
+        .applyInArrow(
+            profile,
+            "l_returnflag string, n long, sum_qty long, "
+            "n_distinct_qty long, mode_qty long",
+        )
+        .orderBy("l_returnflag")
+    )
