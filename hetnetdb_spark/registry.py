@@ -159,6 +159,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "l37_portable_bloom_probe",
         "l38_pagerank",
         "u11_apply_in_arrow",
+        "s24_snapshot_time_travel",
     }
 )
 

@@ -1010,3 +1010,104 @@ def s23_malformed_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audit.crossJoin(
         dropped.agg(F.count("n_nationkey").alias("n_dropmalformed"))
     ).select("n_total", "n_corrupt", "n_good", "n_dropmalformed", "key_sum_good")
+
+
+# --------------------------------------------------------------------------
+# S24 — snapshot time travel (copy-on-write files + versioned manifests)
+# --------------------------------------------------------------------------
+
+S24_ORACLE = """
+WITH v1 AS (
+    SELECT o_orderkey, o_orderdate,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+),
+v2 AS (
+    SELECT o_orderkey,
+           CASE WHEN date_part('year', o_orderdate) = 2001
+                THEN CAST(ROUND(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                          * 1.1) AS BIGINT)
+                ELSE CAST(ROUND(o_totalprice * 100) AS BIGINT)
+           END AS cents
+    FROM orders
+)
+SELECT 1 AS version,
+       CAST(COUNT(*) AS BIGINT)   AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM v1
+UNION ALL
+SELECT 2 AS version,
+       CAST(COUNT(*) AS BIGINT)   AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM v2
+ORDER BY version
+"""
+
+
+@query("s24_snapshot_time_travel", oracle=S24_ORACLE, impure=True)
+def s24_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S24 — snapshot isolation via copy-on-write files + versioned
+    manifests (the Iceberg/Delta mechanism at its engine-level
+    minimum). Version 1 writes orders partitioned by year, one
+    manifest listing its files. Version 2 "re-prices" 2001: ONLY
+    that year's files are rewritten into a new directory; the v2
+    manifest lists the new files plus v1's untouched ones. Nothing
+    is deleted, so BOTH versions stay readable after the commit —
+    this query reads each manifest's file list and aggregates both
+    snapshots, proving the old version survives the new write
+    (dynamic-overwrite s14 cannot do that; it mutates in place).
+
+    At 100 TB the manifest is the entire read-planning story: a
+    version flip is one metadata swap, old-version reads cost
+    nothing extra, and vacuuming v1's superseded files is a
+    manifest diff. Money stays in exact integer cents end-to-end
+    (p13 discipline) so snapshot sums compare exactly — no float
+    rounding window to straddle."""
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    base = os.path.join(SCRATCH, f"s24_store_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    table = orders.select(
+        F.year("o_orderdate").alias("o_year"), "o_orderkey", cents.alias("cents")
+    )
+
+    # v1 commit: all years, one directory per year, manifest = files
+    v1_dir = os.path.join(base, "v1")
+    table.write.partitionBy("o_year").parquet(v1_dir)
+    years = [r["o_year"] for r in table.select("o_year").distinct().collect()]
+
+    def year_files(root: str, year: int) -> list[str]:
+        d = os.path.join(root, f"o_year={year}")
+        return sorted(
+            os.path.join(d, f)
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    manifest_v1 = {y: year_files(v1_dir, y) for y in years}
+
+    # v2 commit (copy-on-write): rewrite ONLY 2001 into a new dir
+    v2_dir = os.path.join(base, "v2")
+    table.filter(F.col("o_year") == 2001).withColumn(
+        "cents", F.round(F.col("cents") * 1.1).cast("long")
+    ).write.partitionBy("o_year").parquet(v2_dir)
+    manifest_v2 = dict(manifest_v1)
+    manifest_v2[2001] = year_files(v2_dir, 2001)
+
+    def read_version(manifest: dict[int, list[str]]) -> DataFrame:
+        files = [f for fl in manifest.values() for f in fl]
+        # basePath keeps the partition column derivable per file set
+        return spark.read.option("recursiveFileLookup", "false").parquet(*files)
+
+    out = []
+    for version, manifest in ((1, manifest_v1), (2, manifest_v2)):
+        snap = read_version(manifest)
+        out.append(
+            snap.agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum("cents").alias("sum_cents"),
+            ).select(F.lit(version).alias("version"), "n_orders", "sum_cents")
+        )
+    return out[0].unionByName(out[1]).orderBy("version")
