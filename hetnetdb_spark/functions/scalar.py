@@ -848,3 +848,58 @@ def f19_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+# --------------------------------------------------------------------------
+# F20 — calendar edge arithmetic (end-of-month clamping, ISO fields)
+# --------------------------------------------------------------------------
+
+F20_ORACLE = """
+SELECT o_orderkey,
+       CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP)       AS d,
+       CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS eom,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH
+            AS TIMESTAMP)                                  AS plus_1m,
+       CAST(week(CAST(o_orderdate AS DATE)) AS INT)       AS iso_week,
+       CAST(quarter(CAST(o_orderdate AS DATE)) AS INT)    AS q,
+       CAST(isodow(CAST(o_orderdate AS DATE)) AS INT)     AS iso_dow,
+       CAST(day(last_day(CAST(o_orderdate AS DATE))) AS INT) AS days_in_month,
+       CAST(o_orderdate AS DATE)
+           = last_day(CAST(o_orderdate AS DATE))          AS is_month_end
+FROM orders
+WHERE o_orderkey < 300
+ORDER BY o_orderkey
+"""
+
+
+@query("f20_calendar_edges", oracle=F20_ORACLE)
+def f20_calendar_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F20 — the calendar arithmetic users silently depend on,
+    pinned cross-engine at its edge cases: `add_months` CLAMPS to
+    month end (Jan 31 + 1 month = Feb 29, not Mar 2 — both engines
+    agree, unlike naive day arithmetic), ISO week numbering (week 1
+    owns Jan 1 here; year-boundary weeks are where engines usually
+    split), and day-of-week aligned to the ISO convention — Spark's
+    `dayofweek` is 1=Sunday while the oracle's `isodow` is
+    1=Monday, so the query uses `weekday()+1`, the one spelling
+    both engines share. DuckDB's `date + INTERVAL 1 MONTH` clamps
+    exactly like Spark's `add_months`, which is itself a fact this
+    oracle pins. All values are exact calendar integers — no float
+    discipline needed."""
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return (
+        orders.filter(F.col("o_orderkey") < 300)
+        .select(
+            "o_orderkey",
+            d.cast("timestamp").alias("d"),
+            F.last_day(d).cast("timestamp").alias("eom"),
+            F.add_months(d, 1).cast("timestamp").alias("plus_1m"),
+            F.weekofyear(d).alias("iso_week"),
+            F.quarter(d).alias("q"),
+            (F.weekday(d) + 1).cast("int").alias("iso_dow"),
+            F.dayofmonth(F.last_day(d)).alias("days_in_month"),
+            (d == F.last_day(d)).alias("is_month_end"),
+        )
+        .orderBy("o_orderkey")
+    )

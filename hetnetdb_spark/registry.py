@@ -160,6 +160,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "l38_pagerank",
         "u11_apply_in_arrow",
         "s24_snapshot_time_travel",
+        "f20_calendar_edges",
     }
 )
 
