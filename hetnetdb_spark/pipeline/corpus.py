@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from hetnetdb_spark.catalog import load_tables
 from hetnetdb_spark.expr import r6
@@ -661,6 +662,138 @@ def l34_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(1.0)
                 - F.sum("n_drop").cast("double") / F.sum("n_pass").cast("double")
             ).alias("kept_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# L40 — end-to-end corpus-prep funnel (the stages composed, one DAG)
+# --------------------------------------------------------------------------
+
+L40_MIN_TOKENS = 20
+L40_LANGS = ("de", "en", "es", "fr")
+L40_PREFIX = 16
+
+_L40_LANG_IN = ", ".join(f"'{lang}'" for lang in L40_LANGS)
+
+L40_ORACLE = f"""
+WITH base AS (
+    SELECT doc_id, source, lang, text,
+           len(string_split(text, ' ')) AS n_tok
+    FROM documents
+),
+q AS (
+    SELECT * FROM base
+    WHERE n_tok >= {L40_MIN_TOKENS} AND lang IN ({_L40_LANG_IN})
+),
+ex AS (
+    SELECT *, row_number() OVER (PARTITION BY md5(text)
+                                 ORDER BY doc_id) AS rn1
+    FROM q
+),
+e2 AS (SELECT * FROM ex WHERE rn1 = 1),
+pf AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY md5(array_to_string(
+            list_slice(string_split(text, ' '), 1, {L40_PREFIX}), ' '))
+        ORDER BY doc_id) AS rn2
+    FROM e2
+),
+final AS (SELECT * FROM pf WHERE rn2 = 1)
+SELECT b.source,
+       CAST(COUNT(*) AS BIGINT)                          AS n_raw,
+       CAST((SELECT COUNT(*) FROM q f
+             WHERE f.source = b.source) AS BIGINT)       AS n_quality,
+       CAST((SELECT COUNT(*) FROM e2 f
+             WHERE f.source = b.source) AS BIGINT)       AS n_exact,
+       CAST((SELECT COUNT(*) FROM final f
+             WHERE f.source = b.source) AS BIGINT)       AS n_final,
+       CAST((SELECT COALESCE(SUM(f.n_tok), 0) FROM final f
+             WHERE f.source = b.source) AS BIGINT)       AS tokens_final
+FROM base b
+GROUP BY b.source
+ORDER BY b.source
+"""
+
+
+@query("l40_prep_pipeline", oracle=L40_ORACLE)
+def l40_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L40 — the corpus-prep stages COMPOSED, proving the pieces are
+    a pipeline and not a demo shelf: language/length quality gate
+    (L9's shape) → exact dedup with the deterministic lowest-id
+    keeper (L1) → leading-16-token prefix dedup (the cheap
+    boilerplate-header catch between L1 and the full MinHash pass)
+    → per-source funnel with surviving token mass. One DAG, built
+    lazily; Catalyst fuses the flags into a single scan followed by
+    two hash-key window passes.
+
+    Scale shape: stage flags are per-row codegen; the two dedup
+    stages shuffle (md5-key, doc_id, flags) — never text (the md5 IS
+    the partition key, l01's discipline); the funnel rollup ships
+    per-source partials. At 100 TB each stage's survivors feed the
+    next without materialization, and the same DAG with a
+    partitioned sink after `final` IS the production prep job —
+    the funnel counts here are its observability sidecar.
+
+    Determinism: keepers are lowest-doc_id per hash group (total
+    order, no ties); every count is an exact BIGINT."""
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    base = documents.select(
+        "doc_id",
+        "source",
+        "lang",
+        "text",
+        F.size(toks).alias("n_tok"),
+        F.md5("text").alias("h_exact"),
+        F.md5(F.concat_ws(" ", F.slice(toks, 1, L40_PREFIX))).alias("h_prefix"),
+    )
+    is_q = (F.col("n_tok") >= L40_MIN_TOKENS) & F.col("lang").isin(*L40_LANGS)
+
+    # Rank only the stage's survivors within each hash group: the
+    # conditional partition key keeps dropped rows out of the keeper
+    # election without a second pass. Dropped rows get a SINGLETON
+    # key (their own doc_id) rather than a shared NULL — a shared
+    # key would funnel every dropped row into one window partition,
+    # exactly the skew this engine's window discipline forbids.
+    def stage_key(cond, key):
+        return F.when(cond, key).otherwise(
+            F.concat(F.lit("solo:"), F.col("doc_id").cast("string"))
+        )
+
+    flagged = (
+        base.withColumn("is_q", is_q)
+        .withColumn(
+            "rn1",
+            F.row_number().over(
+                Window.partitionBy(
+                    stage_key(F.col("is_q"), F.col("h_exact"))
+                ).orderBy("doc_id")
+            ),
+        )
+        .withColumn("is_exact", F.col("is_q") & (F.col("rn1") == 1))
+        .withColumn(
+            "rn2",
+            F.row_number().over(
+                Window.partitionBy(
+                    stage_key(F.col("is_exact"), F.col("h_prefix"))
+                ).orderBy("doc_id")
+            ),
+        )
+        .withColumn("is_final", F.col("is_exact") & (F.col("rn2") == 1))
+    )
+    cnt = lambda c: F.sum(c.cast("long"))  # noqa: E731
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            cnt(F.col("is_q")).alias("n_quality"),
+            cnt(F.col("is_exact")).alias("n_exact"),
+            cnt(F.col("is_final")).alias("n_final"),
+            F.coalesce(
+                F.sum(F.when(F.col("is_final"), F.col("n_tok"))), F.lit(0)
+            ).cast("long").alias("tokens_final"),
         )
         .orderBy("source")
     )

@@ -161,6 +161,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "u11_apply_in_arrow",
         "s24_snapshot_time_travel",
         "f20_calendar_edges",
+        "l40_prep_pipeline",
     }
 )
 
