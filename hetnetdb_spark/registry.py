@@ -162,6 +162,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "s24_snapshot_time_travel",
         "f20_calendar_edges",
         "l40_prep_pipeline",
+        "t13_rocksdb_state",
     }
 )
 

@@ -807,3 +807,56 @@ def t12_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum(flushed_null.cast("long")).alias("n_unmatched_flushed"),
     )
+
+
+# --------------------------------------------------------------------------
+# T13 — RocksDB state store backend (the 100 TB state answer)
+# --------------------------------------------------------------------------
+
+
+@query("t13_rocksdb_state", oracle=TUMBLING_ORACLE, impure=True)
+def t13_rocksdb_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T13 — t01's tumbling aggregate re-run with the RocksDB state
+    store provider. The default HDFSBackedStateStoreProvider keeps
+    every key in executor HEAP — at 100 TB of watermarked state
+    (sessionization, dedup, stream joins) that is the OOM everyone
+    hits; RocksDB spills state to local disk with incremental
+    checkpointing, which is why it is the production backend. Same
+    oracle as t01: the backend must be invisible to results — this
+    query pins exactly that, plus (via the golden test) that the
+    provider actually engaged (`stateOperators[].customMetrics`
+    carries rocksdb* keys).
+
+    The provider conf is read at stream START, so it is set/restored
+    around this one query; the engine's other streaming queries stay
+    on the default provider deliberately — both backends stay
+    exercised."""
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    old = spark.conf.get(provider_key, None)
+    spark.conf.set(provider_key, rocksdb)
+    try:
+        stream = _events_stream(spark, table_path(sf_dir, "events"))
+        agg = (
+            stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value"), 6).alias("sum_value"),
+            )
+            .select(
+                F.col("w.start").alias("window_start"),
+                "event_type",
+                "n",
+                "sum_value",
+            )
+        )
+        _run_to_memory(agg, "t13_rocksdb", "complete")
+    finally:
+        if old is not None:
+            spark.conf.set(provider_key, old)
+        else:
+            spark.conf.unset(provider_key)
+    return spark.table("t13_rocksdb")

@@ -256,3 +256,44 @@ def test_t11_pacing_batch_count_golden(spark):
     )
     q.awaitTermination()
     assert len(batch_ids) == T11_FRAGMENTS // T11_FILES_PER_TRIGGER, batch_ids
+
+
+def test_t13_rocksdb_provider_engages(spark):
+    """t13's claim is two-sided: results are backend-invisible (the
+    shared TUMBLING_ORACLE covers that) AND the RocksDB provider
+    actually held the state. Run the same stream here with the
+    provider conf set and assert the state operator's customMetrics
+    carry rocksdb* keys — a silent fallback to the HDFS-backed
+    provider would pass the oracle while voiding the claim."""
+    from pyspark.sql import functions as F
+
+    from hetnetdb_spark.catalog import table_path
+    from hetnetdb_spark.streaming.queries import _events_stream
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, rocksdb)
+    try:
+        stream = _events_stream(spark, table_path(SF_DIR, "events"))
+        agg = stream.groupBy(
+            F.window("ts", "1 hour"), "event_type"
+        ).count()
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("t13_probe")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        progress = q.lastProgress
+        ops = progress["stateOperators"]
+        assert ops, progress
+        metrics = ops[0].get("customMetrics", {})
+        assert any(k.startswith("rocksdb") for k in metrics), metrics
+    finally:
+        spark.conf.set(key, old) if old is not None else spark.conf.unset(key)
