@@ -163,6 +163,8 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "f20_calendar_edges",
         "l40_prep_pipeline",
         "t13_rocksdb_state",
+        "s25_observed_metrics",
+        "s26_parameterized_sql",
     }
 )
 

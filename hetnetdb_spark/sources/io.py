@@ -1111,3 +1111,94 @@ def s24_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).select(F.lit(version).alias("version"), "n_orders", "sum_cents")
         )
     return out[0].unionByName(out[1]).orderBy("version")
+
+
+# --------------------------------------------------------------------------
+# S25 — observed metrics (df.observe: in-flight accumulators)
+# --------------------------------------------------------------------------
+
+S25_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT)                          AS rows_scanned,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)   AS qty_scanned,
+       CAST(COUNT(*) FILTER (WHERE l_discount > 0.05) AS BIGINT)
+                                                         AS discounted_rows
+FROM lineitem
+"""
+
+
+@query("s25_observed_metrics", oracle=S25_ORACLE, impure=True)
+def s25_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S25 — `df.observe(Observation, ...)`: named accumulator
+    metrics collected DURING a pass, not by a second scan. The
+    production use is data-quality sidecars — row counts, null
+    rates, domain violations — riding along with the job that
+    already reads the data; a separate audit query doubles the
+    scan bill at 100 TB. Metrics compute as accumulators during the
+    observed action and surface driver-side (that is their
+    contract: observability telemetry, not a data path — the one
+    deliberate driver materialization here is a 3-value dict).
+
+    The oracle recomputes the same three metrics relationally,
+    pinning that the accumulator path (partial merges across tasks)
+    agrees with the declarative answer — counts and an exact
+    integer quantity sum, so no float discipline needed.
+
+    Registered impure: the observed action runs at build time."""
+    from pyspark.sql import Observation
+
+    (lineitem,) = load_tables(spark, sf_dir, "lineitem")
+    obs = Observation("s25")
+    observed = lineitem.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_scanned"),
+        F.sum(F.col("l_quantity").cast("long")).alias("qty_scanned"),
+        F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("discounted_rows"),
+    )
+    observed.write.format("noop").mode("overwrite").save()  # one real pass
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["rows_scanned"], m["qty_scanned"], m["discounted_rows"])],
+        "rows_scanned long, qty_scanned long, discounted_rows long",
+    )
+
+
+# --------------------------------------------------------------------------
+# S26 — parameterized SQL (named params + IDENTIFIER clause)
+# --------------------------------------------------------------------------
+
+S26_CAP = 100000.0
+
+S26_ORACLE = f"""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT)    AS n_orders,
+       ROUND(SUM(o_totalprice), 6) AS total
+FROM orders
+WHERE o_totalprice < {S26_CAP}
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@query("s26_parameterized_sql", oracle=S26_ORACLE, impure=True)
+def s26_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S26 — the parameterized-SQL entry point: named `:params`
+    bind as LITERALS after parsing (injection-safe — a value can
+    never splice syntax) and `IDENTIFIER(:tbl)` is the sanctioned
+    spell for dynamic table names (a name can never smuggle a
+    subquery). This is the surface a serving layer calls with
+    user-supplied values; string-formatted SQL is the anti-pattern
+    it replaces. The oracle is the same query with the literal
+    inlined — parameter binding must be semantically invisible."""
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*)                    AS n_orders,
+               ROUND(SUM(o_totalprice), 6) AS total
+        FROM IDENTIFIER(:tbl)
+        WHERE o_totalprice < :cap
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """,
+        args={"tbl": "orders", "cap": S26_CAP},
+    )
