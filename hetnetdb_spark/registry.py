@@ -188,6 +188,7 @@ RECHECK_THIS_ROUND: frozenset[str] = frozenset(
         "l15_stratified_sample",  # rows-only -> 5-sigma binomial bound
         "u08_cogrouped_pandas",   # demo domain bounded (20.8s -> 0.9s)
         "l08_image_features",     # rows-only -> UTF-8 byte-class replay oracle
+        "t04_watermark_latedrop",  # rows-only -> emission-gate full oracle (r5 late)
     }
 )
 

@@ -233,30 +233,51 @@ def t03_stream_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# T4 — watermark + late-data drop (rows-only: depends on batch pacing)
+# T4 — watermark + late-data drop (full oracle via the emission gate)
 # --------------------------------------------------------------------------
 
+T4_SPLIT = "2024-01-16 00:00:00"
 
-@query("t04_watermark_latedrop", oracle=None, impure=True)
+T4_ORACLE = f"""
+WITH on_time AS (
+    SELECT * FROM events WHERE ts >= TIMESTAMP '{T4_SPLIT}'
+),
+wm AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM on_time),
+wins AS (
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, COUNT(*) AS n
+    FROM on_time GROUP BY ws
+)
+SELECT CAST(COUNT(*) AS BIGINT)           AS n_windows_emitted,
+       CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_rows_counted
+FROM wins
+WHERE ws + INTERVAL 1 HOUR < (SELECT w FROM wm) - INTERVAL 1 MINUTE
+"""
+
+
+@query("t04_watermark_latedrop", oracle=T4_ORACLE, impure=True)
 def t04_watermark_latedrop(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T4 (rows-only) — a 10-minute watermark dropping late rows.
+    """T4 — a 10-minute watermark dropping late rows, now with a
+    FULL oracle (rows-only until round 5; the t12 emission-gate
+    technique closed it). Lateness is manufactured: run 1 streams
+    events at/after {T4_SPLIT} (persisting watermark =
+    max(on-time ts) − 10 min in the checkpoint), then the older
+    half lands and run 2 resumes — every old row is behind the
+    persisted watermark and drops before aggregation (verified via
+    `numRowsDroppedByWatermark` during development). Sink is the
+    S8 parquet file sink in append mode.
 
-    The fixture is one file, so lateness is *manufactured*: run 1
-    streams the recent half of events (advancing the checkpointed
-    watermark to max(ts) − 10 min), then the old half lands in the
-    source directory and run 2 resumes from the same checkpoint —
-    every old row is now behind the persisted watermark and is
-    dropped before the aggregation (verified via
-    `numRowsDroppedByWatermark` during development). The sink is
-    the S8 parquet file sink in append mode. Output: windows and
-    rows that reached the sink — exactly the on-time half; the late
-    file contributes nothing."""
+    Determinism contract mirrored by the oracle: append mode emits
+    a window only once the watermark passes its END, and the final
+    flush runs with run-1's persisted watermark — so the emitted
+    set is exactly the on-time windows with
+    `window_end < watermark`, counted with a 1-minute margin
+    excluded on BOTH engines (the t12 rule: boundary comparisons
+    belong to neither side). The late file contributes nothing —
+    that absence is what the row counts pin."""
     import shutil
 
     (events,) = load_tables(spark, sf_dir, "events")
-    split_ts = events.agg(
-        F.percentile_approx("ts", 0.5, 10000).alias("m")
-    ).collect()[0]["m"]  # one scalar for the file split — not a data path
+    split = F.lit(T4_SPLIT).cast("timestamp")
     base = os.path.join(SCRATCH, "t04_late")
     shutil.rmtree(base, ignore_errors=True)
     src = os.path.join(base, "src")
@@ -282,17 +303,22 @@ def t04_watermark_latedrop(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
 
     # run 1: on-time half only
-    events.filter(F.col("ts") >= F.lit(split_ts)).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(src)
+    on_time = events.filter(F.col("ts") >= split)
+    on_time.coalesce(1).write.mode("overwrite").parquet(src)
     run_available_now()
     # the old half arrives after the watermark has advanced
-    events.filter(F.col("ts") < F.lit(split_ts)).coalesce(1).write.mode(
+    events.filter(F.col("ts") < split).coalesce(1).write.mode(
         "append"
     ).parquet(src)
     run_available_now()
 
-    emitted = spark.read.parquet(out)
+    wm_row = on_time.agg(F.max("ts").alias("m")).collect()[0]
+    wm = F.lit(wm_row["m"]) - F.expr("INTERVAL 10 MINUTES")
+
+    emitted = spark.read.parquet(out).filter(
+        F.col("window_start") + F.expr("INTERVAL 1 HOUR")
+        < wm - F.expr("INTERVAL 1 MINUTE")
+    )
     return emitted.agg(
         F.count(F.lit(1)).alias("n_windows_emitted"),
         F.coalesce(F.sum("n"), F.lit(0)).alias("n_rows_counted"),
