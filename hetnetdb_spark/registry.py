@@ -189,6 +189,7 @@ RECHECK_THIS_ROUND: frozenset[str] = frozenset(
         "u08_cogrouped_pandas",   # demo domain bounded (20.8s -> 0.9s)
         "l08_image_features",     # rows-only -> UTF-8 byte-class replay oracle
         "t04_watermark_latedrop",  # rows-only -> emission-gate full oracle (r5 late)
+        "t08_output_modes",        # rows-only -> paced-batch full oracle (r5 late)
     }
 )
 

@@ -461,15 +461,66 @@ def t07_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@query("t08_output_modes", oracle=None, impure=True)
+T8_CUTS = ("2024-01-11 00:00:00", "2024-01-21 00:00:00")
+
+T8_ORACLE = f"""
+WITH b AS (
+    SELECT event_type,
+           CASE WHEN ts < TIMESTAMP '{T8_CUTS[0]}' THEN 0
+                WHEN ts < TIMESTAMP '{T8_CUTS[1]}' THEN 1
+                ELSE 2 END AS batch
+    FROM events
+),
+upd AS (
+    SELECT COUNT(*) AS n FROM (SELECT DISTINCT event_type, batch FROM b)
+)
+SELECT 'complete' AS mode,
+       (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) FROM b)
+           AS rows_at_sink
+UNION ALL
+SELECT 'foreachBatch', (SELECT CAST(n AS BIGINT) FROM upd)
+UNION ALL
+SELECT 'update', (SELECT CAST(n AS BIGINT) FROM upd)
+ORDER BY mode
+"""
+
+
+@query("t08_output_modes", oracle=T8_ORACLE, impure=True)
 def t08_output_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T8 (rows-only) — the same aggregate run in complete and
-    update modes plus a foreachBatch sink, all under availableNow.
-    Output: one row per (mode) with the rows observed at the sink —
-    complete re-emits full state, update emits only changed keys,
-    foreachBatch sees per-batch DataFrames (S8's programmable
-    sink)."""
-    path = table_path(sf_dir, "events")
+    """T8 — the same aggregate through complete mode, update mode,
+    and a foreachBatch sink. FULL oracle since round 5: the batch
+    pacing that made mode shapes "engine-defined" is pinned instead
+    — the source is split into three files at fixed day cuts and
+    streamed with maxFilesPerTrigger=1 (t11's back-pressure spell),
+    so batch k processes exactly day-range k regardless of file
+    enumeration order. That makes every mode's sink row count a
+    relational quantity: complete-mode state at termination is the
+    distinct key set; update/foreachBatch emit each key once per
+    batch that CHANGES it, i.e. |distinct (key, batch)| — which is
+    what the oracle computes. (Every event type occurs in every
+    range here, so update emits 3x the keys — the re-emission the
+    mode exists to bound.)"""
+    import shutil
+
+    (events,) = load_tables(spark, sf_dir, "events")
+    base = os.path.join(SCRATCH, "t08_modes")
+    shutil.rmtree(base, ignore_errors=True)
+    src = os.path.join(base, "src")
+    lo = F.lit(T8_CUTS[0]).cast("timestamp")
+    hi = F.lit(T8_CUTS[1]).cast("timestamp")
+    for rng in (
+        events.filter(F.col("ts") < lo),
+        events.filter((F.col("ts") >= lo) & (F.col("ts") < hi)),
+        events.filter(F.col("ts") >= hi),
+    ):
+        rng.coalesce(1).write.mode("append").parquet(src)
+
+    def paced_stream() -> DataFrame:
+        return (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
 
     def agg_of(stream: DataFrame) -> DataFrame:
         return stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
@@ -477,12 +528,12 @@ def t08_output_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     results = []
     for mode in ("complete", "update"):
         name = f"t08_{mode}"
-        _run_to_memory(agg_of(_events_stream(spark, path)), name, mode)
+        _run_to_memory(agg_of(paced_stream()), name, mode)
         results.append((mode, spark.table(name).count()))
 
     seen: list[int] = []
     q = (
-        agg_of(_events_stream(spark, path))
+        agg_of(paced_stream())
         .writeStream.outputMode("update")
         .foreachBatch(lambda batch_df, _bid: seen.append(batch_df.count()))
         .trigger(availableNow=True)
@@ -490,7 +541,9 @@ def t08_output_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     results.append(("foreachBatch", sum(seen)))
-    return spark.createDataFrame(results, "mode string, rows_at_sink long")
+    return spark.createDataFrame(
+        results, "mode string, rows_at_sink long"
+    ).orderBy("mode")
 
 
 # --------------------------------------------------------------------------
