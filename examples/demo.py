@@ -39,6 +39,8 @@ def main() -> None:
     print(f"== 2. {len(hs.list_queries())} named operator queries ==")
     hs.run(spark, sf_dir, "q1_pricing_summary").show(3)
     hs.run(spark, sf_dir, "l01_exact_dedup").show(3)
+    print("-- the corpus-prep funnel, one DAG --")
+    hs.run(spark, sf_dir, "l40_prep_pipeline").show(3)
 
     print("== 3. Per-operator runtime metrics ==")
     for rec in hs.profile(spark, sf_dir, "q3_shipping_priority"):
