@@ -468,3 +468,17 @@ def test_l37_probe_is_broadcast_map_side(spark):
     for ln in plan.splitlines():
         if "Exchange hashpartitioning" in ln:
             assert "text#" not in ln, ln
+
+
+def test_l38_pagerank_iteration_shape(spark):
+    """l38: five lazily-composed iterations must plan with the node
+    count as a broadcast (1-row meta cross join), contributions
+    joined — never a cartesian — and ranks shuffling as (id, rank)
+    pairs, not embeddings (vectors exist only in the edge-derivation
+    subtree)."""
+    plan = executed_plan(registry.QUERIES["l38_pagerank"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastExchange" in plan or "BroadcastQueryStage" in plan, plan
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "embedding" not in ln, ln
