@@ -165,6 +165,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "t13_rocksdb_state",
         "s25_observed_metrics",
         "s26_parameterized_sql",
+        "s27_catalog_table",
     }
 )
 

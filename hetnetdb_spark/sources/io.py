@@ -1202,3 +1202,79 @@ def s26_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"tbl": "orders", "cap": S26_CAP},
     )
+
+
+# --------------------------------------------------------------------------
+# S27 — persistent catalog tables (CREATE TABLE / INSERT INTO / spark.table)
+# --------------------------------------------------------------------------
+
+S27_ORACLE = """
+WITH snapshot AS (
+    SELECT o_orderkey, o_orderpriority,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey + 50000000, o_orderpriority,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT)   AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM snapshot
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@query("s27_catalog_table", oracle=S27_ORACLE, impure=True)
+def s27_catalog_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S27 — the persistent-catalog surface the temp-view entry
+    (S5) deliberately avoids: `CREATE TABLE ... USING PARQUET
+    LOCATION` registers a named table whose data outlives the
+    DataFrame that wrote it, `INSERT INTO` appends through the
+    catalog (not a path), and readers address it by NAME —
+    `spark.table` / SQL — exactly how a multi-tenant deployment
+    shares datasets. The table is EXTERNAL (scratch-dir location)
+    so dropping it leaves data files intact — the catalog entry and
+    the bytes have independent lifecycles, which is the property
+    that makes metastore migration and table re-pointing safe at
+    100 TB. Exact integer cents end-to-end (p13 discipline).
+
+    The INSERT batch re-appends every URGENT order with offset
+    keys, so the oracle's UNION ALL replay distinguishes "read the
+    base data" from "read what the catalog accumulated"."""
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    loc = os.path.join(SCRATCH, f"s27_table_{tag}")
+    shutil.rmtree(loc, ignore_errors=True)
+    tbl = f"s27_orders_{tag}"
+
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    snapshot = orders.select("o_orderkey", "o_orderpriority", cents.alias("cents"))
+
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    spark.sql(
+        f"CREATE TABLE {tbl} "
+        "(o_orderkey BIGINT, o_orderpriority STRING, cents BIGINT) "
+        f"USING PARQUET LOCATION '{loc}'"
+    )
+    snapshot.write.insertInto(tbl)
+    # append through the catalog: the second writer addresses the
+    # NAME, knowing nothing about the location
+    urgent = snapshot.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        (F.col("o_orderkey") + 50_000_000).alias("o_orderkey"),
+        "o_orderpriority",
+        "cents",
+    )
+    urgent.write.insertInto(tbl)
+
+    return (
+        spark.table(tbl)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
