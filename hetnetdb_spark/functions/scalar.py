@@ -903,3 +903,55 @@ def f20_calendar_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+# --------------------------------------------------------------------------
+# F21 — codec round-trips (base64 / hex / csv / aes)
+# --------------------------------------------------------------------------
+
+F21_ORACLE = """
+SELECT n_nationkey,
+       to_base64(CAST(n_name AS BLOB))                    AS b64,
+       CAST(from_base64(to_base64(CAST(n_name AS BLOB))) AS VARCHAR)
+                                                          AS b64_roundtrip,
+       hex(n_name)                                        AS hexed,
+       CAST(unhex(hex(n_name)) AS VARCHAR)                AS hex_roundtrip,
+       n_name || ',' || CAST(n_regionkey AS VARCHAR)      AS csv_line,
+       TRUE                                               AS aes_roundtrip_ok
+FROM nation
+ORDER BY n_nationkey
+"""
+
+
+@query("f21_codec_roundtrips", oracle=F21_ORACLE)
+def f21_codec_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F21 — the serialization codecs as ROUND-TRIPS, so the oracle
+    checks both directions at once: base64 and hex must decode to
+    the exact original bytes (and their encodings match DuckDB's
+    byte-for-byte — same RFC 4648 alphabet, same uppercase hex);
+    `to_csv` of a struct must equal the hand-concatenated line; and
+    AES-GCM — which DuckDB cannot replay and whose ciphertext is
+    IV-random anyway — is pinned by the structural identity
+    `aes_decrypt(aes_encrypt(x, k), k) = x` evaluated INSIDE the
+    query (the a16 bound-flag pattern: the oracle asserts the flag
+    is TRUE for every row, so a broken codec cannot hide).
+
+    All codegen-stage expressions; the only cross-engine contract
+    is byte identity, the strongest check available for codecs."""
+    (nation,) = load_tables(spark, sf_dir, "nation")
+    key = F.lit("0123456789abcdef")  # 16-byte demo key, pinned
+    enc = F.aes_encrypt(F.col("n_name").cast("binary"), key.cast("binary"))
+    dec = F.aes_decrypt(enc, key.cast("binary"))
+    return nation.select(
+        "n_nationkey",
+        F.base64(F.col("n_name").cast("binary")).alias("b64"),
+        F.unbase64(F.base64(F.col("n_name").cast("binary")))
+        .cast("string")
+        .alias("b64_roundtrip"),
+        F.hex(F.col("n_name")).alias("hexed"),
+        F.unhex(F.hex(F.col("n_name"))).cast("string").alias("hex_roundtrip"),
+        F.to_csv(F.struct(F.col("n_name"), F.col("n_regionkey"))).alias(
+            "csv_line"
+        ),
+        (dec.cast("string") == F.col("n_name")).alias("aes_roundtrip_ok"),
+    ).orderBy("n_nationkey")

@@ -166,6 +166,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "s25_observed_metrics",
         "s26_parameterized_sql",
         "s27_catalog_table",
+        "f21_codec_roundtrips",
     }
 )
 
