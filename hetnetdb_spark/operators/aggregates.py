@@ -29,7 +29,8 @@ from hetnetdb_spark.registry import query
 
 A1_ORACLE = """
 SELECT COUNT(*)                          AS n_rows,
-       ROUND(SUM(l_extendedprice), 6)    AS sum_price,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)))
+             AS DOUBLE), 6)              AS sum_price,
        ROUND(AVG(l_quantity), 6)         AS avg_qty,
        ROUND(MIN(l_discount), 6)         AS min_disc,
        ROUND(MAX(l_tax), 6)              AS max_tax
@@ -43,7 +44,10 @@ def a01_ungrouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lineitem,) = load_tables(spark, sf_dir, "lineitem")
     return lineitem.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        r6(F.sum("l_extendedprice")).alias("sum_price"),
+        # decimal accumulation: the whole-table money sum is O(1e10)
+        # at sf0.1, where 6dp-rounded double sums drift cross-engine
+        r6(F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+           .cast("double")).alias("sum_price"),
         r6(F.avg("l_quantity")).alias("avg_qty"),
         r6(F.min("l_discount")).alias("min_disc"),
         r6(F.max("l_tax")).alias("max_tax"),
@@ -314,7 +318,8 @@ def a10_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 A10_CUBE_ORACLE = """
 SELECT COALESCE(l_returnflag, 'ALL')  AS returnflag,
        COALESCE(l_linestatus, 'ALL')  AS linestatus,
-       ROUND(SUM(l_extendedprice), 6) AS sum_price
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)))
+             AS DOUBLE), 6) AS sum_price
 FROM lineitem
 GROUP BY CUBE(l_returnflag, l_linestatus)
 """
@@ -326,7 +331,10 @@ def a10_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lineitem,) = load_tables(spark, sf_dir, "lineitem")
     return (
         lineitem.cube("l_returnflag", "l_linestatus")
-        .agg(r6(F.sum("l_extendedprice")).alias("sum_price"))
+        .agg(
+            r6(F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+               .cast("double")).alias("sum_price")
+        )
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
             F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
@@ -480,7 +488,8 @@ A14_ORACLE = """
 WITH agg AS (
     SELECT l_returnflag,
            ROUND(SUM(l_quantity), 6)      AS sum_qty,
-           ROUND(SUM(l_extendedprice), 6) AS sum_price
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)))
+                 AS DOUBLE), 6)           AS sum_price
     FROM lineitem
     GROUP BY l_returnflag
 )
@@ -498,7 +507,8 @@ def a14_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lineitem,) = load_tables(spark, sf_dir, "lineitem")
     agg = lineitem.groupBy("l_returnflag").agg(
         r6(F.sum("l_quantity")).alias("sum_qty"),
-        r6(F.sum("l_extendedprice")).alias("sum_price"),
+        r6(F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+           .cast("double")).alias("sum_price"),
     )
     return agg.unpivot("l_returnflag", ["sum_qty", "sum_price"], "metric", "value")
 

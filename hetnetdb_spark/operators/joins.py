@@ -423,7 +423,8 @@ def j12_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 J13_ORACLE = """
 SELECT p_brand,
        CAST(COUNT(*) AS BIGINT) AS n_lines,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS revenue
+       ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                  AS DECIMAL(28,10))) AS DOUBLE), 6) AS revenue
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand

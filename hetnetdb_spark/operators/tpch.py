@@ -30,9 +30,12 @@ SELECT
   l_returnflag,
   l_linestatus,
   ROUND(SUM(l_quantity), 6)                                        AS sum_qty,
-  ROUND(SUM(l_extendedprice), 6)                                   AS sum_base_price,
-  ROUND(SUM(l_extendedprice * (1 - l_discount)), 6)                AS sum_disc_price,
-  ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6)  AS sum_charge,
+  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 6)
+                                                                   AS sum_base_price,
+  ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+             AS DECIMAL(18,6))) AS DOUBLE), 6)                     AS sum_disc_price,
+  ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+             AS DECIMAL(18,6))) AS DOUBLE), 6)                     AS sum_charge,
   ROUND(AVG(l_quantity), 6)                                        AS avg_qty,
   ROUND(AVG(l_extendedprice), 6)                                   AS avg_price,
   ROUND(AVG(l_discount), 6)                                        AS avg_disc,
@@ -60,9 +63,17 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             r6(F.sum("l_quantity")).alias("sum_qty"),
-            r6(F.sum("l_extendedprice")).alias("sum_base_price"),
-            r6(F.sum(revenue())).alias("sum_disc_price"),
-            r6(F.sum(charge())).alias("sum_charge"),
+            # Money sums accumulate in DECIMAL (associative, so any
+            # partition/merge order yields the same value) and only
+            # then cast back to double: at sf0.1 the 6dp-rounded
+            # double sums of O(1e9) drift past 1e-6 between engines
+            # (the a19 magnitude lesson; j11's established pattern).
+            r6(F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+               .cast("double")).alias("sum_base_price"),
+            r6(F.sum(revenue().cast("decimal(18,6)"))
+               .cast("double")).alias("sum_disc_price"),
+            r6(F.sum(charge().cast("decimal(18,6)"))
+               .cast("double")).alias("sum_charge"),
             r6(F.avg("l_quantity")).alias("avg_qty"),
             r6(F.avg("l_extendedprice")).alias("avg_price"),
             r6(F.avg("l_discount")).alias("avg_disc"),
@@ -433,7 +444,7 @@ def q19_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q6_ORACLE = """
-SELECT ROUND(SUM(l_extendedprice * l_discount), 6) AS revenue,
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue,
        CAST(COUNT(*) AS BIGINT)                    AS n_lines
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -459,7 +470,13 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            r6(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue"),
+            r6(
+                F.sum(
+                    (F.col("l_extendedprice") * F.col("l_discount")).cast(
+                        "decimal(18,6)"
+                    )
+                ).cast("double")
+            ).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )

@@ -256,13 +256,25 @@ def l02_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     (documents,) = load_tables(spark, sf_dir, "documents")
     docs = documents.select("doc_id", F.expr(_SHINGLE_SPARK).alias("sh"))
+
+    # Bind j via a closure FACTORY, never `lambda s, j=j:` — PySpark
+    # decides the lambda's shape from its Python ARITY, so a default
+    # argument turns the function into the (element, index) variant:
+    # j silently binds to the index Column and f"{j}:" stringifies it
+    # into a "Column<'y_N'>:" prefix. That still yields 32 distinct
+    # hash families (which is why small-SF candidate counts agreed
+    # with the oracle by coincidence), but NOT the declared portable
+    # family — caught by the round-5 full-registry sweep at sf0.1,
+    # where the random-collision tail finally diverged (258 vs 256
+    # candidates).
+    def _h_j(j: int):
+        return lambda s: _mh_hash_spark(j, s)
+
     minhashes = docs.select(
         "doc_id",
         "sh",
         *[
-            F.array_min(
-                F.transform(F.col("sh"), lambda s, j=j: _mh_hash_spark(j, s))
-            ).alias(f"mh{j}")
+            F.array_min(F.transform(F.col("sh"), _h_j(j))).alias(f"mh{j}")
             for j in range(N_HASHES)
         ],
     )

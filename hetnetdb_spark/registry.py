@@ -192,6 +192,21 @@ RECHECK_THIS_ROUND: frozenset[str] = frozenset(
         "l08_image_features",     # rows-only -> UTF-8 byte-class replay oracle
         "t04_watermark_latedrop",  # rows-only -> emission-gate full oracle (r5 late)
         "t08_output_modes",        # rows-only -> paced-batch full oracle (r5 late)
+        # sf0.1 full-registry sweep fallout (r5 late): money sums now
+        # accumulate in DECIMAL on both engines — the 6dp-rounded
+        # double sums of O(1e9+) drifted past 1e-6 at 10x the
+        # driver's gate scale (a19's magnitude lesson, applied to
+        # every >=1e8-per-group money sum).
+        "q1_pricing_summary",
+        "q6_forecast_revenue",
+        "a01_ungrouped_agg",
+        "a10_cube",
+        "a14_unpivot",
+        "s03_json_roundtrip",
+        "s14_partition_upsert",
+        "s15_schema_evolution",
+        "j13_salted_skew_join",
+        "u01_python_udf",
     }
 )
 

@@ -73,7 +73,8 @@ def s02_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 S3_ORACLE = """
 SELECT CAST(date_part('year', o_orderdate) AS BIGINT) AS yr,
        CAST(COUNT(*) AS BIGINT)                       AS n_orders,
-       ROUND(SUM(o_totalprice), 6)                    AS sum_price
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+             AS DOUBLE), 6)                           AS sum_price
 FROM orders
 GROUP BY yr
 """
@@ -96,7 +97,8 @@ def s03_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year("o_orderdate").cast("long").alias("yr")
     ).agg(
         F.count(F.lit(1)).alias("n_orders"),
-        r6(F.sum("o_totalprice")).alias("sum_price"),
+        r6(F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+           .cast("double")).alias("sum_price"),
     )
 
 
@@ -489,7 +491,8 @@ snap AS (
 )
 SELECT o_year,
        CAST(COUNT(*) AS BIGINT)  AS n_orders,
-       ROUND(SUM(o_totalprice), 6) AS total_price
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+             AS DOUBLE), 6)      AS total_price
 FROM snap
 GROUP BY o_year
 """
@@ -538,7 +541,8 @@ def s14_partition_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.parquet(path)
     return back.groupBy("o_year").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        r6(F.sum("o_totalprice")).alias("total_price"),
+        r6(F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+           .cast("double")).alias("total_price"),
     )
 
 
@@ -562,7 +566,8 @@ merged AS (
 )
 SELECT COALESCE(o_orderpriority, '<pre-schema>') AS o_orderpriority,
        CAST(COUNT(*) AS BIGINT)                  AS n_orders,
-       ROUND(SUM(o_totalprice), 6)               AS total_price
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+             AS DOUBLE), 6)                      AS total_price
 FROM merged
 GROUP BY 1
 """
@@ -595,7 +600,8 @@ def s15_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            r6(F.sum("o_totalprice")).alias("total_price"),
+            r6(F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+               .cast("double")).alias("total_price"),
         )
     )
 

@@ -41,7 +41,8 @@ SELECT CASE o_orderpriority
          WHEN '4-NOT SPECIFIED' THEN 2 WHEN '5-LOW' THEN 1 ELSE 0
        END                         AS weight,
        CAST(COUNT(*) AS BIGINT)    AS n_orders,
-       ROUND(SUM(o_totalprice), 6) AS sum_price
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+             AS DOUBLE), 6)        AS sum_price
 FROM orders
 GROUP BY weight
 """
@@ -63,7 +64,8 @@ def u01_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         priority_weight(F.col("o_orderpriority")).alias("weight")
     ).agg(
         F.count(F.lit(1)).alias("n_orders"),
-        r6(F.sum("o_totalprice")).alias("sum_price"),
+        r6(F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+           .cast("double")).alias("sum_price"),
     )
 
 
