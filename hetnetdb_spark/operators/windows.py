@@ -783,3 +783,103 @@ def w11_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_customers",
         F.sum("new_customers").over(w).cast("long").alias("cum_customers"),
     ).orderBy("month")
+
+
+# --------------------------------------------------------------------------
+# W12 — merge overlapping variable-length intervals (gaps-and-islands
+# with a running max, the form lag-based sessionization cannot express)
+# --------------------------------------------------------------------------
+
+W12_MAX_MIN = 120  # duration clamp, minutes
+W12_ORACLE = f"""
+WITH iv AS (
+  SELECT user_id, event_id, ts AS s,
+         ts + LEAST(GREATEST(CAST(FLOOR(COALESCE(value, 0)) AS BIGINT), 1),
+                    {W12_MAX_MIN}) * INTERVAL 1 MINUTE AS e
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, s, e,
+         CASE WHEN s < max(e) OVER (
+                  PARTITION BY user_id ORDER BY s, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 0 ELSE 1 END AS is_new
+  FROM iv
+),
+numbered AS (
+  SELECT user_id, s, e,
+         CAST(SUM(is_new) OVER (
+                  PARTITION BY user_id ORDER BY s, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS span_id
+  FROM flagged
+)
+SELECT user_id, span_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(s) AS span_start,
+       MAX(e) AS span_end
+FROM numbered
+GROUP BY user_id, span_id
+"""
+
+
+@query("w12_interval_merge", oracle=W12_ORACLE)
+def w12_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W12 — consolidate each user's overlapping activity intervals
+    into maximal spans. Every event opens an interval [ts, ts + d)
+    whose length d comes from the event itself (`value` minutes,
+    clamped to [1, 120]), so intervals are NOT sorted by end time:
+    an early long interval can swallow many later short ones.
+    That is the case lag-based gap sessionization
+    (events_sessionize_30m) gets WRONG by construction — the
+    correct island flag compares each start against the running
+    MAX of all *preceding* ends, not the single previous end.
+
+    Plan: one shuffle on user_id serves the running-max window, the
+    island-numbering window (same partition + order spec, so they
+    share one sort) and the final (user_id, span_id) hash aggregate
+    (hash-partitioning on user_id satisfies the aggregate's
+    clustered-distribution requirement — no second exchange).
+    Arithmetic runs on raw epoch-ns longs (`load_events_raw`):
+    duration is whole clamped minutes so end = ts + m·60e9 stays an
+    exact int64, and both engines FLOOR the double `value` (DuckDB
+    CAST alone would round-half-away where Spark truncates).
+    Timestamps materialize only on the aggregated span rows. At
+    100 TB the state per user is one (max_end) long — the shuffle
+    carries events once and nothing is quadratic."""
+    events = _parallel_by(spark, load_events_raw(spark, sf_dir), "user_id")
+    dur_min = F.least(
+        F.greatest(F.floor(F.coalesce(F.col("value"), F.lit(0.0))).cast("long"),
+                   F.lit(1)),
+        F.lit(W12_MAX_MIN),
+    )
+    iv = events.select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + dur_min * F.lit(60 * 1_000_000_000)).alias("e"),
+    )
+    order = [F.col("s").asc(), F.col("event_id").asc()]
+    prev_max_e = F.max("e").over(
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    running = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        iv.withColumn(
+            "is_new",
+            F.when(F.col("s") < prev_max_e, F.lit(0)).otherwise(F.lit(1)),
+        )
+        .withColumn("span_id", F.sum("is_new").over(running))
+        .groupBy("user_id", "span_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.timestamp_micros(F.expr("min(s) div 1000")).alias("span_start"),
+            F.timestamp_micros(F.expr("max(e) div 1000")).alias("span_end"),
+        )
+    )
