@@ -279,6 +279,7 @@ def load_all() -> None:
         dedup,
         multimodal,
         similarity,
+        sketches,
         splits,
         text,
     )
