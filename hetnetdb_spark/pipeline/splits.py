@@ -244,3 +244,82 @@ def l27_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rk") <= L27_K)
     )
+
+
+# --------------------------------------------------------------------------
+# L42 — weighted sampling without replacement (Efraimidis–Spirakis)
+# --------------------------------------------------------------------------
+
+L42_K = 100
+L42_SEED = "ws42"
+_L42_DENOM = 16 ** 15  # md5 15-hex-digit space
+
+L42_ORACLE = f"""
+WITH wt AS (
+    SELECT doc_id, lang,
+           GREATEST(len(string_split(text, ' ')), 1) AS n_tokens,
+           (CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{L42_SEED}'),
+                                     1, 15) AS BIGINT) AS DOUBLE) + 0.5)
+               / {_L42_DENOM} AS u
+    FROM documents
+)
+SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens
+FROM wt
+ORDER BY ln(u) / n_tokens DESC, doc_id
+LIMIT {L42_K}
+"""
+
+
+@query("l42_weighted_sample", oracle=L42_ORACLE)
+def l42_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L42 — draw K=100 documents WITHOUT replacement with
+    inclusion probability proportional to token count
+    (Efraimidis–Spirakis A-ES): the size-biased draw used to build
+    token-budgeted eval/probe sets where a uniform doc sample would
+    under-represent long documents.
+
+    A-ES assigns each row the key u^(1/w) (equivalently ln(u)/w,
+    monotone) and keeps the K largest — a reduction, not a reorder:
+    Spark spells it `orderBy(key desc).limit(K)`, which compiles to
+    TakeOrderedAndProject (per-partition top-K heaps + a K-row
+    merge on the driver), NOT a global sort and NOT a
+    single-partition window. At 100 TB each task ships exactly K
+    candidate rows.
+
+    Determinism: u is the house md5 spell — 15 hex digits of
+    md5(doc_id:seed) as an integer, shifted by +0.5 and scaled to
+    (0,1); both engines round the same 2^60-range integer to the
+    same double (IEEE round-to-nearest) and divide by the same
+    constant, so u is bit-identical. ln is the one transcendental:
+    Java Math.log vs DuckDB's libm may differ in the last ulp, but
+    unlike the a19/decimal-sum class this is a SINGLE operation (no
+    accumulation), so a selection flip needs two docs' keys within
+    ~1 ulp of each other exactly at the rank-K boundary —
+    vanishingly unlikely for continuous keys, and the doc_id
+    tiebreak covers exact ties. The float key itself is not
+    emitted; the compared frame is integers + strings only."""
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":{L42_SEED}"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(_L42_DENOM))
+    n_tokens = F.greatest(
+        F.size(F.split(F.col("text"), " ")).cast("long"), F.lit(1)
+    )
+    return (
+        documents.select(
+            "doc_id",
+            "lang",
+            n_tokens.alias("n_tokens"),
+            (F.log(u) / F.col("n_tokens")).alias("es_key"),
+        )
+        .orderBy(F.col("es_key").desc(), "doc_id")
+        .limit(L42_K)
+        .select("doc_id", "lang", "n_tokens")
+    )
