@@ -210,3 +210,79 @@ def o08_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("l_orderkey", "l_linenumber")
         .limit(50)
     )
+
+
+# --------------------------------------------------------------------------
+# O9 — distributed global ranking (no single-partition sort anywhere)
+# --------------------------------------------------------------------------
+
+O9_BUCKETS = 256
+
+O9_ORACLE = """
+SELECT CAST(row_number() OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT)
+           AS global_rank,
+       c_custkey,
+       ROUND(c_acctbal, 6) AS acctbal
+FROM customer
+"""
+
+
+@query("o09_distributed_rank", oracle=O9_ORACLE)
+def o09_distributed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O9 — a GLOBAL row_number over the whole table. The naive
+    spelling (`row_number() OVER (ORDER BY ...)` with no PARTITION
+    BY, which is exactly what the oracle runs) funnels every row
+    through one partition — the canonical window scale-killer. The
+    distributed form is two-phase range ranking:
+
+    1. Assign each row an ORDER-ALIGNED range bucket:
+       `width_bucket(value, min, max, B)` against broadcast global
+       bounds (a 1-row column-pruned agg). Equal values land in the
+       same bucket and bucket id is monotone in value, so bucket
+       order composes with in-bucket order to the total order.
+    2. Per-bucket counts (B=256 rows) -> exclusive prefix sum = each
+       bucket's rank offset. The unpartitioned window runs over the
+       B-row bucket table — bounded by construction, the same
+       post-aggregation argument as w10's month grid.
+    3. Broadcast offsets back; global_rank = offset + row_number
+       within the bucket window (one shuffle on bucket id, each
+       bucket sorts independently).
+
+    This is `repartitionByRange + zipWithIndex` re-expressed in pure
+    DataFrame ops with deterministic (data-derived, not sampled)
+    boundaries: identical output on any cluster layout. Degenerate
+    guard: min==max collapses every row to bucket 1 — ranks are then
+    decided by the tiebreak alone, still correct (one big bucket =
+    the naive plan, which is unavoidable when every value is equal).
+    Skewed value distributions skew bucket sizes, not correctness;
+    a production variant would pick boundaries from
+    approx-percentiles instead of uniform width."""
+    from pyspark.sql.window import Window
+
+    (customer,) = load_tables(spark, sf_dir, "customer")
+    bounds = customer.agg(
+        F.min("c_acctbal").alias("lo"), F.max("c_acctbal").alias("hi")
+    )
+    bucketed = customer.crossJoin(F.broadcast(bounds)).withColumn(
+        "bucket",
+        F.when(F.col("lo") == F.col("hi"), F.lit(1)).otherwise(
+            F.least(
+                F.lit(O9_BUCKETS),
+                F.width_bucket("c_acctbal", "lo", "hi", F.lit(O9_BUCKETS)),
+            )
+        ),
+    )
+    counts = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    w_off = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "bucket", F.coalesce(F.sum("n").over(w_off), F.lit(0)).alias("offset")
+    )
+    w_in = Window.partitionBy("bucket").orderBy("c_acctbal", "c_custkey")
+    return (
+        bucketed.join(F.broadcast(offsets), "bucket")
+        .select(
+            (F.col("offset") + F.row_number().over(w_in)).alias("global_rank"),
+            "c_custkey",
+            r6(F.col("c_acctbal")).alias("acctbal"),
+        )
+    )
