@@ -980,3 +980,99 @@ def l31_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# L43 — bigram language-model quality score (conditional logprob)
+# --------------------------------------------------------------------------
+
+L43_ORACLE = """
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t
+    FROM documents
+    WHERE len(string_split(text, ' ')) >= 2
+),
+bg AS (
+    SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                                         i -> t[i] || ' ' || t[i+1])) AS bigram
+    FROM toks
+),
+bfreq AS (
+    SELECT bigram, COUNT(*) AS nb FROM bg GROUP BY bigram
+),
+pfreq AS (
+    SELECT string_split(bigram, ' ')[1] AS pfx, SUM(nb) AS np
+    FROM bfreq GROUP BY 1
+)
+SELECT bg.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_transitions,
+       ROUND(SUM(CAST(-LN(bfreq.nb / CAST(pfreq.np AS DOUBLE))
+                      AS DECIMAL(28, 12))) / COUNT(*), 6)
+           AS avg_neg_bigram_logprob
+FROM bg
+JOIN bfreq USING (bigram)
+JOIN pfreq ON string_split(bg.bigram, ' ')[1] = pfreq.pfx
+GROUP BY bg.doc_id
+"""
+
+
+@query("l43_bigram_logprob", oracle=L43_ORACLE)
+def l43_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L43 — score every document by its average conditional
+    negative log-probability -ln P(w_i | w_{i-1}) under the
+    corpus's own bigram model: l25's unigram signal upgraded to the
+    CCNet/KenLM-style sequence model. A document of individually
+    common tokens in an improbable ORDER (shuffled text, keyword
+    stuffing, word salad) scores high here while l25 passes it —
+    the two together separate "rare vocabulary" from "broken
+    syntax".
+
+    P(w|v) = n(v w) / n(v ·): the denominator is v's count as a
+    bigram PREFIX, derived by re-aggregating the bigram table on
+    its first token (strictly smaller input than re-counting
+    tokens, and exactly consistent with the numerator — no
+    off-by-one on final tokens). Scoring the corpus under its own
+    model means every scored bigram exists in the table, so no
+    backoff path is needed. Docs under 2 tokens have no
+    transitions and are excluded (l28's filter).
+
+    Shape: the l28 bigram explode feeds one |bigram-vocab| hash
+    agg, its prefix re-agg, and two frequency joins back onto the
+    stream, then a doc_id agg. Frequency tables broadcast at
+    fixture scale; at 100 TB the bigram join keys on the bigram
+    string — ids and counts cross the wire, never text. Per-token
+    -ln(p) terms accumulate in DECIMAL (l25's discipline): the sum
+    is partition-order-independent and both engines' ln() ulp
+    differences sit below the 1e-12 decimal quantum's rounding
+    effect at 6dp."""
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    toks = documents.select(
+        "doc_id", F.split(F.col("text"), " ").alias("t")
+    ).filter(F.size("t") >= 2)
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), "
+                "i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1)))"
+            )
+        ).alias("bigram"),
+    )
+    bfreq = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("nb"))
+    pfx = F.element_at(F.split(F.col("bigram"), " "), 1)
+    pfreq = bfreq.groupBy(pfx.alias("pfx")).agg(F.sum("nb").alias("np"))
+    neg_ln = -F.log(F.col("nb") / F.col("np").cast("double"))
+    return (
+        bg.join(F.broadcast(bfreq), "bigram")
+        .withColumn("pfx", pfx)
+        .join(F.broadcast(pfreq), "pfx")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.round(
+                F.sum(neg_ln.cast("decimal(28,12)")) / F.count(F.lit(1)), 6
+            )
+            .cast("double")
+            .alias("avg_neg_bigram_logprob"),
+        )
+    )
