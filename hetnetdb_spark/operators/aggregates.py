@@ -890,3 +890,90 @@ def a23_approx_percentile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank_ok("lt50", "le50", 0.5).alias("p50_rank_ok"),
         rank_ok("lt90", "le90", 0.9).alias("p90_rank_ok"),
     )
+
+
+# --------------------------------------------------------------------------
+# A24 — weighted quantiles, integer-exact (cumulative-weight crossing)
+# --------------------------------------------------------------------------
+
+A24_ORACLE = """
+WITH wt AS (
+    SELECT lang, doc_id, n_chars,
+           GREATEST(len(string_split(text, ' ')), 1) AS w
+    FROM documents
+),
+cum AS (
+    SELECT lang, n_chars, w,
+           SUM(w) OVER (PARTITION BY lang ORDER BY n_chars, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cw,
+           SUM(w) OVER (PARTITION BY lang) AS tw
+    FROM wt
+)
+SELECT lang,
+       CAST(MAX(tw) AS BIGINT) AS total_weight,
+       CAST(MIN(CASE WHEN 2 * cw >= tw THEN n_chars END) AS BIGINT)
+           AS weighted_median,
+       CAST(MIN(CASE WHEN 10 * cw >= 9 * tw THEN n_chars END) AS BIGINT)
+           AS weighted_p90
+FROM cum
+GROUP BY lang
+"""
+
+
+@query("a24_weighted_quantiles", oracle=A24_ORACLE)
+def a24_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A24 — token-weighted median and p90 of document length per
+    language. Unweighted percentiles (a08) answer "the median
+    DOCUMENT"; a training pipeline budgets TOKENS, so it wants "the
+    document length at which half the token mass is reached" —
+    neither engine has a weighted_percentile builtin, and the
+    composition is the classic cumulative-weight crossing:
+
+    sort each group by (value, unique tiebreak), running-sum the
+    weights, and the q-quantile is the value of the first row where
+    cum_weight >= q * total_weight. Both crossings are INTEGER
+    comparisons (2*cw >= tw, 10*cw >= 9*tw on int64 token counts) —
+    no double division, no interpolation, so cross-engine parity is
+    exact by construction rather than by rounding discipline. The
+    qualifying set is upward-closed in the sort order, so
+    MIN(value) over it IS the crossing row's value — one aggregate,
+    no second window or self-join.
+
+    Plan: ONE shuffle on lang serves the running-sum window, the
+    per-group total (a full-range window over the same partition
+    spec — no extra exchange) and the final hash agg. Weight and
+    value stay (long, long) through the shuffle. At 100 TB the
+    per-group sort is the cost — the same cost the unweighted exact
+    percentile pays, with approx_percentile as the documented
+    escape hatch when interpolation error is acceptable (a23)."""
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    wt = documents.select(
+        "lang",
+        "doc_id",
+        "n_chars",
+        F.greatest(F.size(F.split(F.col("text"), " ")).cast("long"), F.lit(1)).alias(
+            "w"
+        ),
+    )
+    w_run = (
+        Window.partitionBy("lang")
+        .orderBy("n_chars", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("lang")
+    cum = wt.select(
+        "lang",
+        "n_chars",
+        F.sum("w").over(w_run).alias("cw"),
+        F.sum("w").over(w_all).alias("tw"),
+    )
+    return cum.groupBy("lang").agg(
+        F.max("tw").cast("long").alias("total_weight"),
+        F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("n_chars")))
+        .cast("long")
+        .alias("weighted_median"),
+        F.min(F.when(10 * F.col("cw") >= 9 * F.col("tw"), F.col("n_chars")))
+        .cast("long")
+        .alias("weighted_p90"),
+    )

@@ -167,6 +167,12 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "s26_parameterized_sql",
         "s27_catalog_table",
         "f21_codec_roundtrips",
+        # second continuation session
+        "w12_interval_merge",
+        "l41_heavy_hitters",
+        "l42_weighted_sample",
+        "o09_distributed_rank",
+        "l43_bigram_logprob",
     }
 )
 
