@@ -1076,3 +1076,74 @@ def l43_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("avg_neg_bigram_logprob"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# L44 — n-gram diversity (distinct-n ratio, the corpus repetition dial)
+# --------------------------------------------------------------------------
+
+L44_ORACLE = """
+WITH toks AS (
+    SELECT source, string_split(text, ' ') AS t FROM documents
+),
+grams AS (
+    SELECT source, n,
+           unnest(list_transform(range(1, len(t) - n + 2),
+                                 i -> array_to_string(list_slice(t, i, i + n - 1),
+                                                      ' '))) AS gram
+    FROM toks
+    CROSS JOIN (VALUES (1), (2), (3)) s(n)
+    WHERE len(t) >= n
+)
+SELECT source,
+       CAST(n AS BIGINT)                 AS n,
+       CAST(COUNT(*) AS BIGINT)          AS total_grams,
+       CAST(COUNT(DISTINCT gram) AS BIGINT) AS distinct_grams,
+       ROUND(COUNT(DISTINCT gram) * 1.0 / COUNT(*), 6) AS diversity
+FROM grams
+GROUP BY source, n
+"""
+
+
+@query("l44_ngram_diversity", oracle=L44_ORACLE)
+def l44_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L44 — distinct-n / total-n ratio per source for n = 1,2,3:
+    the "distinct-n" diversity metric used to compare corpus slices
+    and catch template-generated or looping text (a source whose
+    trigram diversity collapses while unigram diversity holds is
+    stamping the same sentences from a shared vocabulary).
+    Complements l14 (repetition WITHIN one document) with the
+    ACROSS-documents view.
+
+    ONE documents scan: a 3-row literal gram-size table cross-joins
+    in (lateral expansion, no second pass per n), then a
+    higher-order transform over `sequence` emits each length-n
+    window via `slice` — all codegen, mirrored index-for-index by
+    the oracle's `list_transform`/`list_slice`. The shuffle keys on
+    (source, n)-grouped partial counts; COUNT(DISTINCT gram) is the
+    honest cost — Spark expands it to a (source, n, gram) partial
+    agg first, so the wire carries each distinct gram once per
+    partition, never per occurrence. diversity is one division of
+    identical int64s, then r6."""
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    sizes = F.explode(F.sequence(F.lit(1), F.lit(3))).alias("n")
+    toks = documents.select(
+        "source", F.split(F.col("text"), " ").alias("t")
+    ).select("source", "t", sizes)
+    grams = toks.filter(F.size("t") >= F.col("n")).select(
+        "source",
+        "n",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - n + 1), "
+                "i -> concat_ws(' ', slice(t, i, n)))"
+            )
+        ).alias("gram"),
+    )
+    return grams.groupBy("source", "n").agg(
+        F.count(F.lit(1)).alias("total_grams"),
+        F.countDistinct("gram").alias("distinct_grams"),
+        F.round(
+            F.countDistinct("gram") * F.lit(1.0) / F.count(F.lit(1)), 6
+        ).alias("diversity"),
+    ).withColumn("n", F.col("n").cast("long"))
