@@ -1147,3 +1147,102 @@ def l44_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("gram") * F.lit(1.0) / F.count(F.lit(1)), 6
         ).alias("diversity"),
     ).withColumn("n", F.col("n").cast("long"))
+
+
+# --------------------------------------------------------------------------
+# L45 — Zipf slope of the term-frequency distribution
+# --------------------------------------------------------------------------
+
+L45_TOP = 1000
+
+L45_ORACLE = f"""
+WITH tok AS (
+    SELECT unnest(string_split(text, ' ')) AS term FROM documents
+),
+freq AS (
+    SELECT term, COUNT(*) AS n FROM tok GROUP BY term
+    ORDER BY n DESC, term LIMIT {L45_TOP}
+),
+ranked AS (
+    SELECT n, row_number() OVER (ORDER BY n DESC, term) AS rk FROM freq
+),
+pts AS (
+    SELECT CAST(LN(CAST(rk AS DOUBLE)) AS DECIMAL(28, 12)) AS x,
+           CAST(LN(CAST(n AS DOUBLE))  AS DECIMAL(28, 12)) AS y,
+           CAST(LN(CAST(rk AS DOUBLE)) * LN(CAST(rk AS DOUBLE))
+                AS DECIMAL(28, 12)) AS xx,
+           CAST(LN(CAST(rk AS DOUBLE)) * LN(CAST(n AS DOUBLE))
+                AS DECIMAL(28, 12)) AS xy
+    FROM ranked
+),
+s AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS m,
+           CAST(SUM(x) AS DOUBLE)  AS sx,
+           CAST(SUM(y) AS DOUBLE)  AS sy,
+           CAST(SUM(xx) AS DOUBLE) AS sxx,
+           CAST(SUM(xy) AS DOUBLE) AS sxy
+    FROM pts
+)
+SELECT CAST(m AS BIGINT) AS n_terms,
+       ROUND((m * sxy - sx * sy) / (m * sxx - sx * sx), 6) AS zipf_slope,
+       ROUND((sy - (m * sxy - sx * sy) / (m * sxx - sx * sx) * sx) / m, 6)
+           AS intercept
+FROM s
+"""
+
+
+@query("l45_zipf_slope", oracle=L45_ORACLE)
+def l45_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L45 — fit ln(freq) = intercept + slope·ln(rank) by OLS over
+    the top-1000 terms: the Zipf-exponent health check for a text
+    corpus (natural language sits near slope -1; template/generated
+    text and OCR noise bend it). The macroscopic twin of l25/l43's
+    per-document scores.
+
+    Built-in regr_slope would fold co-moments in partition order —
+    the exact a19 drift class. Instead each point's ln products are
+    computed in double (identical inputs → ≤1-2 ulp, ~1e-14, four
+    orders under the decimal quantum) and accumulated as
+    DECIMAL(28,12): the SUMS are bit-identical on both engines
+    regardless of partitioning, and every operation after the sums
+    is scalar double arithmetic on identical values — parity by
+    construction, r6 only as belt-and-braces.
+
+    Plan: term hash agg (|vocab|-bounded, map-side partials) →
+    TakeOrderedAndProject top-1000 → a window and four sums over
+    exactly 1000 rows (bounded post-limit, w10's argument) → one
+    output row."""
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    tok = documents.select(F.explode(F.split(F.col("text"), " ")).alias("term"))
+    freq = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "term")
+        .limit(L45_TOP)
+    )
+    rk = F.row_number().over(Window.orderBy(F.col("n").desc(), "term"))
+    x = F.log(rk.cast("double"))
+    y = F.log(F.col("n").cast("double"))
+    pts = freq.select(
+        x.cast("decimal(28,12)").alias("x"),
+        y.cast("decimal(28,12)").alias("y"),
+        (x * x).cast("decimal(28,12)").alias("xx"),
+        (x * y).cast("decimal(28,12)").alias("xy"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("m"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum("xx").cast("double").alias("sxx"),
+        F.sum("xy").cast("double").alias("sxy"),
+    )
+    slope = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("m").cast("long").alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("m"), 6).alias(
+            "intercept"
+        ),
+    )
