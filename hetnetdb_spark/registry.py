@@ -173,6 +173,9 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "l42_weighted_sample",
         "o09_distributed_rank",
         "l43_bigram_logprob",
+        "a24_weighted_quantiles",
+        "l44_ngram_diversity",
+        "l45_zipf_slope",
     }
 )
 

@@ -482,3 +482,76 @@ def test_l38_pagerank_iteration_shape(spark):
     for ln in plan.splitlines():
         if "Exchange hashpartitioning" in ln:
             assert "embedding" not in ln, ln
+
+
+def test_w12_interval_merge_single_exchange(spark):
+    """w12: one user_id shuffle must serve the running-max window,
+    the island-numbering window (shared sort) and the final
+    (user_id, span_id) aggregate — hash-partitioning on user_id
+    satisfies the aggregate's clustered distribution, so no second
+    exchange may appear."""
+    plan = executed_plan(registry.QUERIES["w12_interval_merge"](spark, SF_DIR))
+    assert shuffle_exchange_count(plan) == 1, plan
+    assert plan.count("Sort [user_id") == 1, "both windows must share one sort"
+
+
+def test_a24_weighted_quantiles_single_exchange(spark):
+    """a24: the running-sum window, the full-range total window and
+    the lang aggregate must all ride ONE lang exchange."""
+    plan = executed_plan(registry.QUERIES["a24_weighted_quantiles"](spark, SF_DIR))
+    assert shuffle_exchange_count(plan) == 1, plan
+
+
+def test_l41_sketch_is_narrow_and_recount_is_filtered(spark):
+    """l41: the Misra-Gries pass must be a narrow MapInPandas (no
+    exchange between the token scan and the sketch), the candidate
+    set must come back as a broadcast build on the recount join,
+    and the n_total comparison must be a broadcast of a 1-row
+    aggregate — no driver-side collect anywhere in the plan."""
+    plan = executed_plan(registry.QUERIES["l41_heavy_hitters"](spark, SF_DIR))
+    assert "MapInPandas" in plan, plan
+    sketch_below = plan.split("MapInPandas", 1)[1]
+    assert "Exchange" not in sketch_below.split("FileScan", 1)[0], (
+        "sketch input must not be shuffled"
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # 1-row n_total cross
+
+
+def test_l42_weighted_sample_is_top_k(spark):
+    """l42: the A-ES draw must plan as TakeOrderedAndProject
+    (per-partition heaps), never a global sort."""
+    plan = executed_plan(registry.QUERIES["l42_weighted_sample"](spark, SF_DIR))
+    assert has_top_k(plan), plan
+    assert "Sort" not in plan.split("TakeOrderedAndProject")[0], plan
+
+
+def test_o09_rank_never_globally_sorts_the_table(spark):
+    """o09: global ranking must come from per-bucket windows — the
+    only sort over the full relation is partitioned by bucket after
+    a hashpartitioning exchange. The SinglePartition exchanges in
+    the plan may carry only the B-row bucket-count table and the
+    1-row bounds aggregate, never customer rows (they sit above
+    per-bucket HashAggregates)."""
+    plan = executed_plan(registry.QUERIES["o09_distributed_rank"](spark, SF_DIR))
+    assert "Exchange hashpartitioning(bucket" in plan, plan
+    for chunk in plan.split("Exchange SinglePartition")[1:]:
+        # the subtree below each SinglePartition exchange must start
+        # from an aggregate (bounds min/max or bucket counts), i.e.
+        # partial aggregation happened before the funnel
+        head = chunk.split("FileScan", 1)[0]
+        assert "HashAggregate" in head, plan
+
+
+def test_l44_single_scan_lateral_sizes(spark):
+    """l44: the three gram sizes must come from ONE documents scan
+    (lateral expansion), not a union of three scans."""
+    plan = executed_plan(registry.QUERIES["l44_ngram_diversity"](spark, SF_DIR))
+    assert plan.count("FileScan parquet") == 1, plan
+
+
+def test_l45_zipf_topk_before_regression(spark):
+    """l45: the vocabulary must reduce through TakeOrderedAndProject
+    before the (bounded) rank window and the co-moment sums."""
+    plan = executed_plan(registry.QUERIES["l45_zipf_slope"](spark, SF_DIR))
+    assert has_top_k(plan), plan
