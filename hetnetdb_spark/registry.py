@@ -285,6 +285,7 @@ def load_all() -> None:
     from hetnetdb_spark.functions import scalar  # noqa: F401
     from hetnetdb_spark.pipeline import (  # noqa: F401
         corpus,
+        decompose,
         dedup,
         multimodal,
         similarity,
