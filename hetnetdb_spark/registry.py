@@ -176,6 +176,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "a24_weighted_quantiles",
         "l44_ngram_diversity",
         "l45_zipf_slope",
+        "l46_pca_power_iteration",
     }
 )
 

@@ -555,3 +555,22 @@ def test_l45_zipf_topk_before_regression(spark):
     before the (bounded) rank window and the co-moment sums."""
     plan = executed_plan(registry.QUERIES["l45_zipf_slope"](spark, SF_DIR))
     assert has_top_k(plan), plan
+
+
+def test_l46_moments_single_scan_with_partials(spark):
+    """l46: the 73-cell sufficient statistic must reduce in ONE
+    embeddings scan with map-side partial decimal sums — the model
+    fetch is the only driver materialization, and the returned
+    8-row frame is a local relation (no second scan)."""
+    df = registry.QUERIES["l46_pca_power_iteration"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "FileScan" not in plan, "result must be a local 8-row relation"
+    # audit the moment aggregation plan itself
+    from hetnetdb_spark.catalog import load_tables
+    from pyspark.sql import functions as F
+    (emb,) = load_tables(spark, SF_DIR, "embeddings")
+    agg = emb.agg(
+        F.sum(F.col("embedding")[0].cast("double").cast("decimal(28,14)"))
+    )
+    aplan = executed_plan(agg)
+    assert "partial_sum" in aplan, aplan
