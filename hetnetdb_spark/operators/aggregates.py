@@ -977,3 +977,85 @@ def a24_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("weighted_p90"),
     )
+
+
+# --------------------------------------------------------------------------
+# A25 — sketch intersection via inclusion-exclusion (HLL composition)
+# --------------------------------------------------------------------------
+
+A25_ORACLE = """
+WITH a AS (SELECT DISTINCT o_custkey FROM orders
+           WHERE date_part('year', o_orderdate) = 1999),
+b AS (SELECT DISTINCT o_custkey FROM orders
+      WHERE date_part('year', o_orderdate) = 2000)
+SELECT CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS exact_a,
+       CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS exact_b,
+       CAST((SELECT COUNT(*) FROM a JOIN b USING (o_custkey)) AS BIGINT)
+           AS exact_both,
+       TRUE AS approx_within_bound
+"""
+
+
+@query("a25_sketch_intersection", oracle=A25_ORACLE)
+def a25_sketch_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A25 — estimate the 1999∩2000 repeat-customer count from two
+    HLL sketches by inclusion-exclusion: |A∩B| ≈ est(A) + est(B) −
+    est(A∪B), where est(A∪B) comes from MERGING the two sketches
+    (no third scan). This is the composition a16's per-partition
+    sketches exist for — overlap questions between any two
+    partition ranges answered from persisted KB-size state, zero
+    row re-reads. The known caveat is honest in the bound:
+    inclusion-exclusion compounds three estimates' errors, so the
+    contract is ABSOLUTE in the union (|err| ≤ 6% of |A|+|B| covers
+    3 × the ~1.6%/2% per-sketch bound), not relative to the
+    intersection — HLL intersection of barely-overlapping sets is
+    noise, and callers who need tight small-overlap counts use the
+    exact bitmap path (a17).
+
+    Oracle strategy: a16's — exact values hash-compare, the
+    estimate is pinned by a boolean the oracle asserts TRUE. HLL
+    merge is max-per-register, so the estimate is partition-order
+    deterministic and the flag cannot flake."""
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+    sketches = (
+        orders.filter(yr.isin(1999, 2000))
+        .groupBy(yr.alias("y"))
+        .agg(F.hll_sketch_agg("o_custkey").alias("sketch"))
+    )
+    est = sketches.agg(
+        F.sum(
+            F.when(
+                F.col("y") == 1999,
+                F.hll_sketch_estimate(F.col("sketch")),
+            )
+        ).alias("est_a"),
+        F.sum(
+            F.when(
+                F.col("y") == 2000,
+                F.hll_sketch_estimate(F.col("sketch")),
+            )
+        ).alias("est_b"),
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_union"),
+    )
+    a = orders.filter(yr == 1999).select("o_custkey").distinct()
+    b = orders.filter(yr == 2000).select("o_custkey").distinct()
+    exact = (
+        a.alias("a")
+        .join(b.alias("b"), "o_custkey")
+        .agg(F.count(F.lit(1)).alias("exact_both"))
+        .crossJoin(a.agg(F.count(F.lit(1)).alias("exact_a")))
+        .crossJoin(b.agg(F.count(F.lit(1)).alias("exact_b")))
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "exact_a",
+        "exact_b",
+        "exact_both",
+        (
+            F.abs(
+                (F.col("est_a") + F.col("est_b") - F.col("est_union"))
+                - F.col("exact_both")
+            )
+            <= F.lit(0.06) * (F.col("exact_a") + F.col("exact_b"))
+        ).alias("approx_within_bound"),
+    )

@@ -666,3 +666,85 @@ def j16_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, "customer", "orders")
     return spark.sql(J16_SQL)
+
+
+# --------------------------------------------------------------------------
+# J17 — nearest as-of join (bidirectional, bounded, backward-wins ties)
+# --------------------------------------------------------------------------
+
+J17_ORACLE = """
+WITH p AS (
+    SELECT event_id AS p_event_id, user_id, ts AS p_ts
+    FROM events WHERE event_type = 'purchase'
+),
+c AS (
+    SELECT event_id AS click_id, user_id, ts AS c_ts
+    FROM events WHERE event_type = 'click'
+)
+SELECT p_event_id, click_id AS nearest_click_id, c_ts AS nearest_ts,
+       CAST(dist_us AS BIGINT) AS dist_us
+FROM (
+    SELECT p.p_event_id, c.click_id, c.c_ts,
+           abs(epoch_us(c.c_ts) - epoch_us(p.p_ts)) AS dist_us,
+           row_number() OVER (
+               PARTITION BY p.p_event_id
+               ORDER BY abs(epoch_us(c.c_ts) - epoch_us(p.p_ts)),
+                        c.c_ts, c.click_id
+           ) AS rn
+    FROM p
+    JOIN c ON p.user_id = c.user_id
+          AND c.c_ts BETWEEN p.p_ts - INTERVAL 2 DAY
+                         AND p.p_ts + INTERVAL 2 DAY
+) t
+WHERE rn = 1
+"""
+
+
+@query("j17_asof_nearest", oracle=J17_ORACLE)
+def j17_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J17 — NEAREST-direction as-of: for each purchase, the click
+    by the same user closest in time in EITHER direction (±2 days).
+    j09 is `merge_asof(direction='backward')`; this is
+    `direction='nearest'` — the attribution variant used when the
+    matching signal may land just after the anchor event (delayed
+    client clocks, late ingestion).
+
+    Same scale spelling as j09: equi-join on user_id with a BOUNDED
+    two-sided range condition (the bound is what keeps per-key
+    fan-out linear), then row_number()=1 per anchor. Distance ranks
+    on integer epoch MICROS (Spark `unix_micros`, DuckDB
+    `epoch_us` — both exact int64, no fractional-second doubles),
+    and the tie order (distance, ts, click_id) makes "backward
+    wins at equal distance" an explicit deterministic rule: for
+    equal |Δ| the earlier click has the smaller ts. Shuffles:
+    user_id for the join, anchor id for the rank window."""
+    (events,) = load_tables(spark, sf_dir, "events")
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("nearest_click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("nearest_ts"),
+    )
+    dist = F.abs(
+        F.unix_micros(F.col("nearest_ts").cast("timestamp"))
+        - F.unix_micros(F.col("p_ts").cast("timestamp"))
+    )
+    w = Window.partitionBy("p_event_id").orderBy(
+        "dist_us", "nearest_ts", "nearest_click_id"
+    )
+    return (
+        p.join(
+            c,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("nearest_ts") >= F.col("p_ts") - F.expr("INTERVAL 2 DAYS"))
+            & (F.col("nearest_ts") <= F.col("p_ts") + F.expr("INTERVAL 2 DAYS")),
+        )
+        .withColumn("dist_us", dist)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("p_event_id", "nearest_click_id", "nearest_ts", "dist_us")
+    )
