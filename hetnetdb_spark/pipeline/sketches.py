@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from hetnetdb_spark.catalog import load_tables
 from hetnetdb_spark.registry import query
@@ -105,4 +106,84 @@ def l41_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cnt",
             F.round(F.col("cnt") * F.lit(1.0) / F.col("n_total"), 6).alias("freq"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# L47 — hashing-trick featurizer (fixed-width bag-of-words vectors)
+# --------------------------------------------------------------------------
+
+L47_DIMS = 16
+
+L47_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+    FROM documents WHERE doc_id < 50
+),
+bucketed AS (
+    SELECT doc_id,
+           CAST('0x' || substr(md5('f:' || term), 1, 15) AS BIGINT)
+               % {L47_DIMS} AS dim,
+           COUNT(*) AS cnt
+    FROM tok
+    GROUP BY doc_id, dim
+),
+norms AS (
+    SELECT doc_id, dim, cnt,
+           SUM(cnt * cnt) OVER (PARTITION BY doc_id) AS sq
+    FROM bucketed
+)
+SELECT doc_id,
+       CAST(dim AS BIGINT) AS dim,
+       CAST(cnt AS BIGINT) AS cnt,
+       ROUND(cnt / SQRT(CAST(sq AS DOUBLE)), 6) AS value
+FROM norms
+"""
+
+
+@query("l47_hashed_features", oracle=L47_ORACLE)
+def l47_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L47 — the hashing trick: map every token to one of 16 feature
+    dims by a portable hash and emit each document's L2-normalized
+    count vector (sparse (doc, dim, value) triples). The
+    zero-vocabulary featurizer (Weinberger et al.) that turns raw
+    text into fixed-width model input with NO trained state, no
+    vocabulary broadcast, and no OOV path — the feature step in
+    front of the linear-probe classifiers a corpus pipeline uses
+    for quality/topic routing.
+
+    Determinism: bucket = house md5 spell mod D — identical int64
+    on both engines; counts are integers; the only float op is one
+    division by sqrt(sum of squared ints), a single
+    correctly-rounded op pair on identical inputs — exact parity,
+    r6 as formality.
+
+    Shape: explode → ONE (doc_id, dim) hash agg (≤D rows per doc
+    out of the shuffle, regardless of document length — the hash
+    agg does the compression map-side) → per-doc norm via a window
+    on the same doc_id key. Bounded to doc_id < 50 to keep the
+    compared frame small; the plan is corpus-size independent.
+    At 100 TB dims would be 2^18+ and the output written column-major
+    (dim-partitioned) for the trainer — same two-operator plan."""
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    tok = documents.filter(F.col("doc_id") < 50).select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("f:"), F.col("term"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % L47_DIMS
+    )
+    bucketed = tok.groupBy("doc_id", bucket.alias("dim")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    sq = F.sum(F.col("cnt") * F.col("cnt")).over(Window.partitionBy("doc_id"))
+    return bucketed.select(
+        "doc_id",
+        "dim",
+        "cnt",
+        F.round(F.col("cnt") / F.sqrt(sq.cast("double")), 6).alias("value"),
     )
