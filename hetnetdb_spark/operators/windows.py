@@ -883,3 +883,72 @@ def w12_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.timestamp_micros(F.expr("max(e) div 1000")).alias("span_end"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# W13 — rolling median (order-statistic window, explicit lower-median)
+# --------------------------------------------------------------------------
+
+W13_WIN = 7  # trailing rows, current inclusive
+
+W13_ORACLE = f"""
+WITH hourly AS (
+  SELECT user_id,
+         date_trunc('hour', ts) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events
+  WHERE user_id < 20
+  GROUP BY user_id, date_trunc('hour', ts)
+),
+framed AS (
+  SELECT user_id, hour, n_events,
+         list_sort(list(n_events) OVER (
+             PARTITION BY user_id ORDER BY hour
+             ROWS BETWEEN {W13_WIN - 1} PRECEDING AND CURRENT ROW)) AS win
+  FROM hourly
+)
+SELECT user_id, hour, n_events,
+       win[(len(win) + 1) // 2] AS rolling_median
+FROM framed
+"""
+
+
+@query("w13_rolling_median", oracle=W13_ORACLE)
+def w13_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W13 — trailing-7-row median of each user's hourly event count:
+    the robust denoiser (median absorbs single-hour spikes that wreck
+    a trailing mean like w08's EWMA). Neither engine offers MEDIAN as
+    a native window function over arbitrary frames, so the
+    composition is the order-statistic spelling: collect the frame
+    into an array, sort it, index the LOWER median ((n+1) div 2,
+    1-based) — spelled identically on both engines because their
+    native medians disagree on even frames (DuckDB interpolates,
+    Spark's percentile does too; the explicit index does not).
+    All-integer output — exact parity.
+
+    Cost model: the frame is W=7 rows, so the array is O(W) per row
+    and the sort O(W log W) in codegen — linear in rows for fixed W,
+    one user_id exchange (shared with the hourly agg's key by
+    `_parallel_by`). This is the right plan for SMALL frames; a wide
+    frame (W in the thousands) wants the two-heap/indexed-tree
+    streaming median, which is the applyInPandas escape hatch."""
+    (events,) = load_tables(spark, sf_dir, "events")
+    hourly = (
+        events.filter(F.col("user_id") < 20)
+        .groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(-(W13_WIN - 1), Window.currentRow)
+    )
+    win = F.array_sort(F.collect_list("n_events").over(w))
+    return _parallel_by(spark, hourly, "user_id").select(
+        "user_id",
+        "hour",
+        "n_events",
+        F.element_at(win, ((F.size(win) + 1) / 2).cast("int")).alias(
+            "rolling_median"
+        ),
+    )

@@ -323,3 +323,68 @@ def l42_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(L42_K)
         .select("doc_id", "lang", "n_tokens")
     )
+
+
+# --------------------------------------------------------------------------
+# L48 — differentially-private noisy counts (seeded Laplace mechanism)
+# --------------------------------------------------------------------------
+
+L48_SEED = "dp42"
+L48_EPS = 1.0  # Laplace scale b = sensitivity/eps = 1/eps for counts
+_L48_DENOM = 16 ** 15
+
+L48_ORACLE = f"""
+WITH counts AS (
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_true FROM documents GROUP BY lang
+),
+seeded AS (
+    SELECT lang, n_true,
+           (CAST(CAST('0x' || substr(md5(lang || ':{L48_SEED}'), 1, 15)
+                      AS BIGINT) AS DOUBLE) + 0.5) / {_L48_DENOM} AS u
+    FROM counts
+)
+SELECT lang, n_true,
+       ROUND(n_true + (-1.0 / {L48_EPS}) * sign(u - 0.5)
+                      * ln(1.0 - 2.0 * abs(u - 0.5)), 6) AS noisy_n
+FROM seeded
+"""
+
+
+@query("l48_dp_noisy_counts", oracle=L48_ORACLE)
+def l48_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L48 — the Laplace mechanism on per-language document counts
+    (sensitivity 1, ε=1): the building block for publishing corpus
+    composition stats without revealing individual membership.
+    Production DP needs a cryptographic noise source; what the
+    ENGINE owes is the mechanism plumbing — exact counts, a
+    per-group noise draw that is reproducible across engines and
+    layouts, and the inverse-CDF transform — which is what this
+    pins. (The fixture keeps n_true in the output so the oracle can
+    certify both halves; a release view would drop it.)
+
+    Noise: u = house md5 uniform per group key, X = −b·sgn(u−½)·
+    ln(1−2|u−½|) — the Laplace inverse CDF. Like l42's A-ES keys,
+    this is the SINGLE-transcendental class: ln on bit-identical
+    doubles, no accumulation, so r6 comfortably absorbs the ≤1-ulp
+    libm spread. Plan: one hash agg (map-side partials), noise
+    applied post-aggregation on |groups| rows."""
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    counts = documents.groupBy("lang").agg(F.count(F.lit(1)).alias("n_true"))
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("lang"), F.lit(f":{L48_SEED}"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(_L48_DENOM))
+    noise = (
+        F.lit(-1.0 / L48_EPS)
+        * F.signum(u - F.lit(0.5))
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u - F.lit(0.5)))
+    )
+    return counts.select(
+        "lang",
+        "n_true",
+        F.round(F.col("n_true") + noise, 6).alias("noisy_n"),
+    )

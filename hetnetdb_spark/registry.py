@@ -177,6 +177,11 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "l44_ngram_diversity",
         "l45_zipf_slope",
         "l46_pca_power_iteration",
+        "j17_asof_nearest",
+        "a25_sketch_intersection",
+        "l47_hashed_features",
+        "w13_rolling_median",
+        "l48_dp_noisy_counts",
     }
 )
 
