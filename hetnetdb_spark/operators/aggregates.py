@@ -1059,3 +1059,104 @@ def a25_sketch_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(0.06) * (F.col("exact_a") + F.col("exact_b"))
         ).alias("approx_within_bound"),
     )
+
+
+# --------------------------------------------------------------------------
+# A26 — median absolute deviation (robust spread, integer-exact)
+# --------------------------------------------------------------------------
+
+A26_ORACLE = """
+WITH med AS (
+    SELECT lang, n_chars,
+           COUNT(*) OVER (PARTITION BY lang) AS n,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY n_chars, doc_id) AS rk
+    FROM documents
+),
+m AS (
+    SELECT lang, MIN(CASE WHEN 2 * rk >= n + 1 THEN n_chars END) AS median
+    FROM med GROUP BY lang
+),
+dev AS (
+    SELECT d.lang, abs(d.n_chars - m.median) AS dv, d.doc_id
+    FROM documents d JOIN m USING (lang)
+),
+dmed AS (
+    SELECT lang, dv,
+           COUNT(*) OVER (PARTITION BY lang) AS n,
+           row_number() OVER (PARTITION BY lang ORDER BY dv, doc_id) AS rk
+    FROM dev
+)
+SELECT d.lang,
+       CAST(m.median AS BIGINT) AS median_chars,
+       CAST(MIN(CASE WHEN 2 * d.rk >= d.n + 1 THEN d.dv END) AS BIGINT)
+           AS mad_chars
+FROM dmed d JOIN m ON m.lang = d.lang
+GROUP BY d.lang, m.median
+"""
+
+
+@query("a26_mad_robust_stats", oracle=A26_ORACLE)
+def a26_mad_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A26 — median absolute deviation of document length per
+    language: the robust spread statistic (stddev is wrecked by one
+    10 MB crawl artifact; MAD is not), the denominator of the
+    "modified z-score" outlier rule corpus cleaning uses where
+    a07's moment statistics are too fragile.
+
+    MAD is a nested order statistic — median(|x − median(x)|) — so
+    it needs two ranked passes: (1) lower median per lang via
+    row_number + the 2·rk ≥ n+1 crossing (all-integer — the
+    unweighted sibling of a24's crossing), (2) broadcast the
+    |groups|-row median table back, rank absolute deviations the
+    same way. Two lang exchanges (one per ranked pass — inherent:
+    pass 2's sort key DEPENDS on pass 1's result), every compared
+    value an int64, exact parity by construction.
+
+    At 100 TB each pass is a per-group sort (the exact-median
+    price, same as a08); approx MAD via two approx_percentile
+    passes is the documented cheap variant when 1% error is fine."""
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    w_rk = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    w_n = Window.partitionBy("lang")
+    med = (
+        documents.select(
+            "lang",
+            "n_chars",
+            F.count(F.lit(1)).over(w_n).alias("n"),
+            F.row_number().over(w_rk).alias("rk"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.min(
+                F.when(2 * F.col("rk") >= F.col("n") + 1, F.col("n_chars"))
+            ).alias("median")
+        )
+    )
+    dev = documents.join(F.broadcast(med), "lang").select(
+        "lang",
+        "doc_id",
+        F.abs(F.col("n_chars") - F.col("median")).alias("dv"),
+        "median",
+    )
+    w_drk = Window.partitionBy("lang").orderBy("dv", "doc_id")
+    return (
+        dev.select(
+            "lang",
+            "median",
+            "dv",
+            F.count(F.lit(1)).over(w_n).alias("n"),
+            F.row_number().over(w_drk).alias("rk"),
+        )
+        .groupBy("lang", "median")
+        .agg(
+            F.min(F.when(2 * F.col("rk") >= F.col("n") + 1, F.col("dv")))
+            .cast("long")
+            .alias("mad_chars")
+        )
+        .select(
+            "lang",
+            F.col("median").cast("long").alias("median_chars"),
+            "mad_chars",
+        )
+    )

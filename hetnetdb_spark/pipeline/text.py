@@ -1246,3 +1246,111 @@ def l45_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# L49 — PMI collocations (pointwise mutual information over bigrams)
+# --------------------------------------------------------------------------
+
+L49_MIN_N = 5
+L49_TOP = 25
+
+L49_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t
+    FROM documents WHERE len(string_split(text, ' ')) >= 2
+),
+bg AS (
+    SELECT unnest(list_transform(range(1, len(t)),
+                                 i -> [t[i], t[i+1]])) AS pair
+    FROM toks
+),
+bfreq AS (
+    SELECT pair[1] AS w1, pair[2] AS w2, COUNT(*) AS nb
+    FROM bg GROUP BY 1, 2
+),
+tot AS (SELECT CAST(SUM(nb) AS DOUBLE) AS nbg FROM bfreq),
+uni AS (
+    SELECT term, CAST(SUM(cnt) AS DOUBLE) AS nu, s.ntok FROM (
+        SELECT pair[1] AS term, COUNT(*) AS cnt FROM bg GROUP BY 1
+        UNION ALL
+        SELECT pair[2] AS term, COUNT(*) AS cnt FROM bg GROUP BY 1
+    ) u
+    CROSS JOIN (SELECT CAST(SUM(len(t)) AS DOUBLE) AS ntok FROM toks) s
+    GROUP BY term, s.ntok
+)
+SELECT b.w1, b.w2, CAST(b.nb AS BIGINT) AS nb,
+       ROUND(LN((b.nb / t.nbg)
+                / ((u1.nu / (2.0 * t.nbg)) * (u2.nu / (2.0 * t.nbg)))), 6)
+           AS pmi
+FROM bfreq b
+CROSS JOIN tot t
+JOIN uni u1 ON u1.term = b.w1
+JOIN uni u2 ON u2.term = b.w2
+WHERE b.nb >= {L49_MIN_N}
+ORDER BY pmi DESC, b.w1, b.w2
+LIMIT {L49_TOP}
+"""
+
+
+@query("l49_pmi_collocations", oracle=L49_ORACLE)
+def l49_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L49 — top-25 collocations by pointwise mutual information:
+    PMI = ln(P(w1,w2) / (P(w1)·P(w2))), the classic "these tokens
+    belong together" statistic behind phrase mining and tokenizer
+    merge-pair selection (a high-PMI bigram is a candidate merge).
+    Frequency ranking (l28) surfaces common pairs; PMI surfaces
+    ASSOCIATED pairs — "new york" beats "of the".
+
+    Marginals are estimated from the bigram stream itself (each
+    token's occurrences as left or right element, over 2·|bigrams|
+    slots) so numerator and denominator share one support and the
+    estimate is well-defined for every surviving pair; n ≥ 5 is the
+    standard small-count PMI guard. One bigram-key hash agg feeds
+    both the pair counts and (via a union re-agg) the marginals;
+    the marginal table is vocab-bounded and broadcastable; top-25
+    is TakeOrderedAndProject. The PMI double is a short fixed chain
+    (two divides, one multiply, one ln) on identical inputs — the
+    l42 single-transcendental class, ordered with r6 + full
+    tiebreaks on both engines."""
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    toks = documents.select(F.split(F.col("text"), " ").alias("t")).filter(
+        F.size("t") >= 2
+    )
+    bg = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), "
+                "i -> array(element_at(t, i), element_at(t, i + 1)))"
+            )
+        ).alias("pair")
+    ).select(
+        F.col("pair")[0].alias("w1"), F.col("pair")[1].alias("w2")
+    )
+    bfreq = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("nb"))
+    tot = bfreq.agg(F.sum("nb").cast("double").alias("nbg"))
+    ntok = toks.agg(F.sum(F.size("t")).cast("double").alias("ntok"))
+    uni = (
+        bfreq.select(F.col("w1").alias("term"), "nb")
+        .unionByName(bfreq.select(F.col("w2").alias("term"), "nb"))
+        .groupBy("term")
+        .agg(F.sum("nb").cast("double").alias("nu"))
+    )
+    u1 = uni.select(F.col("term").alias("w1"), F.col("nu").alias("nu1"))
+    u2 = uni.select(F.col("term").alias("w2"), F.col("nu").alias("nu2"))
+    pmi = F.log(
+        (F.col("nb") / F.col("nbg"))
+        / (
+            (F.col("nu1") / (F.lit(2.0) * F.col("nbg")))
+            * (F.col("nu2") / (F.lit(2.0) * F.col("nbg")))
+        )
+    )
+    return (
+        bfreq.filter(F.col("nb") >= L49_MIN_N)
+        .crossJoin(F.broadcast(tot))
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .select("w1", "w2", "nb", F.round(pmi, 6).alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(L49_TOP)
+    )
