@@ -952,3 +952,73 @@ def w13_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rolling_median"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# W14 — longest consecutive-day activity streak per user
+# --------------------------------------------------------------------------
+
+W14_ORACLE = """
+WITH days AS (
+    SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+    FROM events
+),
+numbered AS (
+    SELECT user_id, day,
+           row_number() OVER (PARTITION BY user_id ORDER BY day) AS rk
+    FROM days
+),
+grouped AS (
+    SELECT user_id, day, day - CAST(rk AS INT) AS grp FROM numbered
+),
+streaks AS (
+    SELECT user_id, grp,
+           CAST(COUNT(*) AS BIGINT) AS len,
+           MIN(day) AS streak_start
+    FROM grouped GROUP BY user_id, grp
+)
+SELECT user_id,
+       MAX(len) AS longest_streak,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks,
+       CAST(MIN(streak_start) AS TIMESTAMP) AS first_active_day
+FROM streaks
+GROUP BY user_id
+"""
+
+
+@query("w14_activity_streaks", oracle=W14_ORACLE)
+def w14_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W14 — longest run of CONSECUTIVE active days per user, plus
+    streak count and first active day: the retention/engagement
+    statistic, and the third member of the islands family — w12
+    merges intervals by running-max, sessionize splits by gap;
+    streaks use the rank-difference trick: within a user, day −
+    row_number(day) is CONSTANT exactly along a run of consecutive
+    days, so the constant itself is the streak id and no second
+    window is needed to number islands.
+
+    Integer/date arithmetic only. One user_id exchange serves the
+    distinct (days are deduped map-side first), the rank window and
+    both aggregates — the (user_id, grp) and user_id groupings both
+    hash-cluster on user_id. Per-user state after the distinct is
+    |active days|, calendar-bounded regardless of event volume."""
+    (events,) = load_tables(spark, sf_dir, "events")
+    days = (
+        events.select(
+            "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+        )
+        .distinct()
+    )
+    days = _parallel_by(spark, days, "user_id")
+    rk = F.row_number().over(Window.partitionBy("user_id").orderBy("day"))
+    grouped = days.select(
+        "user_id", "day", F.date_sub(F.col("day"), rk).alias("grp")
+    )
+    streaks = grouped.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("len"), F.min("day").alias("streak_start")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("len").alias("longest_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.min("streak_start").cast("timestamp").alias("first_active_day"),
+    )

@@ -182,6 +182,9 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "l47_hashed_features",
         "w13_rolling_median",
         "l48_dp_noisy_counts",
+        "l49_pmi_collocations",
+        "a26_mad_robust_stats",
+        "w14_activity_streaks",
     }
 )
 
