@@ -187,3 +187,92 @@ def l47_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cnt",
         F.round(F.col("cnt") / F.sqrt(sq.cast("double")), 6).alias("value"),
     )
+
+
+# --------------------------------------------------------------------------
+# A27 — count-min sketch contract (overestimate-only, eps*n bound)
+# --------------------------------------------------------------------------
+
+A27_EPS = 0.01
+A27_CONF = 0.99
+A27_SEED = 42
+A27_TOP = 10
+
+A27_ORACLE = f"""
+WITH t AS (
+    SELECT unnest(string_split(text, ' ')) AS term FROM documents
+)
+SELECT term,
+       CAST(COUNT(*) AS BIGINT) AS exact_cnt,
+       TRUE AS never_underestimates,
+       TRUE AS within_eps_n
+FROM t
+GROUP BY term
+ORDER BY exact_cnt DESC, term
+LIMIT {A27_TOP}
+"""
+
+
+@query("a27_countmin_contract", oracle=A27_ORACLE, impure=True)
+def a27_countmin_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A27 — the Count-Min sketch as a point-frequency service:
+    build one CM sketch (eps=1%, conf=99%, fixed seed) over the
+    token stream via the SQL `count_min_sketch` aggregate and read the ten
+    heaviest tokens' estimates back. Where l41 answers "WHICH keys
+    are heavy" exactly, CM answers "how heavy is THIS key" from
+    KB-size mergeable state — the two sketches are the
+    complementary halves of frequency monitoring at 100 TB (CM
+    counters add, so per-partition sketches merge associatively;
+    a cluster deployment persists one per shard like a16's HLLs).
+
+    Oracle strategy (a16's): the estimate is engine-specific, its
+    CONTRACT is not. CM can only OVERestimate (each counter is a
+    sum over a superset of the key's occurrences) — `never_under-
+    estimates` is a theorem, not a tolerance — and the +eps*n error
+    bound, probabilistic over seeds, is a deterministic fact for
+    THIS pinned seed and data, so both flags are stable TRUE and
+    hash-compare against the oracle's literals. The exact top-10
+    counts hash-compare as hard values. Registered impure: the
+    sketch build is a driver-side action, re-run per call.
+
+    Plumbing: the sketch aggregates distributed via the SQL
+    `count_min_sketch(...)` function (per-partition sketches merged
+    by counter addition — order-independent), and the driver
+    deserializes the binary through the public
+    `org.apache.spark.util.sketch.CountMinSketch` reader for point
+    lookups (PySpark 4 dropped the DataFrameStatFunctions
+    wrapper)."""
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    terms = documents.select(F.explode(F.split(F.col("text"), " ")).alias("term"))
+    top = (
+        terms.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), "term")
+        .limit(A27_TOP)
+        .collect()
+    )
+    n_total = terms.count()
+    sketch_bytes = terms.agg(
+        F.expr(
+            f"count_min_sketch(term, {A27_EPS}d, {A27_CONF}d, {A27_SEED})"
+        ).alias("cms")
+    ).collect()[0]["cms"]
+    jsketch = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        bytes(sketch_bytes)
+    )
+    rows = []
+    for r in top:
+        est = jsketch.estimateCount(r.term)
+        rows.append(
+            (
+                r.term,
+                r.exact_cnt,
+                bool(est >= r.exact_cnt),
+                bool(est <= r.exact_cnt + A27_EPS * n_total),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "term string, exact_cnt long, never_underestimates boolean, "
+        "within_eps_n boolean",
+    )

@@ -185,6 +185,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "l49_pmi_collocations",
         "a26_mad_robust_stats",
         "w14_activity_streaks",
+        "a27_countmin_contract",
     }
 )
 
