@@ -997,19 +997,29 @@ def w14_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     days, so the constant itself is the streak id and no second
     window is needed to number islands.
 
-    Integer/date arithmetic only. One user_id exchange serves the
-    distinct (days are deduped map-side first), the rank window and
-    both aggregates — the (user_id, grp) and user_id groupings both
-    hash-cluster on user_id. Per-user state after the distinct is
-    |active days|, calendar-bounded regardless of event volume."""
+    Integer/date arithmetic only, and ONE user_id exchange for the
+    whole query: day-dedup is spelled `collect_set(day)` + explode
+    rather than DISTINCT — a (user_id, day) distinct would
+    hash-partition on BOTH columns and force a second exchange for
+    the user_id window, while collect_set merges per-user day sets
+    MAP-SIDE (same dedup, calendar-bounded state) and leaves the
+    data clustered by user_id for the rank window and both
+    aggregates. Per-user state is |active days|, calendar-bounded
+    regardless of event volume."""
     (events,) = load_tables(spark, sf_dir, "events")
-    days = (
-        events.select(
-            "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    day_sets = (
+        _parallel_by(
+            spark,
+            events.select(
+                "user_id",
+                F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+            ),
+            "user_id",
         )
-        .distinct()
+        .groupBy("user_id")
+        .agg(F.collect_set("day").alias("days"))
     )
-    days = _parallel_by(spark, days, "user_id")
+    days = day_sets.select("user_id", F.explode("days").alias("day"))
     rk = F.row_number().over(Window.partitionBy("user_id").orderBy("day"))
     grouped = days.select(
         "user_id", "day", F.date_sub(F.col("day"), rk).alias("grp")

@@ -574,3 +574,45 @@ def test_l46_moments_single_scan_with_partials(spark):
     )
     aplan = executed_plan(agg)
     assert "partial_sum" in aplan, aplan
+
+
+def test_w14_streaks_single_exchange(spark):
+    """w14: collect_set day-dedup must keep the whole query on ONE
+    user_id exchange (a (user_id, day) DISTINCT would force two)."""
+    plan = executed_plan(registry.QUERIES["w14_activity_streaks"](spark, SF_DIR))
+    assert shuffle_exchange_count(plan) == 1, plan
+    assert "collect_set" in plan, plan
+
+
+def test_w13_rolling_median_frame_is_bounded(spark):
+    """w13: the order-statistic spelling must use a ROWS frame
+    (bounded W-element arrays), never an unbounded collect."""
+    plan = executed_plan(registry.QUERIES["w13_rolling_median"](spark, SF_DIR))
+    assert "specifiedwindowframe(RowFrame, -6, currentrow" in plan, plan
+
+
+def test_j17_nearest_asof_is_bounded_range_join(spark):
+    """j17: the join must carry the two-sided time-range condition
+    (bounded fan-out) and rank per anchor via a window, not a
+    cross-product + global sort."""
+    plan = executed_plan(registry.QUERIES["j17_asof_nearest"](spark, SF_DIR))
+    assert "Sort" in plan and "Window" in plan, plan
+    # both range bounds must ride the equi-join as residual conditions
+    assert "INTERVAL '-2' DAY" in plan and "INTERVAL '2' DAY" in plan, plan
+
+
+def test_a26_mad_two_ranked_passes(spark):
+    """a26: exactly two lang exchanges (one per ranked pass — pass 2
+    depends on pass 1's medians) and the |groups|-row median table
+    must come back as a broadcast build."""
+    plan = executed_plan(registry.QUERIES["a26_mad_robust_stats"](spark, SF_DIR))
+    assert shuffle_exchange_count(plan) == 2, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_l49_pmi_marginals_broadcast(spark):
+    """l49: both marginal joins must broadcast (vocab-bounded build
+    sides) and the top-25 must be TakeOrderedAndProject."""
+    plan = executed_plan(registry.QUERIES["l49_pmi_collocations"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert has_top_k(plan), plan
