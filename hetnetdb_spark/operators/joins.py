@@ -748,3 +748,73 @@ def j17_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("p_event_id", "nearest_click_id", "nearest_ts", "dist_us")
     )
+
+
+# --------------------------------------------------------------------------
+# J18 — null-skew outer join (null keys bypass the shuffle)
+# --------------------------------------------------------------------------
+
+J18_ORACLE = """
+WITH ev AS (
+    SELECT event_id, event_type, value,
+           CASE WHEN user_id % 7 = 0 THEN NULL ELSE user_id END AS uid
+    FROM events
+),
+profile AS (
+    SELECT user_id AS uid,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id
+)
+SELECT ev.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(profile.uid) AS BIGINT) AS n_matched,
+       CAST(SUM(COALESCE(profile.n_purchases, 0)) AS BIGINT)
+           AS purchases_weight
+FROM ev LEFT JOIN profile USING (uid)
+GROUP BY ev.event_type
+"""
+
+
+@query("j18_null_skew_outer_join", oracle=J18_ORACLE)
+def j18_null_skew_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J18 — LEFT OUTER join where a large fraction of probe keys is
+    NULL (anonymous/logged-out events, here simulated as uid%7==0),
+    with the null-split rewrite. The trap: for INNER joins Catalyst
+    inserts `isnotnull` filters automatically, but an outer join
+    must PRESERVE null-keyed rows — so in the naive plan every NULL
+    key hashes to the same shuffle partition and becomes the
+    hottest key in the job (the classic "one straggler task"
+    post-mortem). NULL never equals anything, so those rows can
+    never match: the rewrite splits them off BEFORE the shuffle,
+    sends only non-null keys through the join, and unions the null
+    rows back with null-filled right columns — same semantics (the
+    oracle is the naive single LEFT JOIN), no null traffic. With a
+    broadcast right side the split is cosmetic; under a
+    shuffle-hash/SMJ plan at 100 TB it removes the dominant skew
+    key entirely — the degenerate cousin of j13's salting, solvable
+    exactly because the hot key is known to match nothing."""
+    (events,) = load_tables(spark, sf_dir, "events")
+    ev = events.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.when(F.col("user_id") % 7 == 0, F.lit(None))
+        .otherwise(F.col("user_id"))
+        .alias("uid"),
+    )
+    profile = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("user_id").alias("uid"))
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    keyed = ev.filter(F.col("uid").isNotNull()).join(profile, "uid", "left")
+    nulls = ev.filter(F.col("uid").isNull()).withColumn(
+        "n_purchases", F.lit(None).cast("long")
+    )
+    merged = keyed.unionByName(nulls.select(*keyed.columns))
+    return merged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("n_purchases").alias("n_matched"),
+        F.sum(F.coalesce("n_purchases", F.lit(0))).alias("purchases_weight"),
+    )

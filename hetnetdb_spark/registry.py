@@ -186,6 +186,9 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "a26_mad_robust_stats",
         "w14_activity_streaks",
         "a27_countmin_contract",
+        "u12_polymorphic_udtf",
+        "j18_null_skew_outer_join",
+        "t14_stream_upsert_sink",
     }
 )
 

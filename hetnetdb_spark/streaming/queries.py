@@ -939,3 +939,79 @@ def t13_rocksdb_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             spark.conf.unset(provider_key)
     return spark.table("t13_rocksdb")
+
+
+# --------------------------------------------------------------------------
+# T14 (beyond contract) — streaming upsert sink via foreachBatch MERGE
+# --------------------------------------------------------------------------
+
+T14_ORACLE = """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MAX(ts) AS last_seen
+FROM events
+GROUP BY user_id
+"""
+
+
+@query("t14_stream_upsert_sink", oracle=T14_ORACLE, impure=True)
+def t14_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T14 — the production streaming SINK pattern: each micro-batch
+    MERGEs its per-key partial state into a persistent keyed table
+    (CDC-apply / upsert-materialize), instead of appending rows.
+    Spark's file sinks only append; exactly this foreachBatch merge
+    is how every streaming-upsert deployment (Delta/Iceberg MERGE
+    INTO included) actually commits.
+
+    Per batch: aggregate the batch to (user_id, n, max_ts) —
+    map-side partials, batch-bounded — then full-outer merge with
+    the current table state (n_total += n, last_seen = max) and
+    commit by directory swap (write new generation, atomic rename —
+    the poor man's transaction log; a table format replaces the
+    swap with a manifest commit, s24's machinery). Because the
+    merged statistics are commutative monoids (sum, max), the final
+    table is independent of batch pacing — which is what makes the
+    full oracle legitimate: it's the plain batch GROUP BY over all
+    events. The streaming run certifies the read-merge-swap
+    plumbing; the monoid argument certifies the value."""
+    import shutil
+
+    (events,) = load_tables(spark, sf_dir, "events")
+    base = os.path.join(SCRATCH, "t14_upsert")
+    shutil.rmtree(base, ignore_errors=True)
+    tbl = os.path.join(base, "tbl")
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        part = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"), F.max("ts").alias("last_seen")
+        )
+        if os.path.exists(tbl):
+            cur = spark.read.parquet(tbl)
+            merged = (
+                cur.unionByName(part)
+                .groupBy("user_id")
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.max("last_seen").alias("last_seen"),
+                )
+            )
+        else:
+            merged = part
+        gen = os.path.join(base, f"gen_{batch_id}")
+        merged.write.mode("overwrite").parquet(gen)
+        shutil.rmtree(tbl, ignore_errors=True)
+        os.rename(gen, tbl)
+
+    q = (
+        _events_stream(spark, table_path(sf_dir, "events"))
+        .writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation", os.path.join(base, "ckpt")
+        )
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(tbl).select(
+        "user_id", F.col("n_events").cast("long").alias("n_events"), "last_seen"
+    )

@@ -578,3 +578,78 @@ def u11_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# --------------------------------------------------------------------------
+# U12 — polymorphic Python UDTF (analyze()-computed output schema)
+# --------------------------------------------------------------------------
+
+U12_N = 3
+
+U12_ORACLE = f"""
+WITH d AS (
+    SELECT doc_id, string_split(text, ' ') AS sp
+    FROM documents WHERE doc_id < 10
+)
+SELECT doc_id,
+       {", ".join(f"sp[{i}] AS tok{i}" for i in range(1, U12_N + 1))}
+FROM d
+"""
+
+
+@query("u12_polymorphic_udtf", oracle=U12_ORACLE, impure=True)
+def u12_polymorphic_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U12 — the Spark 4 POLYMORPHIC UDTF surface: the output schema
+    is not a literal on the decorator but computed by a static
+    ``analyze`` method from the call's CONSTANT arguments at plan
+    time (`AnalyzeArgument.value`). Here `lead_tokens(TABLE(...), 3)`
+    resolves to columns (doc_id, tok1..tok3); calling it with 5
+    would resolve to seven columns with NO code change — the shape
+    every config-driven parser/splitter wants, and the API that
+    separates UDTFs from `mapInPandas` (whose schema is frozen in
+    the plan string). Missing tokens yield NULL (sp[i] out of range
+    on the oracle side — same convention).
+
+    u06 certifies the fixed-schema UDTF path; this certifies
+    analyze-time schema resolution end-to-end through SQL
+    registration, TABLE() passing, and the driver's schema
+    comparison. Registered impure for the temp-view + registration
+    side effects."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class LeadTokens:
+        @staticmethod
+        def analyze(row: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            fields = [StructField("doc_id", LongType())]
+            fields += [
+                StructField(f"tok{i}", StringType())
+                for i in range(1, n.value + 1)
+            ]
+            return AnalyzeResult(StructType(fields))
+
+        def __init__(self):
+            self._n = None
+
+        def eval(self, row, n: int):
+            toks = row["text"].split(" ")
+            yield tuple(
+                [row["doc_id"]]
+                + [toks[i] if i < len(toks) else None for i in range(n)]
+            )
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    documents.filter(F.col("doc_id") < 10).select(
+        "doc_id", "text"
+    ).createOrReplaceTempView("u12_docs")
+    spark.udtf.register("lead_tokens", LeadTokens)
+    return spark.sql(
+        f"SELECT * FROM lead_tokens("
+        f"TABLE(SELECT doc_id, text FROM u12_docs), {U12_N})"
+    )
