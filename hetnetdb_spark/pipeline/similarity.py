@@ -995,3 +995,101 @@ def l38_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("id", r6(F.col("rank")).alias("rank")).orderBy(
         F.col("rank").desc(), "id"
     ).limit(10)
+
+
+# --------------------------------------------------------------------------
+# L50 — k-NN majority-vote classification (labeled embeddings)
+# --------------------------------------------------------------------------
+
+L50_K = 5
+L50_N_PROBES = 20
+
+L50_ORACLE = f"""
+WITH probes AS (
+    SELECT vec_id AS probe_id, embedding AS pe
+    FROM embeddings WHERE vec_id < {L50_N_PROBES}
+),
+corpus AS (
+    SELECT vec_id, embedding, label
+    FROM embeddings WHERE vec_id >= {L50_N_PROBES}
+),
+scored AS (
+    SELECT p.probe_id, c.vec_id, c.label,
+           row_number() OVER (
+               PARTITION BY p.probe_id
+               ORDER BY ({duck_dot("c.embedding", "p.pe")}) DESC, c.vec_id
+           ) AS rn
+    FROM probes p CROSS JOIN corpus c
+),
+votes AS (
+    SELECT probe_id, label, COUNT(*) AS n_votes
+    FROM scored WHERE rn <= {L50_K}
+    GROUP BY probe_id, label
+)
+SELECT probe_id,
+       CAST(label AS INT) AS pred_label,
+       CAST(n_votes AS BIGINT) AS n_votes
+FROM (
+    SELECT probe_id, label, n_votes,
+           row_number() OVER (PARTITION BY probe_id
+                              ORDER BY n_votes DESC, label) AS vr
+    FROM votes
+) t
+WHERE vr = 1
+"""
+
+
+@query("l50_knn_classify", oracle=L50_ORACLE)
+def l50_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L50 — k-NN majority-vote classification: label each probe
+    vector (vec_id < 20, treated as unlabeled) by the majority
+    label of its 5 nearest labeled neighbors. The quality/topic
+    router in a corpus pipeline — a handful of labeled seeds
+    classify the whole embedding table with no trained model; also
+    the standard eval harness for embedding quality (probe a held-
+    out split, measure agreement).
+
+    Exact brute-force scoring: the 20-probe side BROADCASTS and
+    every corpus vector scores against all probes in one pass
+    (JVM-side dot, the house sequential-fold spelling that is
+    order-identical to the oracle's list_aggregate — emb_topk's
+    parity argument), then WindowGroupLimit prunes to 5 rows per
+    probe below the rank exchange. Votes are integers; majority
+    tie-break is (votes DESC, label ASC), deterministic. At 100 TB
+    the corpus side stays a linear scan per probe batch —
+    probe-batch × IVF pruning (l03's layout) is the documented
+    scale path, same as every other exact/approx twin here."""
+    (emb,) = load_tables(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < L50_N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
+    )
+    corpus = emb.filter(F.col("vec_id") >= L50_N_PROBES).select(
+        "vec_id", "embedding", "label"
+    )
+    scored = corpus.crossJoin(F.broadcast(probes)).select(
+        "probe_id",
+        "vec_id",
+        "label",
+        dot(F.col("embedding"), F.col("pe")).alias("score"),
+    )
+    w_rank = Window.partitionBy("probe_id").orderBy(
+        F.col("score").desc(), "vec_id"
+    )
+    votes = (
+        scored.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= L50_K)
+        .groupBy("probe_id", "label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w_major = Window.partitionBy("probe_id").orderBy(
+        F.col("n_votes").desc(), "label"
+    )
+    return (
+        votes.withColumn("vr", F.row_number().over(w_major))
+        .filter(F.col("vr") == 1)
+        .select(
+            "probe_id",
+            F.col("label").cast("int").alias("pred_label"),
+            "n_votes",
+        )
+    )

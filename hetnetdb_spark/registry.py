@@ -189,6 +189,8 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "u12_polymorphic_udtf",
         "j18_null_skew_outer_join",
         "t14_stream_upsert_sink",
+        "l50_knn_classify",
+        "s28_csv_dialect",
     }
 )
 

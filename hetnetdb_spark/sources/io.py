@@ -1284,3 +1284,95 @@ def s27_catalog_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --------------------------------------------------------------------------
+# S28 — CSV dialect torture round-trip (quotes, escapes, newlines, nulls)
+# --------------------------------------------------------------------------
+
+import hashlib as _s28_hashlib
+
+#: The corner cases that corrupt real CSV pipelines, as fixed rows.
+_S28_ROWS: list[tuple[int, str | None]] = [
+    (1, "plain"),
+    (2, "comma, inside"),
+    (3, 'double "quoted" words'),
+    (4, "line one\nline two"),
+    (5, "trailing space "),
+    (6, ""),               # empty string — must NOT collapse to NULL
+    (7, None),             # NULL — must NOT collapse to empty string
+    (8, "unicode: café — 日本"),
+    (9, "quote-comma: \",\" done"),
+    (10, "\"leading and trailing\""),
+]
+
+
+def _s28_expected_sql() -> str:
+    vals = []
+    for i, s in _S28_ROWS:
+        if s is None:
+            vals.append(f"({i}, TRUE, CAST(NULL AS INT), CAST(NULL AS VARCHAR))")
+        else:
+            h = _s28_hashlib.md5(s.encode("utf-8")).hexdigest()
+            vals.append(f"({i}, FALSE, {len(s)}, '{h}')")
+    return (
+        "SELECT CAST(id AS BIGINT) AS id, is_null,\n"
+        "       CAST(n_chars AS BIGINT) AS n_chars, content_md5\n"
+        "FROM (VALUES " + ", ".join(vals) + ") t(id, is_null, n_chars, content_md5)"
+    )
+
+
+@query("s28_csv_dialect", oracle=_s28_expected_sql(), impure=True)
+def s28_csv_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S28 — the CSV corner cases that silently corrupt ingest
+    pipelines, written and read back through Spark's CSV source
+    with an explicit dialect: embedded delimiters, RFC-4180
+    doubled quotes, NEWLINES inside quoted fields (requires
+    `multiLine=true` on read — without it the reader splits the
+    record and every downstream count is wrong), trailing
+    whitespace (BOTH the reader and the writer trim by default — each side must opt out), unicode, and the
+    empty-string-vs-NULL distinction (`nullValue='\\\\N'` on BOTH
+    sides — the default empty-string sentinel makes the two
+    indistinguishable, a classic silent data loss).
+
+    The oracle is the a priori EXPECTED content as VALUES literals
+    (id, null flag, length, md5) computed from the Python constants
+    at registration time — the s19 binary pattern: the check does
+    not depend on DuckDB's CSV parser agreeing about dialects, it
+    pins Spark's write→read loop to ground truth. multiLine=true
+    costs splittability (a quoted newline means record boundaries
+    are not line boundaries, so each file parses as one task) —
+    which is why the sink writes many small files: at 100 TB
+    dialect-torture CSV parallelizes ACROSS files, never within
+    one."""
+    path = os.path.join(SCRATCH, "s28_dialect_csv")
+    df = spark.createDataFrame(_S28_ROWS, "id long, content string")
+    (
+        df.repartition(4)
+        .write.mode("overwrite")
+        .option("header", True)
+        .option("quote", '"')
+        .option("escape", '"')
+        .option("nullValue", "\\N")
+        # the WRITER trims by default too — both sides must opt out
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False)
+        .csv(path)
+    )
+    back = (
+        spark.read.option("header", True)
+        .option("multiLine", True)
+        .option("quote", '"')
+        .option("escape", '"')
+        .option("nullValue", "\\N")
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False)
+        .schema("id long, content string")
+        .csv(path)
+    )
+    return back.select(
+        "id",
+        F.col("content").isNull().alias("is_null"),
+        F.length("content").cast("long").alias("n_chars"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )
