@@ -1032,3 +1032,67 @@ def w14_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_streaks"),
         F.min("streak_start").cast("timestamp").alias("first_active_day"),
     )
+
+
+# --------------------------------------------------------------------------
+# W15 — local-maximum (peak) detection on the hourly telemetry series
+# --------------------------------------------------------------------------
+
+W15_ORACLE = """
+WITH hourly AS (
+  SELECT user_id,
+         date_trunc('hour', ts) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events
+  GROUP BY user_id, date_trunc('hour', ts)
+),
+flagged AS (
+  SELECT user_id, hour, n_events,
+         lag(n_events)  OVER w AS prev_n,
+         lead(n_events) OVER w AS next_n
+  FROM hourly
+  WINDOW w AS (PARTITION BY user_id ORDER BY hour)
+)
+SELECT user_id, hour, n_events,
+       CAST(n_events - prev_n AS BIGINT) AS rise
+FROM flagged
+WHERE prev_n IS NOT NULL AND next_n IS NOT NULL
+  AND n_events > prev_n AND n_events >= next_n
+"""
+
+
+@query("w15_peak_detection", oracle=W15_ORACLE)
+def w15_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W15 — interior local maxima of each user's hourly event-count
+    series: strictly above the previous hour, at or above the next
+    (the strict/loose asymmetry makes plateau starts the canonical
+    peak, so a flat-topped burst yields exactly one row — symmetric
+    strictness would drop it entirely, symmetric looseness would
+    emit the whole plateau). Endpoints are excluded: a series edge
+    is a data boundary, not a peak. The anomaly-candidate generator
+    in front of w09's z-score (which scores ALL rows) and w13's
+    median (which denoises) — lag+lead over one user_id window,
+    all-integer comparisons, same single-exchange shape."""
+    (events,) = load_tables(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy("user_id").orderBy("hour")
+    flagged = _parallel_by(spark, hourly, "user_id").select(
+        "user_id",
+        "hour",
+        "n_events",
+        F.lag("n_events").over(w).alias("prev_n"),
+        F.lead("n_events").over(w).alias("next_n"),
+    )
+    return flagged.filter(
+        F.col("prev_n").isNotNull()
+        & F.col("next_n").isNotNull()
+        & (F.col("n_events") > F.col("prev_n"))
+        & (F.col("n_events") >= F.col("next_n"))
+    ).select(
+        "user_id",
+        "hour",
+        "n_events",
+        (F.col("n_events") - F.col("prev_n")).cast("long").alias("rise"),
+    )

@@ -388,3 +388,84 @@ def l48_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_true",
         F.round(F.col("n_true") + noise, 6).alias("noisy_n"),
     )
+
+
+# --------------------------------------------------------------------------
+# L51 — padding efficiency of length-bucketed batching
+# --------------------------------------------------------------------------
+
+L51_GRAIN = 32  # bucket granularity in tokens
+
+L51_ORACLE = f"""
+WITH t AS (
+    SELECT GREATEST(len(string_split(text, ' ')), 1) AS n_tokens
+    FROM documents
+),
+b AS (
+    SELECT n_tokens,
+           CAST(CEIL(n_tokens / {L51_GRAIN}.0) AS BIGINT) AS bucket
+    FROM t
+),
+g AS (
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT)      AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS real_tokens,
+           CAST(COUNT(*) * bucket * {L51_GRAIN} AS BIGINT) AS padded_tokens
+    FROM b GROUP BY bucket
+),
+tot AS (SELECT CAST(MAX(bucket) * {L51_GRAIN} AS BIGINT) AS global_max FROM g)
+SELECT bucket, n_docs, real_tokens, padded_tokens,
+       ROUND(real_tokens * 1.0 / padded_tokens, 6)   AS bucket_efficiency,
+       ROUND(real_tokens * 1.0 / (n_docs * (SELECT global_max FROM tot)), 6)
+           AS naive_efficiency
+FROM g
+"""
+
+
+@query("l51_padding_efficiency", oracle=L51_ORACLE)
+def l51_padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L51 — how much padding does length-bucketed batching save?
+    For every 32-token length bucket: the real token mass, the
+    padded mass if each doc pads to its BUCKET ceiling, and the two
+    efficiencies — bucketed (real/padded) vs naive (padding every
+    doc to the GLOBAL max, what a single-bucket loader does). The
+    difference is wasted accelerator FLOPs, which is why every
+    serious training loader length-groups; this operator is the
+    planning query that sizes those buckets.
+
+    One scan → one |buckets|-key hash agg (map-side partials); the
+    global max is a 1-row subquery over the already-aggregated
+    bucket table. All counts int64; the efficiencies are single
+    divisions of identical integers, r6. Grain is a constant; a
+    production pass would sweep several grains in one query (the
+    same lateral-sizes shape as l44)."""
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    n_tokens = F.greatest(
+        F.size(F.split(F.col("text"), " ")).cast("long"), F.lit(1)
+    )
+    b = documents.select(
+        n_tokens.alias("n_tokens"),
+        F.ceil(n_tokens / F.lit(float(L51_GRAIN))).cast("long").alias("bucket"),
+    )
+    g = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("real_tokens"),
+        (F.count(F.lit(1)) * F.col("bucket") * L51_GRAIN)
+        .cast("long")
+        .alias("padded_tokens"),
+    )
+    tot = g.agg((F.max("bucket") * L51_GRAIN).cast("long").alias("global_max"))
+    return g.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n_docs",
+        "real_tokens",
+        "padded_tokens",
+        F.round(F.col("real_tokens") * F.lit(1.0) / F.col("padded_tokens"), 6)
+        .alias("bucket_efficiency"),
+        F.round(
+            F.col("real_tokens")
+            * F.lit(1.0)
+            / (F.col("n_docs") * F.col("global_max")),
+            6,
+        ).alias("naive_efficiency"),
+    )

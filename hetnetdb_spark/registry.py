@@ -191,6 +191,9 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "t14_stream_upsert_sink",
         "l50_knn_classify",
         "s28_csv_dialect",
+        "s29_sql_variables",
+        "l51_padding_efficiency",
+        "w15_peak_detection",
     }
 )
 

@@ -1376,3 +1376,51 @@ def s28_csv_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("content").cast("long").alias("n_chars"),
         F.md5(F.col("content")).alias("content_md5"),
     )
+
+
+# --------------------------------------------------------------------------
+# S29 — SQL session variables (DECLARE / SET VARIABLE in query text)
+# --------------------------------------------------------------------------
+
+S29_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_big_orders,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 6)
+           AS big_total
+FROM orders
+WHERE o_totalprice > 250000.0
+GROUP BY o_orderpriority
+"""
+
+
+@query("s29_sql_variables", oracle=S29_ORACLE, impure=True)
+def s29_sql_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S29 — ANSI SQL session variables: DECLARE VARIABLE / SET
+    VARIABLE / reference-by-name inside query text. The third
+    parameter-binding surface after s26's named :params and
+    IDENTIFIER() — variables live server-side in the session, so a
+    dashboard or stored procedure can set a threshold ONCE and
+    every subsequent query reads it, with type checking at
+    declaration instead of string splicing (the injection-safe
+    replacement for f-string SQL).
+
+    Binding is resolved at ANALYSIS time — the variable folds to a
+    literal in the plan, so predicate pushdown sees a constant
+    filter exactly as if it were written inline (same pushed scan
+    as the oracle's literal form; variables cost nothing at
+    execution). Oracle: the identical query with the value inlined,
+    certifying that binding is semantically invisible."""
+    register_views(spark, sf_dir, "orders")
+    spark.sql("DECLARE OR REPLACE VARIABLE s29_min_price DOUBLE DEFAULT 0.0")
+    spark.sql("SET VARIABLE s29_min_price = 250000.0")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_big_orders,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                     AS DOUBLE), 6) AS big_total
+        FROM orders
+        WHERE o_totalprice > s29_min_price
+        GROUP BY o_orderpriority
+        """
+    )
