@@ -977,9 +977,21 @@ def t14_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     (events,) = load_tables(spark, sf_dir, "events")
-    base = os.path.join(SCRATCH, "t14_upsert")
+    # Unique workdir per invocation: a reused checkpoint dir would
+    # make availableNow see "no new files" and process ZERO batches
+    # (file-stream sources match checkpoints by position, not path),
+    # and a concurrently-slow rmtree could leave one behind.
+    t14_stream_upsert_sink._seq = getattr(t14_stream_upsert_sink, "_seq", 0) + 1
+    base = os.path.join(SCRATCH, f"t14_upsert_{t14_stream_upsert_sink._seq}")
     shutil.rmtree(base, ignore_errors=True)
     tbl = os.path.join(base, "tbl")
+    # Stream from a self-written source snapshot (t04/t08's proven
+    # pattern) rather than the shared testdata dir: a scratch dir
+    # this query owns has fresh mtimes and exactly the files written
+    # here, immune to the occasional empty first listing observed
+    # when globbing a single static file out of a shared directory.
+    src = os.path.join(base, "src")
+    events.repartition(4).write.parquet(src)
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         part = batch_df.groupBy("user_id").agg(
@@ -1003,7 +1015,8 @@ def t14_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.rename(gen, tbl)
 
     q = (
-        _events_stream(spark, table_path(sf_dir, "events"))
+        spark.readStream.schema(events.schema)
+        .parquet(src)
         .writeStream.foreachBatch(merge_batch)
         .trigger(availableNow=True)
         .option(
@@ -1012,6 +1025,15 @@ def t14_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(tbl).select(
+    if not os.path.exists(tbl):
+        raise RuntimeError(
+            "t14: stream terminated without processing any batch "
+            f"(recentProgress={q.recentProgress!r})"
+        )
+    out = spark.read.parquet(tbl).select(
         "user_id", F.col("n_events").cast("long").alias("n_events"), "last_seen"
     )
+    # materialize before cleanup of older generations
+    prev = os.path.join(SCRATCH, f"t14_upsert_{t14_stream_upsert_sink._seq - 1}")
+    shutil.rmtree(prev, ignore_errors=True)
+    return out
