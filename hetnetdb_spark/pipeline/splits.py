@@ -469,3 +469,79 @@ def l51_padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("naive_efficiency"),
     )
+
+
+# --------------------------------------------------------------------------
+# L53 — contrastive negative sampling (seeded, cross-source)
+# --------------------------------------------------------------------------
+
+L53_K = 3
+L53_N_ANCHORS = 20
+L53_SEED = "neg42"
+
+L53_ORACLE = f"""
+WITH anchors AS (
+    SELECT doc_id AS anchor_id, source AS anchor_source
+    FROM documents WHERE doc_id < {L53_N_ANCHORS}
+),
+ranked AS (
+    SELECT a.anchor_id, d.doc_id AS negative_id, d.source AS negative_source,
+           row_number() OVER (
+               PARTITION BY a.anchor_id
+               ORDER BY md5(CAST(a.anchor_id AS VARCHAR) || ':'
+                            || CAST(d.doc_id AS VARCHAR) || ':{L53_SEED}'),
+                        d.doc_id
+           ) AS rk
+    FROM anchors a
+    JOIN documents d ON d.source <> a.anchor_source
+)
+SELECT anchor_id, negative_id, negative_source, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= {L53_K}
+"""
+
+
+@query("l53_negative_sampling", oracle=L53_ORACLE)
+def l53_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L53 — contrastive-training negative mining: for each anchor
+    document, K=3 reproducible pseudo-random negatives drawn from
+    OTHER sources (the cross-domain constraint that makes negatives
+    informative rather than near-duplicates of the anchor). The
+    seeded md5 rank over the (anchor, candidate) PAIR gives every
+    anchor an independent draw — same engine-portable determinism
+    as l27's per-stratum sample, extended to pair keys — so the
+    exact training pairs reproduce on any engine, cluster layout,
+    or rerun; bumping the seed rotates the negative set.
+
+    Shape: the anchor table (bounded) broadcasts onto the corpus
+    scan; the per-anchor rank is W6's rank-filter, so
+    WindowGroupLimit prunes to K rows per anchor below the
+    exchange — the shuffle carries ≤K·|anchors| id rows, never the
+    corpus. (In-batch negatives are the no-shuffle degenerate case;
+    this operator is for the curated-negatives regime where quality
+    constraints — here cross-source — must hold.)"""
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    anchors = documents.filter(F.col("doc_id") < L53_N_ANCHORS).select(
+        F.col("doc_id").alias("anchor_id"),
+        F.col("source").alias("anchor_source"),
+    )
+    pairs = documents.join(
+        F.broadcast(anchors), F.col("source") != F.col("anchor_source")
+    )
+    rank_key = F.md5(
+        F.concat(
+            F.col("anchor_id").cast("string"),
+            F.lit(":"),
+            F.col("doc_id").cast("string"),
+            F.lit(f":{L53_SEED}"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(rank_key, "doc_id")
+    return (
+        pairs.select(
+            "anchor_id",
+            F.col("doc_id").alias("negative_id"),
+            F.col("source").alias("negative_source"),
+            F.row_number().over(w).cast("long").alias("rk"),
+        )
+        .filter(F.col("rk") <= L53_K)
+    )

@@ -1354,3 +1354,76 @@ def l49_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(L49_TOP)
     )
+
+
+# --------------------------------------------------------------------------
+# L52 — token-distribution entropy per source (Shannon, bits)
+# --------------------------------------------------------------------------
+
+L52_ORACLE = """
+WITH tok AS (
+    SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+),
+freq AS (
+    SELECT source, term, COUNT(*) AS n FROM tok GROUP BY source, term
+),
+tot AS (
+    SELECT source, SUM(n) AS nt FROM freq GROUP BY source
+)
+SELECT f.source,
+       CAST(t.nt AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS vocab,
+       ROUND(CAST(SUM(CAST(-(f.n / CAST(t.nt AS DOUBLE))
+                           * LOG2(f.n / CAST(t.nt AS DOUBLE))
+                           AS DECIMAL(28, 12))) AS DOUBLE), 6)
+           AS entropy_bits,
+       ROUND(CAST(SUM(CAST(-(f.n / CAST(t.nt AS DOUBLE))
+                           * LOG2(f.n / CAST(t.nt AS DOUBLE))
+                           AS DECIMAL(28, 12))) AS DOUBLE)
+             / LOG2(CAST(COUNT(*) AS DOUBLE)), 6) AS efficiency
+FROM freq f JOIN tot t USING (source)
+GROUP BY f.source, t.nt
+"""
+
+
+@query("l52_entropy_profile", oracle=L52_ORACLE)
+def l52_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L52 — Shannon entropy (bits/token) of each source's unigram
+    distribution, plus entropy efficiency (H / log2 vocab): the
+    information-density dial that separates natural text (high H,
+    efficiency ~0.7-0.9) from template spam (low H — few tokens
+    carry the mass) and from random noise (efficiency → 1). The
+    corpus-slice companion to l25's per-document logprob: same
+    Σ -p·log p, aggregated over the source instead of scored per
+    row.
+
+    Shape: explode → (source, term) hash agg (map-side partials) →
+    per-source totals re-agg → one join and a |vocab|-row final
+    agg. Each term's -p·log2 p is a fixed double chain on identical
+    inputs (the l42 single-transcendental class), accumulated in
+    DECIMAL so the per-source sum is partition-order independent
+    (l25's discipline); the final efficiency divide happens on the
+    identical decimal-cast doubles."""
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    tok = documents.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    freq = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("n"))
+    tot = freq.groupBy("source").agg(F.sum("n").alias("nt"))
+    p = F.col("n") / F.col("nt").cast("double")
+    term_bits = (-p * F.log2(p)).cast("decimal(28,12)")
+    joined = freq.join(F.broadcast(tot), "source")
+    return joined.groupBy("source", "nt").agg(
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum(term_bits).alias("hsum"),
+        ).select(
+        "source",
+        F.col("nt").cast("long").alias("n_tokens"),
+        "vocab",
+        F.round(F.col("hsum").cast("double"), 6).alias("entropy_bits"),
+        F.round(
+            F.col("hsum").cast("double")
+            / F.log2(F.col("vocab").cast("double")),
+            6,
+        ).alias("efficiency"),
+    )

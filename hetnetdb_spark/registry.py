@@ -194,6 +194,8 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "s29_sql_variables",
         "l51_padding_efficiency",
         "w15_peak_detection",
+        "l52_entropy_profile",
+        "l53_negative_sampling",
     }
 )
 
