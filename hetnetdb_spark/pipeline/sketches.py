@@ -276,3 +276,100 @@ def a27_countmin_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "term string, exact_cnt long, never_underestimates boolean, "
         "within_eps_n boolean",
     )
+
+
+# --------------------------------------------------------------------------
+# L54 — model-based quality scoring (fixed-weight logistic over L47)
+# --------------------------------------------------------------------------
+
+#: Pinned model: one weight per L47 feature dim plus a bias. A real
+#: deployment trains these offline (fastText-style quality model);
+#: the ENGINE's job — featurize, dot, sigmoid, threshold, at scan
+#: speed — is identical for any weight vector, so the fixture pins
+#: an arbitrary deterministic one.
+L54_WEIGHTS = [((-1) ** i) * (0.25 + 0.05 * i) for i in range(16)]
+L54_BIAS = -0.1
+L54_THRESHOLD = 0.5
+
+L54_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+    FROM documents WHERE doc_id < 200
+),
+bucketed AS (
+    SELECT doc_id,
+           CAST('0x' || substr(md5('f:' || term), 1, 15) AS BIGINT)
+               % {L47_DIMS} AS dim,
+           COUNT(*) AS cnt
+    FROM tok GROUP BY doc_id, dim
+),
+normed AS (
+    SELECT doc_id, dim,
+           cnt / SQRT(CAST(SUM(cnt * cnt) OVER (PARTITION BY doc_id)
+                           AS DOUBLE)) AS v
+    FROM bucketed
+),
+scored AS (
+    SELECT doc_id,
+           CAST({L54_BIAS} AS DOUBLE)
+           + CAST(SUM(CAST(v * CASE dim
+               {" ".join(f"WHEN {i} THEN CAST({w!r} AS DOUBLE)" for i, w in enumerate(L54_WEIGHTS))}
+           END AS DECIMAL(28, 14))) AS DOUBLE) AS z
+    FROM normed GROUP BY doc_id
+)
+SELECT doc_id,
+       ROUND(1.0 / (1.0 + EXP(-z)), 6) AS p_quality,
+       CAST(1.0 / (1.0 + EXP(-z)) >= {L54_THRESHOLD} AS BOOLEAN) AS keep
+FROM scored
+"""
+
+
+@query("l54_quality_model_scoring", oracle=L54_ORACLE)
+def l54_quality_model_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L54 — apply a trained linear quality classifier to every
+    document: L47's hashing-trick features · pinned weight vector →
+    sigmoid → keep/drop. This is the modern model-based corpus
+    filter (fastText/CCNet quality models, applied at scan speed) as
+    an ENGINE operator: the model is a broadcast-size constant, the
+    features never materialize outside the query, and the plan is
+    explode → (doc, dim) hash agg → per-doc window norm → per-doc
+    weighted sum — all codegen, no Python, linear in tokens.
+
+    Determinism: features are integer counts over portable md5
+    buckets (l47); the weighted sum folds ≤16 fixed doubles whose
+    ADDITION ORDER is pinned by aggregating z in DECIMAL — the
+    per-dim products are identical doubles, the decimal sum is
+    order-free, and sigmoid's exp is a single transcendental on the
+    identical rounded z (the l42 class). r6 on the probability."""
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    tok = documents.filter(F.col("doc_id") < 200).select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("f:"), F.col("term"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % L47_DIMS
+    )
+    bucketed = tok.groupBy("doc_id", bucket.alias("dim")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    sq = F.sum(F.col("cnt") * F.col("cnt")).over(Window.partitionBy("doc_id"))
+    v = F.col("cnt") / F.sqrt(sq.cast("double"))
+    weight = F.element_at(
+        F.array(*[F.lit(float(w)) for w in L54_WEIGHTS]),
+        (F.col("dim") + 1).cast("int"),
+    )
+    normed = bucketed.select("doc_id", "dim", v.alias("v"))
+    z = F.lit(float(L54_BIAS)) + F.sum(
+        (F.col("v") * weight).cast("decimal(28,14)")
+    ).cast("double")
+    scored = normed.groupBy("doc_id").agg(z.alias("z"))
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z")))
+    return scored.select(
+        "doc_id",
+        F.round(p, 6).alias("p_quality"),
+        (p >= F.lit(L54_THRESHOLD)).alias("keep"),
+    )

@@ -196,6 +196,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "w15_peak_detection",
         "l52_entropy_profile",
         "l53_negative_sampling",
+        "l54_quality_model_scoring",
     }
 )
 
