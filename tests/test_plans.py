@@ -616,3 +616,34 @@ def test_l49_pmi_marginals_broadcast(spark):
     plan = executed_plan(registry.QUERIES["l49_pmi_collocations"](spark, SF_DIR))
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert has_top_k(plan), plan
+
+
+def test_l53_negatives_one_exchange_with_group_limit(spark):
+    """l53: the per-anchor rank must prune below the exchange
+    (WindowGroupLimit — at most K rows per anchor cross the wire)
+    and the whole query rides ONE anchor_id exchange."""
+    plan = executed_plan(registry.QUERIES["l53_negative_sampling"](spark, SF_DIR))
+    assert shuffle_exchange_count(plan) == 1, plan
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_l54_model_scoring_is_pure_codegen(spark):
+    """l54: the classifier application must stay JVM-side — no
+    Python evaluation nodes anywhere in the plan (the model is a
+    literal array, the features fold in aggregates)."""
+    plan = executed_plan(
+        registry.QUERIES["l54_quality_model_scoring"](spark, SF_DIR)
+    )
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
+    assert shuffle_exchange_count(plan) <= 2, plan
+
+
+def test_l52_entropy_shuffles_are_vocab_bounded(spark):
+    """l52: the only raw-row shuffle is the (source, term) partial
+    aggregate; everything after operates on vocab-bounded rows (the
+    first exchange's input must carry partial_count, i.e. map-side
+    aggregation happened before any wire transfer)."""
+    plan = executed_plan(registry.QUERIES["l52_entropy_profile"](spark, SF_DIR))
+    first_exchange_input = plan.split("Exchange hashpartitioning", 1)[1]
+    assert "partial_count" in first_exchange_input, plan
