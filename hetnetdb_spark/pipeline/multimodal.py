@@ -239,3 +239,88 @@ def l08_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("doc_id").alias("n_videos"),
         F.countDistinct("frame_sha").alias("n_unique_frames"),
     )
+
+
+# --------------------------------------------------------------------------
+# L39 — modality mixture: byte shares + batch-budget planning
+# --------------------------------------------------------------------------
+
+L39_BATCH_BYTES = 64 * 1024
+
+L39_ORACLE = f"""
+WITH assets AS (
+    SELECT CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+                ELSE 'video/mp4' END AS mime,
+           octet_length(encode(text)) AS n_bytes,
+           (doc_id % 640 + 16) * (doc_id % 480 + 16) AS pixels,
+           doc_id % 30 + 1 AS n_frames
+    FROM documents
+),
+tot AS (SELECT SUM(n_bytes) AS all_bytes FROM assets)
+SELECT mime,
+       CAST(COUNT(*) AS BIGINT)       AS n_assets,
+       CAST(SUM(n_bytes) AS BIGINT)   AS total_bytes,
+       ROUND(SUM(n_bytes) * 1.0 / (SELECT all_bytes FROM tot), 6)
+           AS byte_share,
+       CAST(SUM(pixels) AS BIGINT)    AS pixel_budget,
+       CAST(SUM(n_frames) AS BIGINT)  AS frame_budget,
+       CAST(CEIL(SUM(n_bytes) * 1.0 / {L39_BATCH_BYTES}) AS BIGINT)
+           AS n_batches
+FROM assets
+GROUP BY mime
+"""
+
+
+@query("l39_modality_mixture", oracle=L39_ORACLE)
+def l39_modality_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L39 — the modality-mixture planning query: per MIME class,
+    asset counts, payload byte totals and SHARE of the corpus, the
+    decode budgets that actually gate multimodal training throughput
+    (total pixels for images, total frames for video), and how many
+    64 KiB transfer batches each modality fills. l08_multimodal_schema
+    certifies the typed media struct round-trips; this is the query a
+    loader runs ON that struct to balance modality interleaving (a
+    3-way byte share far from the target mix means a modality-starved
+    batch stream).
+
+    Scale posture: metadata-only — every aggregated column comes from
+    the struct's metadata fields and `length(media.data)`, and column
+    pruning keeps the binary payload itself OUT of the scan (parquet
+    stores byte-array lengths in the column metadata; the oracle's
+    octet_length over the synthesized payload is the same number by
+    construction). One |mimes|-key hash agg, one 1-row total
+    broadcast. All integers except the single share division, r6."""
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    media = _with_media(documents)
+    assets = media.select(
+        F.col("media.mime").alias("mime"),
+        F.length(F.col("media.data")).cast("long").alias("n_bytes"),
+        (F.col("media.width").cast("long") * F.col("media.height")).alias(
+            "pixels"
+        ),
+        F.col("media.n_frames").cast("long").alias("n_frames"),
+    )
+    tot = assets.agg(F.sum("n_bytes").alias("all_bytes"))
+    return (
+        assets.groupBy("mime")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.sum("pixels").alias("pixel_budget"),
+            F.sum("n_frames").alias("frame_budget"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "mime",
+            "n_assets",
+            "total_bytes",
+            F.round(
+                F.col("total_bytes") * F.lit(1.0) / F.col("all_bytes"), 6
+            ).alias("byte_share"),
+            "pixel_budget",
+            "frame_budget",
+            F.ceil(F.col("total_bytes") * F.lit(1.0) / F.lit(L39_BATCH_BYTES))
+            .cast("long")
+            .alias("n_batches"),
+        )
+    )

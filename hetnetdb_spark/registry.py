@@ -197,6 +197,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "l52_entropy_profile",
         "l53_negative_sampling",
         "l54_quality_model_scoring",
+        "l39_modality_mixture",
     }
 )
 
