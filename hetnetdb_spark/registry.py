@@ -198,6 +198,13 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "l53_negative_sampling",
         "l54_quality_model_scoring",
         "l39_modality_mixture",
+        # third continuation session: the Spark 4 SQL-surface wave
+        "o10_recursive_cte",
+        "u13_sql_udf",
+        "f22_variant_roundtrip",
+        "f23_try_arithmetic",
+        "a28_ordered_listagg",
+        "a29_approx_topk_contract",
     }
 )
 
@@ -300,6 +307,7 @@ def load_all() -> None:
         profiling,
         projection,
         setops,
+        sql_surface,
         tpch,
         tpch_ext,
         windows,

@@ -647,3 +647,24 @@ def test_l52_entropy_shuffles_are_vocab_bounded(spark):
     plan = executed_plan(registry.QUERIES["l52_entropy_profile"](spark, SF_DIR))
     first_exchange_input = plan.split("Exchange hashpartitioning", 1)[1]
     assert "partial_count" in first_exchange_input, plan
+
+
+def test_o10_recursion_is_engine_looped(spark):
+    """o10: WITH RECURSIVE must plan as the engine's UnionLoop
+    operator (Spark 4 recursion execution), and the money rollup
+    must accumulate in decimal — a double sum here would reintroduce
+    the partition-order drift the a19/q1 discipline removed."""
+    plan = executed_plan(registry.QUERIES["o10_recursive_cte"](spark, SF_DIR))
+    assert "UnionLoop" in plan, plan
+    assert "sum(cast(price" in plan and "as decimal(18,6)" in plan, plan
+
+
+def test_u13_sql_udf_inlines_to_codegen(spark):
+    """u13: SQL-body UDFs must be analyzer-inlined — the executed
+    plan may contain NO Python evaluation node of any kind (that is
+    the entire point of the surface vs u01/u02), and the aggregate
+    must still split partial/final like any hand-written expression."""
+    plan = executed_plan(registry.QUERIES["u13_sql_udf"](spark, SF_DIR))
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "PythonUDF"):
+        assert marker not in plan, plan
+    assert "partial_count" in plan or "partial_sum" in plan, plan
