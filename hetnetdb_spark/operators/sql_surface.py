@@ -77,10 +77,17 @@ def o10_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB: recursion depth is data-logarithmic, not data-linear,
     and each step's shuffle carries (part, root, depth, price) rows
     only for the frontier level — the same bounded-state argument as
-    l38's unrolled PageRank. A hierarchy deeper than the engine's
-    recursion limit (default 100 steps) is a config knob, not a plan
-    rewrite."""
+    l38's unrolled PageRank. Spark guards recursion two ways: a
+    level limit (default 100 — kept, it is the real runaway guard
+    for this structurally-terminating query) and a TOTAL-row limit
+    (default 1M) that a legitimate input-sized recursion trips as
+    soon as the table outgrows it — the 10x slope run failed with
+    RECURSION_ROW_LIMIT_EXCEEDED at 2M parts. The row limit is
+    lifted here (execution-time read, so it must stay set while the
+    returned frame is live; `-1` = unlimited is the documented
+    production setting for data-proportional recursions)."""
     register_views(spark, sf_dir, "part")
+    spark.conf.set("spark.sql.cteRecursionRowLimit", "-1")
     return spark.sql(O10_SQL)
 
 
