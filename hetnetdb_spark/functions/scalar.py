@@ -955,3 +955,213 @@ def f21_codec_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (dec.cast("string") == F.col("n_name")).alias("aes_roundtrip_ok"),
     ).orderBy("n_nationkey")
+
+
+# --------------------------------------------------------------------------
+# F24 — map higher-order functions (filter / transform / zip, aligned)
+# --------------------------------------------------------------------------
+
+F24_ORACLE = """
+SELECT r_name, n_name,
+       CAST(COUNT(*) AS BIGINT)      AS n_cust,
+       CAST(COUNT(*) * 2 AS BIGINT)  AS doubled,
+       CAST(COUNT(*) * 3 AS BIGINT)  AS tripled,
+       COUNT(*) > 50                 AS kept
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+
+@query("f24_map_higher_order", oracle=F24_ORACLE)
+def f24_map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F24 — the map higher-order surface: per-region customer
+    counts packed into a MAP column (``map_from_entries`` over a
+    deterministically sorted entry array — collect_list order is
+    partition-dependent, so ``array_sort`` pins it), then
+    ``transform_values`` (×2), ``map_zip_with`` (key-aligned sum ⇒
+    ×3), and ``map_filter`` membership surfaced via
+    ``map_contains_key``. Exploding back to rows lets a relational
+    oracle check every map operation as plain arithmetic: if any
+    HOF dropped, duplicated, or misaligned an entry, a row's
+    doubled/tripled/kept columns would break.
+
+    Scale: maps here model the "metrics bundle per entity" pattern
+    (bounded keys per row — nations per region ≤ 5). The HOFs are
+    codegen lambdas over the map's entry array — no shuffle beyond
+    the count aggregate, no Python. An UNBOUNDED map (one entry per
+    customer) would be the collect_list anti-pattern; the a09/a28
+    guidance applies unchanged."""
+    customer, nation, region = load_tables(
+        spark, sf_dir, "customer", "nation", "region"
+    )
+    cnt = (
+        customer.join(
+            F.broadcast(nation),
+            customer.c_nationkey == nation.n_nationkey,
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    maps = cnt.groupBy("r_name").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("n_name", "c")))
+        ).alias("m")
+    )
+    enriched = maps.select(
+        "r_name",
+        "m",
+        F.transform_values("m", lambda k, v: v * 2).alias("tv"),
+        F.map_filter("m", lambda k, v: v > 50).alias("mf"),
+    ).select(
+        "r_name",
+        "m",
+        "tv",
+        "mf",
+        F.map_zip_with(
+            "m", "tv", lambda k, v1, v2: v1 + v2
+        ).alias("mz"),
+    )
+    return (
+        enriched.select("r_name", "tv", "mf", "mz", F.explode("m").alias("n_name", "c"))
+        .select(
+            "r_name",
+            "n_name",
+            F.col("c").cast("bigint").alias("n_cust"),
+            F.element_at("tv", F.col("n_name")).cast("bigint").alias("doubled"),
+            F.element_at("mz", F.col("n_name")).cast("bigint").alias("tripled"),
+            F.map_contains_key("mf", F.col("n_name")).alias("kept"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# F25 — XML ingest round-trip (from_xml + xpath, typed contract)
+# --------------------------------------------------------------------------
+
+F25_ORACLE = """
+SELECT o_orderkey,
+       o_orderkey              AS k_back,
+       ROUND(o_totalprice, 6)  AS price_back,
+       o_orderpriority         AS pri_back,
+       o_orderkey              AS xp_k,
+       o_orderpriority         AS xp_pri
+FROM orders
+WHERE o_orderkey % 20 = 3
+ORDER BY o_orderkey
+"""
+
+
+@query("f25_xml_roundtrip", oracle=F25_ORACLE)
+def f25_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F25 — XML ingest (Spark 4 builds in the former spark-xml):
+    ``from_xml`` with an explicit schema for typed struct extraction
+    and the ``xpath_long`` / ``xpath_string`` point lookups. Same
+    contract shape as f22's VARIANT check: XML text built from typed
+    source columns must round-trip to exactly those values — BIGINT
+    through decimal text, DOUBLE through Spark's shortest-round-trip
+    formatting (plain or scientific, ``from_xml`` re-parses it to
+    the identical bits), strings verbatim (fixture priorities are
+    XML-safe; a production ingest escapes &<> before this check).
+
+    The oracle never touches XML — DuckDB 1.0 has no XML support —
+    it restates the typed identity from the source columns, which is
+    precisely what a round-trip must preserve.
+
+    Scale: from_xml/xpath are per-row codegen expressions (JVM
+    StAX), no shuffle, no Python — an XML feed lands as one scan +
+    parse projection at any size; the %-sample only bounds the
+    driver-hashed output surface."""
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    xml = F.concat(
+        F.lit("<r><k>"), F.col("o_orderkey").cast("string"),
+        F.lit("</k><p>"), F.col("o_totalprice").cast("string"),
+        F.lit("</p><s>"), F.col("o_orderpriority"),
+        F.lit("</s></r>"),
+    )
+    parsed = orders.filter(F.col("o_orderkey") % 20 == 3).select(
+        "o_orderkey",
+        xml.alias("xml"),
+        F.from_xml(xml, "k BIGINT, p DOUBLE, s STRING").alias("x"),
+    )
+    return parsed.select(
+        "o_orderkey",
+        F.col("x.k").alias("k_back"),
+        F.round(F.col("x.p"), 6).alias("price_back"),
+        F.col("x.s").alias("pri_back"),
+        F.expr("xpath_long(xml, '/r/k')").alias("xp_k"),
+        F.expr("xpath_string(xml, '/r/s')").alias("xp_pri"),
+    ).orderBy("o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# F27 — generator chain: stack × posexplode_outer (LATERAL VIEW)
+# --------------------------------------------------------------------------
+
+F27_ORACLE = """
+WITH m AS (
+    SELECT n_nationkey, 'region' AS metric, CAST(n_regionkey AS BIGINT) AS mval
+    FROM nation
+    UNION ALL
+    SELECT n_nationkey, 'ckey', CAST(n_nationkey AS BIGINT)
+    FROM nation
+),
+e AS (
+    SELECT n_nationkey, CAST(0 AS INTEGER) AS pos,
+           CAST(n_nationkey AS INTEGER) AS val
+    FROM nation WHERE n_nationkey % 5 <> 0
+    UNION ALL
+    SELECT n_nationkey, CAST(1 AS INTEGER), CAST(n_regionkey AS INTEGER)
+    FROM nation WHERE n_nationkey % 5 <> 0
+    UNION ALL
+    SELECT n_nationkey, CAST(NULL AS INTEGER), CAST(NULL AS INTEGER)
+    FROM nation WHERE n_nationkey % 5 = 0
+)
+SELECT m.n_nationkey, m.metric, m.mval, e.pos, e.val
+FROM m JOIN e ON m.n_nationkey = e.n_nationkey
+ORDER BY m.n_nationkey, m.metric, e.pos
+"""
+
+
+@query("f27_generator_chain", oracle=F27_ORACLE, impure=True)
+def f27_generator_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F27 — table-generating expressions beyond explode: ``stack``
+    (N-way column-to-row unpivot as a generator), ``posexplode_outer``
+    (positional explode that PRESERVES the driving row when the array
+    is NULL — inner explode would silently drop it), and the LATERAL
+    VIEW chaining rule: each successive generator cross-products with
+    the rows the previous one emitted (2 stack rows × 2-or-1 explode
+    rows per nation here).
+
+    The oracle rebuilds the chain relationally: the stack half is a
+    2-way UNION ALL, the outer-explode half is positions 0/1 for
+    non-multiple-of-5 nations plus an all-NULL row for the rest, and
+    the chain is their equi-join — if Spark's generator semantics
+    dropped NULL-array rows, mis-numbered positions, or failed to
+    cross-product the chain, rows or values would diverge.
+
+    Scale: generators are map-side row expansion inside codegen — no
+    shuffle, no state; the fan-out factor (here 2×≤2) multiplies scan
+    output, which is the quantity to watch at 100 TB (l17's chunking
+    note: write expanded rows partition-parallel, never collect
+    them). Registered impure: registers the nation temp view."""
+    from hetnetdb_spark.catalog import register_views
+
+    register_views(spark, sf_dir, "nation")
+    return spark.sql(
+        """
+        SELECT n_nationkey, metric, mval, pos, val
+        FROM nation
+        LATERAL VIEW stack(2, 'region', CAST(n_regionkey AS BIGINT),
+                              'ckey',   CAST(n_nationkey AS BIGINT)) s
+            AS metric, mval
+        LATERAL VIEW OUTER posexplode(
+            CASE WHEN n_nationkey % 5 = 0 THEN CAST(NULL AS ARRAY<INT>)
+                 ELSE array(n_nationkey, n_regionkey) END) p AS pos, val
+        ORDER BY n_nationkey, metric, pos
+        """
+    )

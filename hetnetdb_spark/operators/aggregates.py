@@ -1160,3 +1160,59 @@ def a26_mad_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mad_chars",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# A30 — linear-regression aggregate family (regr_*)
+# --------------------------------------------------------------------------
+
+A30_ORACLE = """
+SELECT l_returnflag,
+       CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT)  AS n,
+       ROUND(regr_slope(l_extendedprice, l_quantity), 6)        AS slope,
+       ROUND(regr_intercept(l_extendedprice, l_quantity), 6)    AS intercept,
+       ROUND(regr_r2(l_extendedprice, l_quantity), 6)           AS r2,
+       ROUND(regr_avgx(l_extendedprice, l_quantity), 6)         AS avg_x,
+       ROUND(regr_avgy(l_extendedprice, l_quantity), 6)         AS avg_y
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@query("a30_regression_profile", oracle=A30_ORACLE)
+def a30_regression_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A30 — the ANSI regr_* aggregate family (slope, intercept, R²,
+    per-group means, pair count) of extendedprice on quantity, the
+    one-pass OLS both engines ship natively.
+
+    Float posture (why this is safe where raw regr_slope normally
+    isn't): every regr_* output is a RATIO of second-order co-moments
+    — slope = Sxy/Sxx, R² = Sxy²/(Sxx·Syy) — so although each engine
+    accumulates the co-moments in its own partition order (absolute
+    drift O(1e-5) on the O(1e10) sums at sf0.1), the drift CANCELS in
+    the quotient: relative error stays O(1e-12), far inside the 6dp
+    rounding window on the O(1e2) slope / O(1e4) intercept values.
+    This is the q11 scale-free-ratio discipline applied to the
+    regression surface; l45_zipf_slope is the contrasting case where
+    a SMALL slope (O(1e-1)) on huge log-sums needed full decimal
+    co-moments. Verified differentially at sf0.001/0.01/0.1.
+
+    Scale: algebraic aggregate — six partial moments per group merge
+    map-side; shuffle carries |groups| × 6 doubles at any input
+    size. The 100-TB "fit a trend per segment" query is exactly
+    this, and it costs one scan."""
+    (li,) = load_tables(spark, sf_dir, "lineitem")
+    y, x = "l_extendedprice", "l_quantity"
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(f"regr_count({y}, {x})").cast("bigint").alias("n"),
+            r6(F.expr(f"regr_slope({y}, {x})")).alias("slope"),
+            r6(F.expr(f"regr_intercept({y}, {x})")).alias("intercept"),
+            r6(F.expr(f"regr_r2({y}, {x})")).alias("r2"),
+            r6(F.expr(f"regr_avgx({y}, {x})")).alias("avg_x"),
+            r6(F.expr(f"regr_avgy({y}, {x})")).alias("avg_y"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -1096,3 +1096,56 @@ def w15_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         (F.col("n_events") - F.col("prev_n")).cast("long").alias("rise"),
     )
+
+
+# --------------------------------------------------------------------------
+# W16 — time-interval RANGE frame (trailing 1-hour window by value)
+# --------------------------------------------------------------------------
+
+W16_SQL = """
+WITH scored AS (
+    SELECT user_id, event_id, event_type, ts,
+           COUNT(*) OVER w AS n_1h,
+           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) OVER w
+               AS n_clicks_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id,
+       CAST(n_1h AS BIGINT)        AS n_1h,
+       CAST(n_clicks_1h AS BIGINT) AS n_clicks_1h
+FROM scored
+WHERE event_type = 'purchase'
+ORDER BY user_id, event_id
+"""
+
+
+@query("w16_interval_range_frame", oracle=W16_SQL, impure=True)
+def w16_interval_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W16 — RANGE frame bounded by a TIME INTERVAL: for each
+    purchase, how many events (and clicks) the same user produced in
+    the trailing hour, computed by the window engine's value-based
+    frame, not a row count. Both engines run the IDENTICAL SQL
+    (the oracle *is* this query — the W1/W4 numeric-range family's
+    missing temporal member; j15/j17 express the same "events within
+    a bound" semantic as joins, this is the single-pass window form).
+
+    Why RANGE and not ROWS: the frame must follow the DATA (60
+    minutes), so its row width varies per anchor — a ROWS frame
+    cannot express it, and the self-join form (j14/j15) pays a
+    range-join's candidate blow-up. RANGE peers-at-same-ts semantics
+    are identical on both engines, and COUNT/conditional-SUM are
+    integer-exact, so there is no float surface at all.
+
+    Scale: one exchange on user_id (the established `_parallel_by`
+    width concern applies to the DataFrame path; the SQL path's
+    exchange width follows spark.sql.shuffle.partitions directly),
+    one per-partition sort, one forward pass — the window engine
+    maintains a sliding frame head/tail in O(1) amortized per row.
+    Registered impure: building the plan registers the events temp
+    view (s05's pattern)."""
+    from hetnetdb_spark.catalog import register_views
+
+    register_views(spark, sf_dir, "events")
+    return spark.sql(W16_SQL)

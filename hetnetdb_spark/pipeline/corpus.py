@@ -797,3 +797,91 @@ def l40_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# L55 — alpha-temperature multilingual mixture (the mT5/XLM-R sampler)
+# --------------------------------------------------------------------------
+
+L55_ORACLE = """
+WITH per_lang AS (
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT)                            AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT)   AS n_tokens
+    FROM documents
+    GROUP BY lang
+),
+tot AS (
+    SELECT SUM(n_tokens)             AS t_tokens,
+           SUM(POWER(n_tokens, 0.3)) AS t_weight
+    FROM per_lang
+)
+SELECT lang, n_docs, n_tokens,
+       ROUND(n_tokens / t_tokens, 6)                                AS nat_share,
+       ROUND(POWER(n_tokens, 0.3) / t_weight, 6)                    AS alpha_share,
+       ROUND((POWER(n_tokens, 0.3) / t_weight)
+             / (n_tokens / t_tokens), 6)                            AS upsample
+FROM per_lang, tot
+ORDER BY lang
+"""
+
+
+@query("l55_alpha_mixture", oracle=L55_ORACLE)
+def l55_alpha_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L55 — α-temperature language sampling (the mT5/XLM-R/CC-100
+    convention): sampling probability p_l ∝ n_l^α with α = 0.3,
+    flattening the natural distribution so low-resource languages
+    are up-sampled (upsample > 1) and the head language is
+    down-sampled — the standard knob between "proportional drowns
+    the tail" (α=1) and "uniform overfits it" (α=0).
+
+    Complements l32 (budget-capped source mixture): l32 allocates a
+    fixed token budget by per-source caps; l55 reshapes the LANGUAGE
+    distribution by exponent. A multilingual pretraining pipeline
+    runs both — l55 to pick language rates, l32 to spend the budget
+    within each.
+
+    Float posture: pow(double, 0.3) may differ in the final ulp
+    between libm implementations, but every output is a share in
+    [0, ~5] built from 5-term sums of O(1)-ratio quantities —
+    relative drift O(1e-15), far inside r6 (the q11 ratio
+    discipline; verified differentially at all three SFs).
+
+    Scale: one scan of documents, token counting inside codegen,
+    |lang| bounded groups; the totals are a 1-row broadcast
+    cross-join (l32's shape). The shuffle carries per-lang partial
+    sums only — flat at any corpus size."""
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    # |lang| rows, cached: per_lang feeds both the totals aggregate
+    # and the final projection — Spark recomputes shared subtrees,
+    # which would scan (and re-tokenize) the text column twice
+    # (l32's lesson; plan test pins FileScan count == 1).
+    per_lang = (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split(F.col("text"), " ")))
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+        .cache()
+    )
+    weight = F.pow(F.col("n_tokens"), F.lit(0.3))
+    totals = per_lang.agg(
+        F.sum("n_tokens").alias("t_tokens"),
+        F.sum(weight).alias("t_weight"),
+    )
+    nat = F.col("n_tokens") / F.col("t_tokens")
+    alpha = weight / F.col("t_weight")
+    return (
+        per_lang.crossJoin(F.broadcast(totals))
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            F.round(nat, 6).alias("nat_share"),
+            F.round(alpha, 6).alias("alpha_share"),
+            F.round(alpha / nat, 6).alias("upsample"),
+        )
+        .orderBy("lang")
+    )

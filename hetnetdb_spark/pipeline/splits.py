@@ -545,3 +545,84 @@ def l53_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rk") <= L53_K)
     )
+
+
+# --------------------------------------------------------------------------
+# L56 — k-anonymity audit over quasi-identifiers
+# --------------------------------------------------------------------------
+
+L56_ORACLE = """
+WITH classes AS (
+    SELECT c_nationkey, c_mktsegment,
+           CAST(FLOOR(c_acctbal / 2000) AS BIGINT) AS bal_band,
+           CAST(COUNT(*) AS BIGINT) AS k
+    FROM customer
+    GROUP BY 1, 2, 3
+),
+banded AS (
+    SELECT CASE WHEN k >= 10 THEN '10+'
+                WHEN k >= 5  THEN '5-9'
+                ELSE CAST(k AS VARCHAR) END AS k_band,
+           k
+    FROM classes
+)
+SELECT k_band,
+       CAST(COUNT(*) AS BIGINT)  AS n_classes,
+       CAST(SUM(k) AS BIGINT)    AS n_customers,
+       CAST(MIN(k) AS BIGINT)    AS min_k,
+       CAST(MAX(k) AS BIGINT)    AS max_k,
+       MIN(k) < 5                AS needs_suppression
+FROM banded
+GROUP BY k_band
+ORDER BY k_band
+"""
+
+
+@query("l56_k_anonymity", oracle=L56_ORACLE)
+def l56_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L56 — k-anonymity audit: group the table by its
+    quasi-identifier tuple (nation × market segment × account-balance
+    band — attributes an adversary could link externally) and report
+    the equivalence-class size distribution. Classes with k below
+    the threshold (5 here) are re-identifiable and must be suppressed
+    or generalized before the dataset ships; `needs_suppression`
+    flags the bands that fail.
+
+    This is the release-gate companion to the privacy pair already
+    in the suite: l13 REMOVES direct identifiers (PII regexes), l48
+    NOISES aggregate outputs (DP Laplace) — l56 measures the
+    LINKAGE risk of what remains, which neither of the others sees.
+    All-integer semantics: counts, FLOOR banding on exact doubles,
+    no float surface.
+
+    Scale: one scan, one shuffle on the QI tuple (bounded classes:
+    |nations|×|segments|×|bands|), then a second |classes|-row
+    aggregate — the k histogram costs the same as any group-by at
+    100 TB, which is why it can run on every release candidate."""
+    (customer,) = load_tables(spark, sf_dir, "customer")
+    classes = (
+        customer.groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 2000).cast("bigint").alias("bal_band"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    )
+    banded = classes.select(
+        F.when(F.col("k") >= 10, F.lit("10+"))
+        .when(F.col("k") >= 5, F.lit("5-9"))
+        .otherwise(F.col("k").cast("string"))
+        .alias("k_band"),
+        "k",
+    )
+    return (
+        banded.groupBy("k_band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+            F.sum("k").cast("bigint").alias("n_customers"),
+            F.min("k").cast("bigint").alias("min_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+            (F.min("k") < 5).alias("needs_suppression"),
+        )
+        .orderBy("k_band")
+    )

@@ -205,6 +205,14 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "f23_try_arithmetic",
         "a28_ordered_listagg",
         "a29_approx_topk_contract",
+        "a30_regression_profile",
+        "f24_map_higher_order",
+        "f25_xml_roundtrip",
+        "s31_column_defaults",
+        "l55_alpha_mixture",
+        "w16_interval_range_frame",
+        "f27_generator_chain",
+        "l56_k_anonymity",
     }
 )
 

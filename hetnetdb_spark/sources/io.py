@@ -1424,3 +1424,59 @@ def s29_sql_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+# --------------------------------------------------------------------------
+# S31 — column DEFAULT values (DDL-declared, ALTER-able, INSERT-time)
+# --------------------------------------------------------------------------
+
+S31_ORACLE = """
+SELECT * FROM (VALUES
+    (CAST(1 AS BIGINT), 'new',    CAST(7  AS INTEGER)),
+    (CAST(2 AS BIGINT), 'new',    CAST(7  AS INTEGER)),
+    (CAST(3 AS BIGINT), 'active', CAST(7  AS INTEGER)),
+    (CAST(4 AS BIGINT), 'new',    CAST(11 AS INTEGER)),
+    (CAST(5 AS BIGINT), 'new',    CAST(99 AS INTEGER))
+) AS t(id, status, score)
+ORDER BY id
+"""
+
+
+@query("s31_column_defaults", oracle=S31_ORACLE, impure=True)
+def s31_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S31 — DDL column DEFAULTs on a parquet catalog table: declared
+    at CREATE, applied when an INSERT omits the column or names the
+    DEFAULT keyword, and re-bindable via ALTER COLUMN SET DEFAULT —
+    after which only FUTURE inserts see the new default (rows 1–2
+    keep score 7; row 5, inserted after the ALTER, gets 99). That
+    temporal split is the semantic worth pinning: defaults are
+    INSERT-time expression bindings recorded in table metadata, not
+    a backfill and not a read-time fill.
+
+    The oracle is pinned VALUES ground truth (s28's pattern — the
+    check is the SQL-surface contract itself, there is no
+    second-engine DDL to replay). Scratch table per sf_dir tag,
+    dropped and recreated each invocation so the accumulated state
+    is exactly the scripted insert sequence.
+
+    Scale: a default is a constant folded into the insert projection
+    — zero read-path cost (the parquet files contain materialized
+    values), which is why schema evolution at 100 TB pairs ALTER ADD
+    COLUMN with DEFAULT instead of rewriting data (s15's
+    read-side-missing-column fill is the complementary half)."""
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    loc = os.path.join(SCRATCH, f"s31_defaults_{tag}")
+    shutil.rmtree(loc, ignore_errors=True)
+    tbl = f"s31_defaults_{tag}"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    spark.sql(
+        f"CREATE TABLE {tbl} "
+        "(id BIGINT, status STRING DEFAULT 'new', score INT DEFAULT 7) "
+        f"USING PARQUET LOCATION '{loc}'"
+    )
+    spark.sql(f"INSERT INTO {tbl} (id) VALUES (1), (2)")
+    spark.sql(f"INSERT INTO {tbl} (id, status) VALUES (3, 'active')")
+    spark.sql(f"INSERT INTO {tbl} VALUES (4, DEFAULT, 11)")
+    spark.sql(f"ALTER TABLE {tbl} ALTER COLUMN score SET DEFAULT 99")
+    spark.sql(f"INSERT INTO {tbl} (id) VALUES (5)")
+    return spark.table(tbl).orderBy("id")

@@ -668,3 +668,12 @@ def test_u13_sql_udf_inlines_to_codegen(spark):
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "PythonUDF"):
         assert marker not in plan, plan
     assert "partial_count" in plan or "partial_sum" in plan, plan
+
+
+def test_l55_single_scan_and_broadcast_totals(spark):
+    """l55: per_lang is cached so the documents text column is
+    scanned (and tokenized) exactly once; the 1-row totals join
+    back as a broadcast."""
+    plan = executed_plan(registry.QUERIES["l55_alpha_mixture"](spark, SF_DIR))
+    assert plan.count("FileScan parquet") <= 1, plan
+    assert "Broadcast" in plan, plan
