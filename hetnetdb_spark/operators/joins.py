@@ -818,3 +818,71 @@ def j18_null_skew_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("n_purchases").alias("n_matched"),
         F.sum(F.coalesce("n_purchases", F.lit(0))).alias("purchases_weight"),
     )
+
+
+# --------------------------------------------------------------------------
+# J20 — join strategy hints (SHUFFLE_HASH / MERGE override the planner)
+# --------------------------------------------------------------------------
+
+J20_ORACLE = """
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+             AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue
+FROM customer
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@query("j20_join_strategy_hints", oracle=J20_ORACLE, impure=True)
+def j20_join_strategy_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J20 — join STRATEGY hints: `/*+ MERGE(customer) */` forces a
+    sort-merge join and `/*+ SHUFFLE_HASH(lineitem) */` a shuffled
+    hash join, each where Catalyst's size estimate would otherwise
+    pick a broadcast at fixture scale — the plan test asserts both
+    operators appear and no BroadcastHashJoin does, which pins that
+    hints WIN over the estimate-based strategy choice (the documented
+    precedence). Results must be strategy-invariant: the oracle is
+    the plain 3-way join, and the decimal revenue accumulation makes
+    the comparison independent of whatever partition order each
+    strategy produces.
+
+    Hint-binding gotcha (measured, not documented upstream): a hint
+    names a RELATION, and binds where that relation first joins —
+    `SHUFFLE_HASH(orders)` here was silently out-competed because
+    orders participates in BOTH joins and the first (customer ⋈
+    orders) already carried MERGE(customer); the orders ⋈ lineitem
+    join then fell back to the broadcast estimate. Each hint must
+    name a relation unique to its intended join.
+
+    Why this matters at 100 TB: the estimate-based chooser works
+    from file-size statistics that post-filter/post-UDF cardinality
+    can invalidate in either direction (j11/j13 are the runtime
+    fixes); a hint is the surgical override when the operator knows
+    the build side fits (SHUFFLE_HASH avoids SMJ's double sort) or
+    doesn't (MERGE avoids a broadcast OOM). The hint names resolve
+    against the CATALOG relation names visible in the SQL, and an
+    unresolvable hint degrades to a warning, never an error —
+    both properties a production runbook relies on.
+
+    Registered impure: registers catalog views (s05 pattern)."""
+    from hetnetdb_spark.catalog import register_views
+
+    register_views(spark, sf_dir, "customer", "orders", "lineitem")
+    return spark.sql(
+        """
+        SELECT /*+ MERGE(customer), SHUFFLE_HASH(lineitem) */
+               c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                     AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue
+        FROM customer
+        JOIN orders   ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+        """
+    )

@@ -1149,3 +1149,85 @@ def w16_interval_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, "events")
     return spark.sql(W16_SQL)
+
+
+# --------------------------------------------------------------------------
+# W17 — IGNORE NULLS forward/backward fill (sparse observation carry)
+# --------------------------------------------------------------------------
+
+W17_ORACLE = """
+WITH sparse AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN event_type = 'purchase' THEN event_id END AS purchase_id
+    FROM events
+    WHERE user_id < 200
+)
+SELECT user_id, event_id,
+       last_value(purchase_id IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)  AS last_purchase_id,
+       first_value(purchase_id IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)  AS next_purchase_id
+FROM sparse
+ORDER BY user_id, event_id
+"""
+
+
+@query("w17_ignore_nulls_fill", oracle=W17_ORACLE)
+def w17_ignore_nulls_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W17 — the IGNORE NULLS window modifier: carry each user's most
+    recent purchase forward (`last_value ... IGNORE NULLS` over the
+    trailing frame) and the next upcoming purchase backward
+    (`first_value` over the leading frame) across their sparse event
+    stream — the point-lookup form of observation carry. w07's
+    gap-fill deliberately AVOIDED this operator (its lead+sequence
+    rewrite needed one pass for a dense grid); w17 pins the operator
+    itself, because for sparse per-row "as of this row, what was the
+    last known X" the IGNORE NULLS frame is the single-pass idiom
+    and the join alternative (j09 as-of) costs a range join.
+
+    Engines spell the modifier differently — Spark
+    `last_value(x) IGNORE NULLS OVER ...`, DuckDB
+    `last_value(x IGNORE NULLS) OVER ...` — same ANSI semantics,
+    pinned here over identical frames. The (ts, event_id) order
+    carries the unique tiebreaker so frames agree when timestamps
+    tie (registry discipline). All-integer values; no float surface.
+
+    Scale: one user_id exchange serves both frames (shared sort
+    order, forward + reverse accumulation); `_parallel_by` pins the
+    exchange width (the w02 lesson). The user_id < 200 bound only
+    caps the driver-hashed output."""
+    (events,) = load_tables(spark, sf_dir, "events")
+    sparse = events.filter(F.col("user_id") < 200).select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.col("event_type") == "purchase", F.col("event_id")).alias(
+            "purchase_id"
+        ),
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bwd = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return (
+        _parallel_by(spark, sparse, "user_id")
+        .select(
+            "user_id",
+            "event_id",
+            F.last("purchase_id", ignorenulls=True).over(fwd).alias(
+                "last_purchase_id"
+            ),
+            F.first("purchase_id", ignorenulls=True).over(bwd).alias(
+                "next_purchase_id"
+            ),
+        )
+        .orderBy("user_id", "event_id")
+    )

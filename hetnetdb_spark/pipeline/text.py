@@ -1427,3 +1427,81 @@ def l52_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("efficiency"),
     )
+
+
+# --------------------------------------------------------------------------
+# L57 — normalization pass with a pinned idempotency contract
+# --------------------------------------------------------------------------
+
+L57_ORACLE = """
+WITH cleaned AS (
+    SELECT source, text,
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS clean
+    FROM documents
+),
+twice AS (
+    SELECT source, text, clean,
+           trim(regexp_replace(lower(clean), '\\s+', ' ', 'g')) AS clean2
+    FROM cleaned
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT)                             AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT)                    AS chars_raw,
+       CAST(SUM(length(clean)) AS BIGINT)                   AS chars_clean,
+       CAST(COALESCE(SUM(CASE WHEN clean <> text THEN 1 END), 0) AS BIGINT)
+                                                            AS n_changed,
+       bool_and(clean2 = clean)                             AS idempotent
+FROM twice
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query("l57_text_normalization", oracle=L57_ORACLE)
+def l57_text_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L57 — the corpus normalization pass every text pipeline runs
+    before dedup/tokenization (lowercase, whitespace collapse, edge
+    trim), with its defining algebraic property pinned AS AN OUTPUT:
+    normalization must be IDEMPOTENT — clean(clean(x)) = clean(x) —
+    or downstream exact-dedup keys (l01's md5, l33's probe) differ
+    depending on how many times a document passed through ingest.
+    The `idempotent` column applies the pass twice and bool_ands the
+    fixed-point check across every document; the oracle pins TRUE.
+
+    Cross-engine note: Spark regexp_replace replaces ALL matches;
+    DuckDB requires the explicit 'g' flag — same \\s+ class in both
+    regex dialects (Java / RE2). lower() is the engines' shared
+    unicode simple-casefold; characters without case (CJK fixture
+    text) pass through both unchanged.
+
+    Scale: pure per-row codegen string work folded into one
+    |source|-group aggregate — the normalize-then-hash stage at
+    100 TB is scan-bound, and the idempotency bit costs one extra
+    in-register pass, not a second scan (single FileScan,
+    plan-asserted shape shared with l05)."""
+    (docs,) = load_tables(spark, sf_dir, "documents")
+
+    def clean(col):
+        return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+    c1 = clean(F.col("text"))
+    scored = docs.select(
+        "source",
+        F.length("text").alias("len_raw"),
+        F.length(c1).alias("len_clean"),
+        (c1 != F.col("text")).alias("changed"),
+        (clean(c1) == c1).alias("fixed_point"),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("len_raw").cast("bigint").alias("chars_raw"),
+            F.sum("len_clean").cast("bigint").alias("chars_clean"),
+            F.coalesce(F.sum(F.when(F.col("changed"), 1)), F.lit(0))
+            .cast("bigint")
+            .alias("n_changed"),
+            F.bool_and("fixed_point").alias("idempotent"),
+        )
+        .orderBy("source")
+    )

@@ -213,6 +213,9 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "w16_interval_range_frame",
         "f27_generator_chain",
         "l56_k_anonymity",
+        "w17_ignore_nulls_fill",
+        "j20_join_strategy_hints",
+        "l57_text_normalization",
     }
 )
 

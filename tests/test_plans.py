@@ -677,3 +677,23 @@ def test_l55_single_scan_and_broadcast_totals(spark):
     plan = executed_plan(registry.QUERIES["l55_alpha_mixture"](spark, SF_DIR))
     assert plan.count("FileScan parquet") <= 1, plan
     assert "Broadcast" in plan, plan
+
+
+def test_j20_hints_override_strategy_choice(spark):
+    """j20: MERGE and SHUFFLE_HASH hints must each produce their
+    named join operator and suppress the broadcast Catalyst's size
+    estimate would pick at fixture scale — hints outrank estimates."""
+    plan = executed_plan(registry.QUERIES["j20_join_strategy_hints"](spark, SF_DIR))
+    assert "SortMergeJoin" in plan, plan
+    assert "ShuffledHashJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+
+
+def test_w17_single_user_exchange(spark):
+    """w17: forward and backward IGNORE NULLS frames must be
+    computed by ONE Window node over ONE user_id hash exchange
+    (shared partitioning + sort order); the only other exchange is
+    the presentation-order range sort."""
+    plan = executed_plan(registry.QUERIES["w17_ignore_nulls_fill"](spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Window [") == 1, plan
