@@ -1216,3 +1216,57 @@ def a30_regression_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# --------------------------------------------------------------------------
+# A31 — boolean aggregate family (bool_and / bool_or / every / count_if)
+# --------------------------------------------------------------------------
+
+A31_ORACLE = """
+SELECT o_orderpriority,
+       bool_and(o_totalprice > 0)                            AS all_positive,
+       bool_or(o_orderstatus = 'F')                          AS any_final,
+       bool_and(o_orderdate >= TIMESTAMP '1992-01-01')       AS all_in_era,
+       CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0)
+            AS BIGINT)                                       AS n_final,
+       CAST(COALESCE(SUM(CASE WHEN o_totalprice > 400000 THEN 1 END), 0)
+            AS BIGINT)                                       AS n_large
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@query("a31_boolean_aggregates", oracle=A31_ORACLE)
+def a31_boolean_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A31 — the boolean aggregate family: ``bool_and``/``bool_or``
+    (with their ANSI aliases ``every``/``any``/``some`` — `every` is
+    exercised here and must agree with the oracle's bool_and) and
+    ``count_if`` conditional counting. These are the data-quality
+    assertion primitives: "every row in this partition satisfies the
+    invariant" as a one-row answer rather than a filtered count
+    compared to a total (s18's FK audit and l57's idempotency pin
+    are consumers of exactly this shape).
+
+    All outputs are boolean/integer — no float surface. count_if is
+    Spark-spelled; the oracle uses the portable SUM(CASE) form
+    DuckDB 1.0 guarantees.
+
+    Scale: algebraic aggregates (AND/OR/count merge associatively)
+    — map-side partials, |groups| rows shuffled, one scan."""
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.expr("bool_and(o_totalprice > 0)").alias("all_positive"),
+            F.expr("bool_or(o_orderstatus = 'F')").alias("any_final"),
+            F.expr("every(o_orderdate >= TIMESTAMP '1992-01-01')").alias(
+                "all_in_era"
+            ),
+            F.expr("count_if(o_orderstatus = 'F')").cast("bigint").alias("n_final"),
+            F.expr("count_if(o_totalprice > 400000)").cast("bigint").alias(
+                "n_large"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )

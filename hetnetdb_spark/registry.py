@@ -216,6 +216,8 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "w17_ignore_nulls_fill",
         "j20_join_strategy_hints",
         "l57_text_normalization",
+        "a31_boolean_aggregates",
+        "w18_session_window_fn",
     }
 )
 
