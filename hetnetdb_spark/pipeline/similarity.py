@@ -1093,3 +1093,131 @@ def l50_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_votes",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# L58 — label propagation communities (deterministic synchronous LPA)
+# --------------------------------------------------------------------------
+
+LPA_ITERS = 4
+
+
+def _l58_oracle() -> str:
+    """LPA replayed in SQL: LPA_ITERS synchronous rounds unrolled
+    into chained CTEs (the l38 pattern). Every quantity is an exact
+    integer — labels are vec_ids, votes are counts, and the argmax
+    tie-break is (count DESC, label ASC) under ROW_NUMBER — so the
+    replay is bit-exact with NO rounding discipline needed at all;
+    this is the float-free member of the iterative-graph family."""
+    iters = []
+    prev = "l0"
+    for i in range(1, LPA_ITERS + 1):
+        iters.append(f"""
+l{i} AS (
+    SELECT n.id, COALESCE(w.new_label, p.label) AS label
+    FROM nodes n
+    JOIN {prev} p ON p.id = n.id
+    LEFT JOIN (
+        SELECT dst AS id, label AS new_label FROM (
+            SELECT d.dst, pl.label,
+                   ROW_NUMBER() OVER (PARTITION BY d.dst
+                       ORDER BY COUNT(*) DESC, pl.label ASC) AS rn
+            FROM dedges d JOIN {prev} pl ON pl.id = d.src
+            GROUP BY d.dst, pl.label
+        ) ranked WHERE rn = 1
+    ) w ON w.id = n.id
+)""")
+        prev = f"l{i}"
+    chain = ",".join(iters)
+    return f"""
+WITH p AS (
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           ROUND({duck_dot("a.embedding", "b.embedding")}, 6) AS cosine
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < b.vec_id
+),
+e AS (SELECT a_id, b_id FROM p WHERE cosine >= {SIM_THRESHOLD}),
+dedges AS (
+    SELECT a_id AS src, b_id AS dst FROM e
+    UNION ALL
+    SELECT b_id AS src, a_id AS dst FROM e
+),
+nodes AS (SELECT DISTINCT src AS id FROM dedges),
+l0 AS (SELECT id, id AS label FROM nodes),{chain}
+SELECT label AS community,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(MIN(id) AS BIGINT)  AS min_member
+FROM {prev}
+GROUP BY label
+ORDER BY n_members DESC, community
+LIMIT 20
+"""
+
+
+@query("l58_label_propagation", oracle=_l58_oracle())
+def l58_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L58 — community detection by synchronous label propagation
+    (LPA) over the cosine-similarity graph, completing the iterative
+    graph family: l11/l16 find CONNECTED components (reachability),
+    l38 ranks WITHIN neighborhoods (centrality), l58 splits dense
+    regions a bridge edge would otherwise merge (majority structure)
+    — the community grain is what semantic-dedup reviewers actually
+    eyeball.
+
+    The deterministic spec, chosen so a replay oracle is possible at
+    all: every node starts labeled with its own id; each round every
+    node adopts the most frequent label among its neighbors with
+    ties broken by SMALLEST label; updates are synchronous; exactly
+    LPA_ITERS=4 rounds (a fixed-round contract — free-running
+    synchronous LPA can 2-cycle on bipartite structures, so
+    "iterate to convergence" is not a well-defined spec). Every
+    quantity is an exact integer: no rounding discipline, no float
+    surface — the strongest determinism class in the iterative
+    family (l38 needs 9dp quantization; this needs nothing).
+
+    Spark shape: per round, votes = edges ⋈ labels (shuffle on src),
+    count by (dst, label), WindowGroupLimit-prunable row_number pick
+    (w06's top-1 shape), left join back to nodes. Per-round shuffle
+    state is (node, label) pairs + vote counts — ids only, never
+    payloads; at corpus scale the edge source swaps to
+    `l04_simjoin_lsh` banding like l36/l38 (this oracle-scale twin
+    uses the exact GEMM pairs)."""
+    from pyspark.sql.window import Window
+
+    (emb,) = load_tables(spark, sf_dir, "embeddings")
+    e = exact_pairs(spark, emb, SIM_THRESHOLD).select("a_id", "b_id")
+    dedges = (
+        e.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+        .unionAll(e.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
+        .cache()
+    )
+    nodes = dedges.select(F.col("src").alias("id")).distinct()
+    labels = nodes.select("id", F.col("id").alias("label"))
+    pick = Window.partitionBy("dst").orderBy(
+        F.col("votes").desc(), F.col("label").asc()
+    )
+    for _ in range(LPA_ITERS):
+        votes = (
+            dedges.join(labels, dedges["src"] == labels["id"])
+            .groupBy("dst", "label")
+            .agg(F.count(F.lit(1)).alias("votes"))
+        )
+        new = (
+            votes.withColumn("rn", F.row_number().over(pick))
+            .filter(F.col("rn") == 1)
+            .select(F.col("dst").alias("id"), F.col("label").alias("new_label"))
+        )
+        labels = (
+            labels.join(new, "id", "left")
+            .select("id", F.coalesce("new_label", "label").alias("label"))
+        )
+    return (
+        labels.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.min("id").cast("bigint").alias("min_member"),
+        )
+        .select(F.col("label").alias("community"), "n_members", "min_member")
+        .orderBy(F.col("n_members").desc(), "community")
+        .limit(20)
+    )

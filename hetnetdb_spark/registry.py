@@ -218,6 +218,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "l57_text_normalization",
         "a31_boolean_aggregates",
         "w18_session_window_fn",
+        "l58_label_propagation",
     }
 )
 

@@ -697,3 +697,16 @@ def test_w17_single_user_exchange(spark):
     plan = executed_plan(registry.QUERIES["w17_ignore_nulls_fill"](spark, SF_DIR))
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert plan.count("Window [") == 1, plan
+
+
+def test_l58_vote_pick_prunes_below_shuffle(spark):
+    """l58: each round's argmax label pick is a row_number()==1 over
+    (dst) — Spark 4 must plan WindowGroupLimit so at most one row
+    per (dst × partition) survives to the window sort, and the vote
+    shuffles carry (id, label, count) rows only — no embedding
+    column may appear in any exchange."""
+    plan = executed_plan(registry.QUERIES["l58_label_propagation"](spark, SF_DIR))
+    assert "WindowGroupLimit" in plan, plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "embedding" not in line, line
