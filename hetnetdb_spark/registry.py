@@ -219,6 +219,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "a31_boolean_aggregates",
         "w18_session_window_fn",
         "l58_label_propagation",
+        "t15_listener_metrics",
     }
 )
 

@@ -1037,3 +1037,125 @@ def t14_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = os.path.join(SCRATCH, f"t14_upsert_{t14_stream_upsert_sink._seq - 1}")
     shutil.rmtree(prev, ignore_errors=True)
     return out
+
+
+# --------------------------------------------------------------------------
+# T15 — StreamingQueryListener telemetry vs the relational truth
+# --------------------------------------------------------------------------
+
+T15_FRAGMENTS = 5
+
+T15_ORACLE = """
+SELECT CAST(5 AS BIGINT)        AS n_nonempty_batches,
+       CAST(COUNT(*) AS BIGINT) AS listener_rows,
+       CAST(COUNT(*) AS BIGINT) AS sink_rows,
+       TRUE                     AS telemetry_consistent
+FROM events
+"""
+
+
+@query("t15_listener_metrics", oracle=T15_ORACLE, impure=True)
+def t15_listener_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T15 — the `StreamingQueryListener` observability surface: the
+    async callback bus every production streaming deployment hangs
+    its lag/throughput alerting on. A Python listener subscribes to
+    onQueryProgress, records each micro-batch's numInputRows (scoped
+    to THIS query's run id — the bus is process-global), and the
+    query's telemetry is then checked against ground truth the
+    relational way: the events snapshot fragments into exactly
+    T15_FRAGMENTS files streamed at maxFilesPerTrigger=1 under
+    availableNow, so the listener must see exactly that many
+    non-empty batches (t11's pinned-pacing idea) whose input-row sum
+    equals COUNT(*) of the source — and both must equal what the
+    sink actually received. Telemetry that can drop or double-count
+    a batch fails the hash, not a human reading a dashboard.
+
+    Async discipline: progress events are delivered on a listener
+    bus thread AFTER awaitTermination can return, so the query polls
+    for the terminated event (bounded wait, loud failure with the
+    partial event log — the t14 zero-batch-guard posture); the
+    listener is removed in a finally block so repeated invocations
+    and other T-queries never cross-talk.
+
+    Scale: listener events are O(batches), driver-side, constant
+    size — the observability cost is independent of data volume,
+    which is the property that lets it stay on in production."""
+    import shutil
+    import time as _time
+
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    frag = os.path.join(SCRATCH, f"t15_fragments_{tag}")
+    shutil.rmtree(frag, ignore_errors=True)
+    (events,) = load_tables(spark, sf_dir, "events")
+    events.select("event_id", "ts", "user_id", "event_type").repartition(
+        T15_FRAGMENTS
+    ).write.mode("overwrite").parquet(frag)
+    n_source = spark.read.parquet(frag).count()
+
+    class _Recorder(StreamingQueryListener):
+        def __init__(self) -> None:
+            self.query_id = None
+            self.batches: list[tuple[int, int]] = []
+            self.terminated = False
+
+        def onQueryStarted(self, event) -> None:
+            pass
+
+        def onQueryProgress(self, event) -> None:
+            p = event.progress
+            if self.query_id is not None and str(p.id) == self.query_id:
+                self.batches.append((p.batchId, p.numInputRows))
+
+        def onQueryIdle(self, event) -> None:
+            pass
+
+        def onQueryTerminated(self, event) -> None:
+            if self.query_id is not None and str(event.id) == self.query_id:
+                self.terminated = True
+
+    rec = _Recorder()
+    spark.streams.addListener(rec)
+    try:
+        schema = spark.read.parquet(frag).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(frag)
+        )
+        q = (
+            stream.groupBy().count()
+            .writeStream.format("memory")
+            .queryName(f"t15_sink_{tag}")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        rec.query_id = str(q.id)
+        q.awaitTermination()
+        deadline = _time.monotonic() + 30
+        while not rec.terminated and _time.monotonic() < deadline:
+            _time.sleep(0.2)
+        if not rec.terminated:
+            raise RuntimeError(
+                f"t15: listener never saw termination; events so far: {rec.batches}"
+            )
+    finally:
+        spark.streams.removeListener(rec)
+
+    nonempty = [(b, n) for b, n in rec.batches if n > 0]
+    listener_rows = sum(n for _, n in nonempty)
+    sink_rows = spark.table(f"t15_sink_{tag}").collect()[0][0]
+    return spark.createDataFrame(
+        [
+            (
+                len(nonempty),
+                listener_rows,
+                int(sink_rows),
+                listener_rows == int(sink_rows) == n_source,
+            )
+        ],
+        "n_nonempty_batches BIGINT, listener_rows BIGINT, "
+        "sink_rows BIGINT, telemetry_consistent BOOLEAN",
+    )
