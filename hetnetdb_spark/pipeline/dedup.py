@@ -181,6 +181,58 @@ def _mh_hash_spark(j: int, s):
     ).cast("long")
 
 
+def _banded_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh) → exploded (doc_id, band_id, bucket) band keys.
+
+    Shared by l02 (global near-dup) and l59 (incremental probe).
+    Bind j via a closure FACTORY, never ``lambda s, j=j:`` — PySpark
+    decides the lambda's shape from its Python ARITY, so a default
+    argument turns the function into the (element, index) variant:
+    j silently binds to the index Column and f"{j}:" stringifies it
+    into a "Column<'y_N'>:" prefix. That still yields 32 distinct
+    hash families (which is why small-SF candidate counts agreed
+    with the oracle by coincidence), but NOT the declared portable
+    family — caught by the round-5 full-registry sweep at sf0.1,
+    where the random-collision tail finally diverged (258 vs 256
+    candidates).
+
+    The banding explode carries ONLY (band key, doc_id) — shingle
+    sets re-join onto deduplicated candidate pairs for
+    verification, so at corpus scale the band shuffle moves ids,
+    never shingle arrays."""
+
+    def _h_j(j: int):
+        return lambda s: _mh_hash_spark(j, s)
+
+    minhashes = docs.select(
+        "doc_id",
+        *[
+            F.array_min(F.transform(F.col("sh"), _h_j(j))).alias(f"mh{j}")
+            for j in range(N_HASHES)
+        ],
+    )
+    return minhashes.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"mh{b * ROWS_PER_BAND + r}").cast("string")
+                                for r in range(ROWS_PER_BAND)
+                            ],
+                        ).alias("bucket"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.bucket")
+
+
 def _l02_minhash_oracle() -> str:
     mh_cols = ",\n           ".join(
         f"list_min(list_transform(sh, x -> {_mh_hash_duck(j)})) AS mh{j}"
@@ -256,52 +308,7 @@ def l02_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     (documents,) = load_tables(spark, sf_dir, "documents")
     docs = documents.select("doc_id", F.expr(_SHINGLE_SPARK).alias("sh"))
-
-    # Bind j via a closure FACTORY, never `lambda s, j=j:` — PySpark
-    # decides the lambda's shape from its Python ARITY, so a default
-    # argument turns the function into the (element, index) variant:
-    # j silently binds to the index Column and f"{j}:" stringifies it
-    # into a "Column<'y_N'>:" prefix. That still yields 32 distinct
-    # hash families (which is why small-SF candidate counts agreed
-    # with the oracle by coincidence), but NOT the declared portable
-    # family — caught by the round-5 full-registry sweep at sf0.1,
-    # where the random-collision tail finally diverged (258 vs 256
-    # candidates).
-    def _h_j(j: int):
-        return lambda s: _mh_hash_spark(j, s)
-
-    minhashes = docs.select(
-        "doc_id",
-        "sh",
-        *[
-            F.array_min(F.transform(F.col("sh"), _h_j(j))).alias(f"mh{j}")
-            for j in range(N_HASHES)
-        ],
-    )
-    # The 8× banding explode and band join carry ONLY (band key,
-    # doc_id) — shingle sets are re-joined onto the deduplicated
-    # candidate pairs for verification, so at corpus scale the band
-    # shuffle moves ids, never shingle arrays.
-    banded = minhashes.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.col(f"mh{b * ROWS_PER_BAND + r}").cast("string")
-                                for r in range(ROWS_PER_BAND)
-                            ],
-                        ).alias("bucket"),
-                    )
-                    for b in range(N_BANDS)
-                ]
-            )
-        ).alias("band"),
-    ).select("doc_id", "band.band_id", "band.bucket")
+    banded = _banded_signatures(docs)
 
     a = banded.select("band_id", "bucket", F.col("doc_id").alias("a_id"))
     b = banded.select("band_id", "bucket", F.col("doc_id").alias("b_id"))
@@ -1182,4 +1189,131 @@ def l37_portable_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             t(F.col("is_member") & ~F.col("flagged")).alias("n_missed"),
         )
         .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# L59 — incremental near-dup: batch probes a persisted MinHash index
+# --------------------------------------------------------------------------
+
+
+def _l59_oracle() -> str:
+    mh_cols = ",\n           ".join(
+        f"list_min(list_transform(sh, x -> {_mh_hash_duck(j)})) AS mh{j}"
+        for j in range(N_HASHES)
+    )
+    band_rows = "\n    UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, "
+        + " || ',' || ".join(
+            f"CAST(mh{b * ROWS_PER_BAND + r} AS VARCHAR)"
+            for r in range(ROWS_PER_BAND)
+        )
+        + " AS bucket FROM mh"
+        for b in range(N_BANDS)
+    )
+    return f"""
+WITH s AS (
+    SELECT doc_id, {_SHINGLE_DUCK} AS sh FROM documents
+),
+mh AS (
+    SELECT doc_id,
+           {mh_cols}
+    FROM s
+),
+banded AS (
+    {band_rows}
+),
+cand AS (
+    SELECT DISTINCT b.doc_id AS batch_id, i.doc_id AS index_id
+    FROM banded b JOIN banded i
+      ON b.band_id = i.band_id AND b.bucket = i.bucket
+    WHERE b.doc_id % 10 = 0 AND i.doc_id % 10 <> 0
+),
+verified AS (
+    SELECT c.batch_id, c.index_id
+    FROM cand c
+    JOIN s sa ON sa.doc_id = c.batch_id
+    JOIN s sb ON sb.doc_id = c.index_id
+    WHERE CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE)
+          / (len(sa.sh) + len(sb.sh)
+             - len(list_filter(sa.sh, x -> list_contains(sb.sh, x))))
+          >= {JACCARD_THRESHOLD}
+)
+SELECT d.doc_id,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n_candidates,
+       CAST(COALESCE(v.n, 0) AS BIGINT) AS n_matches,
+       COALESCE(v.n, 0) > 0             AS is_near_dup
+FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+LEFT JOIN (SELECT batch_id, COUNT(*) AS n FROM cand GROUP BY batch_id) c
+       ON c.batch_id = d.doc_id
+LEFT JOIN (SELECT batch_id, COUNT(*) AS n FROM verified GROUP BY batch_id) v
+       ON v.batch_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+@query("l59_minhash_index_probe", oracle=_l59_oracle())
+def l59_minhash_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L59 — incremental NEAR-dup: an arriving batch (doc_id % 10
+    = 0, modeling a daily ingest) probes the persisted corpus
+    MinHash index (everything else) through the banded LSH keys —
+    l33's incremental-membership idea lifted from exact hashes to
+    fuzzy similarity, which is the shape production corpora actually
+    run: global all-pairs near-dup is a one-time backfill (l02);
+    every day after is batch-vs-index.
+
+    Per batch doc the report is (candidate count, verified-match
+    count, near-dup flag) with zero-candidate docs preserved via the
+    left join — admission decisions need the explicit "no collision"
+    row, not an absent one. Same portable md5 hash family, banding
+    (8×4), and exact-Jaccard verification as l02 (shared
+    `_banded_signatures` builder), so the DuckDB twin replays the
+    whole pipeline.
+
+    Scale posture: the index side's band keys are computed ONCE and
+    persisted in production (bucketed on (band_id, bucket) —
+    l33's co-located-probe layout); the daily cost is hashing the
+    BATCH (small) plus an equi-join against the index keys — shuffle
+    carries (band key, id) pairs only, and with a bucketed index
+    only the batch side moves. Never N², never a corpus re-scan."""
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    docs = documents.select("doc_id", F.expr(_SHINGLE_SPARK).alias("sh"))
+    banded = _banded_signatures(docs)
+
+    probe = banded.filter(F.col("doc_id") % 10 == 0).select(
+        "band_id", "bucket", F.col("doc_id").alias("batch_id")
+    )
+    index = banded.filter(F.col("doc_id") % 10 != 0).select(
+        "band_id", "bucket", F.col("doc_id").alias("index_id")
+    )
+    cand = (
+        probe.join(index, ["band_id", "bucket"])
+        .select("batch_id", "index_id")
+        .dropDuplicates(["batch_id", "index_id"])
+    )
+    sh_a = docs.select(F.col("doc_id").alias("batch_id"), F.col("sh").alias("a_sh"))
+    sh_b = docs.select(F.col("doc_id").alias("index_id"), F.col("sh").alias("b_sh"))
+    inter = F.size(F.array_intersect(F.col("a_sh"), F.col("b_sh")))
+    union = F.size(F.col("a_sh")) + F.size(F.col("b_sh")) - inter
+    verified = (
+        cand.join(sh_a, "batch_id")
+        .join(sh_b, "index_id")
+        .filter(inter.cast("double") / union.cast("double") >= JACCARD_THRESHOLD)
+        .select("batch_id", "index_id")
+    )
+    batch_docs = documents.filter(F.col("doc_id") % 10 == 0).select("doc_id")
+    n_cand = cand.groupBy("batch_id").agg(F.count(F.lit(1)).alias("nc"))
+    n_match = verified.groupBy("batch_id").agg(F.count(F.lit(1)).alias("nm"))
+    return (
+        batch_docs.join(n_cand, batch_docs["doc_id"] == n_cand["batch_id"], "left")
+        .drop("batch_id")
+        .join(n_match, batch_docs["doc_id"] == n_match["batch_id"], "left")
+        .drop("batch_id")
+        .select(
+            "doc_id",
+            F.coalesce("nc", F.lit(0)).cast("bigint").alias("n_candidates"),
+            F.coalesce("nm", F.lit(0)).cast("bigint").alias("n_matches"),
+            (F.coalesce("nm", F.lit(0)) > 0).alias("is_near_dup"),
+        )
+        .orderBy("doc_id")
     )
