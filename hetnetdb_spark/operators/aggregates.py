@@ -1270,3 +1270,73 @@ def a31_boolean_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --------------------------------------------------------------------------
+# A32 — SQL PIVOT clause (multi-aggregate, aliased cells)
+# --------------------------------------------------------------------------
+
+A32_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS BIGINT)
+           AS f_n,
+       ROUND(CAST(SUM(CASE WHEN o_orderstatus = 'F'
+             THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE), 6)
+           AS f_total,
+       CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS BIGINT)
+           AS o_n,
+       ROUND(CAST(SUM(CASE WHEN o_orderstatus = 'O'
+             THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE), 6)
+           AS o_total,
+       CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS BIGINT)
+           AS p_n,
+       ROUND(CAST(SUM(CASE WHEN o_orderstatus = 'P'
+             THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE), 6)
+           AS p_total
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@query("a32_sql_pivot_clause", oracle=A32_ORACLE, impure=True)
+def a32_sql_pivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A32 — the SQL ``PIVOT`` clause with TWO aggregates and
+    aliased pivot values — the syntax surface a13's DataFrame
+    `.pivot()` does not cover: cell columns are named by the
+    analyzer as <valueAlias>_<aggAlias> (f_n, f_total, ...), the
+    value list is explicit (an implicit list would make the output
+    schema data-dependent — the same determinism reason a13 pins its
+    values), and absent combinations produce NULL cells (the count
+    coalesces to 0 on both sides, matching COUNT's no-rows value;
+    the SUM stays NULL — both behaviors pinned).
+
+    The oracle is the desugared form — conditional aggregation —
+    which is also exactly what Catalyst lowers PIVOT to: one
+    aggregate pass, no join, no second scan; |priorities| × 6 cells.
+    Decimal money accumulation per the q1 discipline."""
+    from hetnetdb_spark.catalog import register_views
+
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT * FROM (
+            SELECT o_orderpriority, o_orderstatus, o_totalprice FROM orders
+        )
+        PIVOT (
+            CAST(COUNT(*) AS BIGINT) AS n,
+            ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 6)
+                AS total
+            FOR o_orderstatus IN ('F' AS f, 'O' AS o, 'P' AS p)
+        )
+        ORDER BY o_orderpriority
+        """
+    ).selectExpr(
+        "o_orderpriority",
+        "COALESCE(f_n, CAST(0 AS BIGINT)) AS f_n",
+        "f_total",
+        "COALESCE(o_n, CAST(0 AS BIGINT)) AS o_n",
+        "o_total",
+        "COALESCE(p_n, CAST(0 AS BIGINT)) AS p_n",
+        "p_total",
+    )

@@ -286,3 +286,41 @@ def o09_distributed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             r6(F.col("c_acctbal")).alias("acctbal"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# O13 — GROUP BY ALL / ORDER BY ALL (modern positional-free SQL sugar)
+# --------------------------------------------------------------------------
+
+O13_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 6) AS qty
+FROM lineitem
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+
+@query("o13_group_order_by_all", oracle=O13_SQL, impure=True)
+def o13_group_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O13 — ``GROUP BY ALL`` / ``ORDER BY ALL``: the analyzer
+    infers the grouping key as every non-aggregate select item and
+    the ordering as the full select list. Identical SQL on both
+    engines (DuckDB originated the syntax; Spark adopted it in 3.4)
+    — the pin is the INFERENCE rule itself: if either engine
+    classified an expression differently (e.g. treated an aggregate
+    as a group key or ordered by a different column subset), rows or
+    row order would diverge. The dialect-portability story matters
+    operationally: warehouse SQL written this way moves between the
+    interactive engine (DuckDB-class) and the batch engine (this
+    one) without positional-list maintenance.
+
+    Plan-wise this desugars to exactly q1's aggregate — inference
+    happens at analysis, execution is unchanged (same partial/final
+    split, same decimal money discipline). Registered impure: view
+    registration."""
+    from hetnetdb_spark.catalog import register_views
+
+    register_views(spark, sf_dir, "lineitem")
+    return spark.sql(O13_SQL)

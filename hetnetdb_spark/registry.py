@@ -220,6 +220,10 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "w18_session_window_fn",
         "l58_label_propagation",
         "t15_listener_metrics",
+        "l59_minhash_index_probe",
+        "o13_group_order_by_all",
+        "a32_sql_pivot_clause",
+        "s33_partition_discovery",
     }
 )
 

@@ -1480,3 +1480,69 @@ def s31_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.sql(f"ALTER TABLE {tbl} ALTER COLUMN score SET DEFAULT 99")
     spark.sql(f"INSERT INTO {tbl} (id) VALUES (5)")
     return spark.table(tbl).orderBy("id")
+
+
+# --------------------------------------------------------------------------
+# S33 — partition discovery: MSCK REPAIR over an externally-written layout
+# --------------------------------------------------------------------------
+
+S33_ORACLE = """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@query("s33_partition_discovery", oracle=S33_ORACLE, impure=True)
+def s33_partition_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S33 — metastore partition discovery: data written
+    DIRECTLY to a Hive-layout directory tree (o_year=YYYY/ part
+    files — as an external writer, a backfill job, or a file-copy
+    migration would) is INVISIBLE to a partitioned catalog table
+    until ``MSCK REPAIR TABLE`` (alias ``ALTER TABLE ... RECOVER
+    PARTITIONS``) walks the tree and registers what it finds. The
+    query pins the full lifecycle: create the partitioned table
+    over the pre-populated location, assert the zero-partitions
+    blind spot (a COUNT before repair must see nothing — checked
+    with a hard raise, not left to luck), repair, then aggregate
+    per partition; the oracle recomputes the same rollup from the
+    raw source.
+
+    At 100 TB this is the operational difference between "the data
+    landed" and "queries can see it": partition registration is
+    metadata-only (no data scan — the repair walks directories),
+    and the failure mode it guards against — silently querying a
+    subset after a manual backfill — is exactly the blind spot the
+    pre-repair assertion demonstrates."""
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    loc = os.path.join(SCRATCH, f"s33_orders_by_year_{tag}")
+    shutil.rmtree(loc, ignore_errors=True)
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    orders.withColumn(
+        "o_year", F.year("o_orderdate").cast("long")
+    ).write.mode("overwrite").partitionBy("o_year").parquet(loc)
+
+    tbl = f"s33_orders_{tag}"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    spark.sql(
+        f"CREATE TABLE {tbl} "
+        "(o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, "
+        " o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING, "
+        " o_year BIGINT) "
+        f"USING PARQUET PARTITIONED BY (o_year) LOCATION '{loc}'"
+    )
+    blind = spark.table(tbl).count()
+    if blind != 0:
+        raise RuntimeError(
+            f"s33: expected the pre-repair table to see ZERO rows "
+            f"(no partitions registered), saw {blind}"
+        )
+    spark.sql(f"MSCK REPAIR TABLE {tbl}")
+    return (
+        spark.table(tbl)
+        .groupBy("o_year")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+        .orderBy("o_year")
+    )
