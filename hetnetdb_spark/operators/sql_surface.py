@@ -425,3 +425,129 @@ def a29_approx_topk_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+# --------------------------------------------------------------------------
+# U14 — SQL TABLE function (named, correlated via LATERAL)
+# --------------------------------------------------------------------------
+
+U14_ORACLE = """
+SELECT c.c_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_big,
+       ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 6)
+           AS big_total
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey AND o.o_totalprice >= 400000
+WHERE c.c_mktsegment = 'AUTOMOBILE'
+GROUP BY c.c_custkey
+ORDER BY c.c_custkey
+"""
+
+
+@query("u14_sql_table_function", oracle=U14_ORACLE, impure=True)
+def u14_sql_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U14 — SQL TABLE functions (Spark 4.1 ``CREATE FUNCTION ...
+    RETURNS TABLE(...) RETURN SELECT ...``), invoked CORRELATED via
+    LATERAL: u13's zero-cost-abstraction argument extended from
+    scalar expressions to whole parameterized subqueries. The body
+    inlines at analysis time, the correlated filter decorrelates to
+    a plain equi-join (the oracle IS that join), and a named,
+    catalogued "big_orders(cust, floor)" is how a warehouse shares
+    the idiom without the Arrow-crossing cost the Python UDTF (u06)
+    pays for the same shape.
+
+    Two MEASURED edges of the surface, recorded here because both
+    bit during development: (1) a function parameter cannot feed
+    LIMIT — INVALID_LIMIT_LIKE_EXPRESSION.IS_UNFOLDABLE at CREATE
+    time; (2) far worse, a CONSTANT ``LIMIT`` inside the body makes
+    a CORRELATED LATERAL call return ZERO ROWS silently (Spark
+    4.1.2; the uncorrelated call of the same function is correct,
+    no error, no warning — isolated to the LIMIT by A/B probe).
+    Top-k-per-key bodies must therefore stay LIMIT-free and rank
+    outside (j16's LATERAL subquery form handles that shape
+    correctly); this query uses the correlated-filter body that is
+    safe, and the silent-empty trap is exactly why the differential
+    oracle gate exists. Registered impure: DDL + views."""
+    register_views(spark, sf_dir, "customer", "orders")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION big_orders("
+        "cust BIGINT, floor DOUBLE) "
+        "RETURNS TABLE(o_orderkey BIGINT, o_totalprice DOUBLE) "
+        "RETURN SELECT o_orderkey, o_totalprice FROM orders "
+        "WHERE o_custkey = cust AND o_totalprice >= floor"
+    )
+    return spark.sql(
+        """
+        SELECT c.c_custkey,
+               CAST(COUNT(*) AS BIGINT) AS n_big,
+               ROUND(CAST(SUM(CAST(f.o_totalprice AS DECIMAL(18,6)))
+                     AS DOUBLE), 6) AS big_total
+        FROM customer c, LATERAL big_orders(c.c_custkey, 400000.0) f
+        WHERE c.c_mktsegment = 'AUTOMOBILE'
+        GROUP BY c.c_custkey
+        ORDER BY c.c_custkey
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# S34 — stacked CREATE VIEW (macro semantics, pushdown through layers)
+# --------------------------------------------------------------------------
+
+S34_ORACLE = """
+WITH item_revenue AS (
+    SELECT l_orderkey, l_shipdate,
+           CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS rev
+    FROM lineitem
+),
+recent_revenue AS (
+    SELECT l_orderkey, rev FROM item_revenue
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+)
+SELECT l_orderkey,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       ROUND(CAST(SUM(rev) AS DOUBLE), 6) AS revenue
+FROM recent_revenue
+GROUP BY l_orderkey
+ORDER BY revenue DESC, l_orderkey
+LIMIT 25
+"""
+
+
+@query("s34_view_stack", oracle=S34_ORACLE, impure=True)
+def s34_view_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S34 — layered VIEW definitions: a base view computing the
+    revenue expression, a second view filtering the first, a query
+    aggregating the second. Views are analysis-time macros — the pin
+    (beyond value parity with the oracle's CTE replay) is that the
+    optimizer sees THROUGH the stack: the date predicate written in
+    the middle view reaches the parquet scan's PushedFilters, and
+    the scan reads only the four columns the whole stack touches
+    (plan-asserted in tests/test_plans.py). A view stack that
+    blocked pushdown would silently re-scan everything at 100 TB —
+    the property is worth a regression test, not an assumption.
+
+    Registered impure: view DDL at build time."""
+    register_views(spark, sf_dir, "lineitem")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY VIEW s34_item_revenue AS "
+        "SELECT l_orderkey, l_shipdate, "
+        "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS rev "
+        "FROM lineitem"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY VIEW s34_recent_revenue AS "
+        "SELECT l_orderkey, rev FROM s34_item_revenue "
+        "WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'"
+    )
+    return spark.sql(
+        """
+        SELECT l_orderkey,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               ROUND(CAST(SUM(rev) AS DOUBLE), 6) AS revenue
+        FROM s34_recent_revenue
+        GROUP BY l_orderkey
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 25
+        """
+    )

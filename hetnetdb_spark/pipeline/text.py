@@ -1505,3 +1505,81 @@ def l57_text_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# L60 — vocabulary OOV rate per source (loader-compat metric)
+# --------------------------------------------------------------------------
+
+L60_VOCAB_K = 1000
+
+L60_ORACLE = f"""
+WITH toks AS (
+    SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+vocab AS (
+    SELECT tok FROM (
+        SELECT tok, COUNT(*) AS freq FROM toks GROUP BY tok
+        ORDER BY freq DESC, tok
+        LIMIT {L60_VOCAB_K}
+    )
+)
+SELECT t.source,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(SUM(CASE WHEN v.tok IS NULL THEN 1 END), 0) AS BIGINT)
+           AS n_oov,
+       ROUND(COALESCE(SUM(CASE WHEN v.tok IS NULL THEN 1 END), 0)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS oov_rate
+FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+GROUP BY t.source
+ORDER BY t.source
+"""
+
+
+@query("l60_vocab_oov_rate", oracle=L60_ORACLE)
+def l60_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L60 — out-of-vocabulary rate per source against the corpus's
+    own top-K unigram vocabulary: the loader-compatibility metric a
+    tokenizer/vocab decision is judged by (l25 scores sequences
+    UNDER a vocab model; l60 measures how much of each source the
+    vocab fails to cover at all — the quantity that decides whether
+    K was big enough before any model exists). Vocabulary selection
+    is deterministic: top-K by (freq DESC, token ASC) — the registry
+    tiebreak discipline applied to vocabulary construction, which
+    real tokenizer training pins the same way for reproducibility.
+
+    Scale shape: the token stream aggregates to a vocab-bounded
+    (token, freq) table (the l06/l25 shuffle argument); top-K is
+    TakeOrderedAndProject; the K-row vocab BROADCASTS back into the
+    token stream's left join, so the only raw-row shuffle is the
+    per-source partial aggregate. Integer counts + one r6 ratio."""
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), "tok")
+        .limit(L60_VOCAB_K)
+        .select("tok", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.coalesce(F.sum(F.when(F.col("in_vocab").isNull(), 1)), F.lit(0))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_oov",
+            F.round(
+                F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"), 6
+            ).alias("oov_rate"),
+        )
+        .orderBy("source")
+    )

@@ -224,6 +224,9 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "o13_group_order_by_all",
         "a32_sql_pivot_clause",
         "s33_partition_discovery",
+        "u14_sql_table_function",
+        "s34_view_stack",
+        "l60_vocab_oov_rate",
     }
 )
 

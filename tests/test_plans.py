@@ -710,3 +710,20 @@ def test_l58_vote_pick_prunes_below_shuffle(spark):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "embedding" not in line, line
+
+
+def test_s34_pushdown_through_view_stack(spark):
+    """s34: the middle view's date predicate must reach the parquet
+    scan's pushed filters THROUGH two view layers, and the scan must
+    read only the four columns the stack touches."""
+    import re
+
+    plan = executed_plan(registry.QUERIES["s34_view_stack"](spark, SF_DIR))
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(l_shipdate" in plan, plan
+    # catalog-table scan line: FileScan parquet spark_catalog.default.lineitem[cols...]
+    m = re.search(r"FileScan parquet \S*lineitem\[([^\]]*)\]", plan)
+    assert m, plan
+    cols = {c.split("#")[0] for c in m.group(1).split(",")}
+    assert cols <= {
+        "l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"
+    }, f"view stack must prune columns; scan reads {sorted(cols)}"
