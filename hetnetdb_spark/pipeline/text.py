@@ -1583,3 +1583,80 @@ def l60_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# L61 — unicode script-mix profile per language
+# --------------------------------------------------------------------------
+
+L61_ORACLE = """
+WITH scored AS (
+    SELECT lang,
+           length(text) AS n_chars,
+           length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+               AS n_latin,
+           length(text) - length(regexp_replace(text,
+               '[\\x{4e00}-\\x{9fff}]', '', 'g')) AS n_cjk,
+           length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+               AS n_digit
+    FROM documents
+)
+SELECT lang,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+       CAST(SUM(n_latin) AS BIGINT) AS latin_total,
+       CAST(SUM(n_cjk) AS BIGINT)   AS cjk_total,
+       CAST(SUM(n_digit) AS BIGINT) AS digit_total,
+       CASE WHEN SUM(n_cjk) > SUM(n_latin) THEN 'cjk' ELSE 'latin' END
+           AS dominant_script
+FROM scored
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@query("l61_script_mix", oracle=L61_ORACLE)
+def l61_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L61 — unicode script-mix profile: per language, how many
+    characters are Latin letters, CJK ideographs, digits — the
+    feature that catches mislabeled languages (a 'zh' document full
+    of Latin text), transliteration artifacts, and boilerplate
+    contamination BEFORE the n-gram language-ID (text_language_id)
+    votes; script mismatch is the cheapest high-precision lang-QA
+    signal a corpus pipeline has.
+
+    Counting is strip-and-diff (length minus length after removing
+    the class) — all integers, no float surface. The CJK class is
+    the same codepoint RANGE in both engines' regex dialects, spelled
+    per dialect: Java ``[\\u4e00-\\u9fff]``, RE2
+    ``[\\x{4e00}-\\x{9fff}]`` — character-class semantics over
+    identical UTF-8 text, so the counts must agree exactly.
+
+    Scale: one scan, per-row codegen regex work, |lang| bounded
+    groups — the l05/l57 shape."""
+    (docs,) = load_tables(spark, sf_dir, "documents")
+
+    def strip_count(cls: str):
+        return F.length("text") - F.length(
+            F.regexp_replace(F.col("text"), cls, "")
+        )
+
+    scored = docs.select(
+        "lang",
+        F.length("text").alias("n_chars"),
+        strip_count("[A-Za-z]").alias("n_latin"),
+        strip_count("[一-鿿]").alias("n_cjk"),
+        strip_count("[0-9]").alias("n_digit"),
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.sum("n_chars").cast("bigint").alias("chars_total"),
+            F.sum("n_latin").cast("bigint").alias("latin_total"),
+            F.sum("n_cjk").cast("bigint").alias("cjk_total"),
+            F.sum("n_digit").cast("bigint").alias("digit_total"),
+            F.when(F.sum("n_cjk") > F.sum("n_latin"), F.lit("cjk"))
+            .otherwise(F.lit("latin"))
+            .alias("dominant_script"),
+        )
+        .orderBy("lang")
+    )

@@ -227,6 +227,9 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "u14_sql_table_function",
         "s34_view_stack",
         "l60_vocab_oov_rate",
+        "s35_python_datasource",
+        "u15_arrow_udtf",
+        "l61_script_mix",
     }
 )
 

@@ -1546,3 +1546,103 @@ def s33_partition_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
         .orderBy("o_year")
     )
+
+
+# --------------------------------------------------------------------------
+# S35 — Python Data Source API (Spark 4): custom parallel source
+# --------------------------------------------------------------------------
+
+S35_PARTS = 4
+S35_ROWS_PER_PART = 2500
+
+S35_ORACLE = f"""
+WITH feed AS (
+    SELECT p.p AS part_id,
+           p.p * {S35_ROWS_PER_PART} + i.i AS id,
+           (p.p * {S35_ROWS_PER_PART} + i.i) * 37 % 100000 AS value_cents
+    FROM generate_series(0, {S35_PARTS - 1}) p(p),
+         generate_series(0, {S35_ROWS_PER_PART - 1}) i(i)
+)
+SELECT part_id,
+       CAST(COUNT(*) AS BIGINT)    AS n_rows,
+       CAST(MIN(id) AS BIGINT)     AS min_id,
+       CAST(MAX(id) AS BIGINT)     AS max_id,
+       CAST(SUM(value_cents) AS BIGINT) AS total_cents
+FROM feed
+GROUP BY part_id
+ORDER BY part_id
+"""
+
+
+@query("s35_python_datasource", oracle=S35_ORACLE, impure=True)
+def s35_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S35 — the Python Data Source API (Spark 4.0,
+    ``pyspark.sql.datasource``): a custom source whose
+    ``partitions()`` plan fans the scan out across executors and
+    whose per-partition ``read()`` generator yields the rows — the
+    escape hatch that turns any REST pager, proprietary format, or
+    synthetic feed into a PARALLEL DataFrame scan with options,
+    schema, and partition planning owned by Python code. This is the
+    modern replacement for the "collect it on the driver then
+    parallelize()" anti-pattern: each partition reads on an
+    executor, so ingest bandwidth scales with the cluster, not the
+    driver.
+
+    The source here is a deterministic arithmetic feed (id =
+    part·N + i, value_cents = id·37 mod 100000) precisely so the
+    oracle can replay it relationally (generate_series) and every
+    aggregate is integer-exact — what's pinned is the API's
+    partition planning (4 partitions, disjoint id ranges must
+    surface intact), option passing (rows-per-partition arrives via
+    ``.option()``), and iterator semantics (no dropped or duplicated
+    rows across the partition boundary).
+
+    Registered impure: source registration is session state."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class _FeedReader(DataSourceReader):
+        def __init__(self, options):
+            self.rows = int(options.get("rows_per_part", "10"))
+            self.parts = int(options.get("parts", "2"))
+
+        def partitions(self):
+            return [InputPartition(p) for p in range(self.parts)]
+
+        def read(self, partition):
+            base = partition.value * self.rows
+            for i in range(self.rows):
+                ident = base + i
+                yield (partition.value, ident, ident * 37 % 100000)
+
+    class _Feed(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "hetnetdb_feed"
+
+        def schema(self) -> str:
+            return "part_id INT, id BIGINT, value_cents BIGINT"
+
+        def reader(self, schema):
+            return _FeedReader(self.options)
+
+    spark.dataSource.register(_Feed)
+    feed = (
+        spark.read.format("hetnetdb_feed")
+        .option("rows_per_part", str(S35_ROWS_PER_PART))
+        .option("parts", str(S35_PARTS))
+        .load()
+    )
+    return (
+        feed.groupBy("part_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("id").cast("bigint").alias("min_id"),
+            F.max("id").cast("bigint").alias("max_id"),
+            F.sum("value_cents").cast("bigint").alias("total_cents"),
+        )
+        .orderBy("part_id")
+    )
