@@ -230,6 +230,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "s35_python_datasource",
         "u15_arrow_udtf",
         "l61_script_mix",
+        "t16_stream_python_source",
     }
 )
 

@@ -1159,3 +1159,131 @@ def t15_listener_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nonempty_batches BIGINT, listener_rows BIGINT, "
         "sink_rows BIGINT, telemetry_consistent BOOLEAN",
     )
+
+
+# --------------------------------------------------------------------------
+# T16 — streaming Python Data Source (custom source, exact final state)
+# --------------------------------------------------------------------------
+
+T16_BATCHES = 3
+T16_ROWS_PER_BATCH = 50
+
+T16_ORACLE = f"""
+WITH feed AS (
+    SELECT b.b AS batch_id,
+           (b.b * {T16_ROWS_PER_BATCH} + i.i) * 7 % 5000 AS value_cents
+    FROM generate_series(0, {T16_BATCHES - 1}) b(b),
+         generate_series(0, {T16_ROWS_PER_BATCH - 1}) i(i)
+)
+SELECT batch_id,
+       CAST(COUNT(*) AS BIGINT)         AS n_rows,
+       CAST(SUM(value_cents) AS BIGINT) AS total_cents
+FROM feed
+GROUP BY batch_id
+ORDER BY batch_id
+"""
+
+
+@query("t16_stream_python_source", oracle=T16_ORACLE, impure=True)
+def t16_stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T16 — the STREAMING half of the Python Data Source API
+    (s35): a custom source advancing its own offset protocol —
+    ``initialOffset`` → per-microbatch ``read(start)`` returning
+    (rows, next offset) → ``readBetweenOffsets`` for recovery
+    replay. This is the surface that turns a REST poller or a
+    vendor SDK into a real Structured Streaming source with
+    checkpointable offsets, instead of a driver-side loop feeding
+    parallelize().
+
+    Determinism protocol (the t14/t15 posture): the source serves
+    exactly T16_BATCHES batches of the arithmetic feed and then
+    reports an unchanged offset forever; the query runs under a
+    tight processing-time trigger into an append-mode memory sink
+    and the harness polls for the EXACT total row count before
+    stopping (bounded wait, loud failure with progress dump) — so
+    the FINAL STATE is pacing-independent even though batch
+    boundaries are the scheduler's business, and the oracle replays
+    the arithmetic relationally. availableNow cannot drive this
+    source to exhaustion in one trigger (measured: it consumes one
+    simple-reader batch), which is itself a recorded surface fact.
+
+    Scale: offsets are O(1) driver state; rows materialize on
+    executors per batch — the ingest parallelism argument of s35
+    applied to continuous arrival."""
+    import time as _time
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        SimpleDataSourceStreamReader,
+    )
+
+    class _FeedStream(SimpleDataSourceStreamReader):
+        def initialOffset(self):
+            return {"batch": 0}
+
+        def read(self, start):
+            b = start["batch"]
+            if b >= T16_BATCHES:
+                return iter([]), {"batch": b}
+            rows = [
+                (b, (b * T16_ROWS_PER_BATCH + i) * 7 % 5000)
+                for i in range(T16_ROWS_PER_BATCH)
+            ]
+            return iter(rows), {"batch": b + 1}
+
+        def readBetweenOffsets(self, start, end):
+            rows = []
+            for b in range(start["batch"], end["batch"]):
+                rows.extend(
+                    (b, (b * T16_ROWS_PER_BATCH + i) * 7 % 5000)
+                    for i in range(T16_ROWS_PER_BATCH)
+                )
+            return iter(rows)
+
+    class _FeedStreamSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "hetnetdb_feed_stream"
+
+        def schema(self) -> str:
+            return "batch_id INT, value_cents BIGINT"
+
+        def simpleStreamReader(self, schema):
+            return _FeedStream()
+
+    spark.dataSource.register(_FeedStreamSource)
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    sink = f"t16_sink_{tag}"
+    q = (
+        spark.readStream.format("hetnetdb_feed_stream")
+        .load()
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        want = T16_BATCHES * T16_ROWS_PER_BATCH
+        deadline = _time.monotonic() + 60
+        while _time.monotonic() < deadline:
+            if spark.table(sink).count() >= want:
+                break
+            _time.sleep(0.3)
+        got = spark.table(sink).count()
+        if got != want:
+            raise RuntimeError(
+                f"t16: sink has {got} rows, expected {want}; "
+                f"progress: {[p and p['batchId'] for p in q.recentProgress]}"
+            )
+    finally:
+        q.stop()
+    return (
+        spark.table(sink)
+        .groupBy("batch_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("value_cents").cast("bigint").alias("total_cents"),
+        )
+        .orderBy("batch_id")
+    )
