@@ -1340,3 +1340,57 @@ def a32_sql_pivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         "COALESCE(p_n, CAST(0 AS BIGINT)) AS p_n",
         "p_total",
     )
+
+
+# --------------------------------------------------------------------------
+# A33 — equi-depth histogram (ntile buckets: the other profiler staple)
+# --------------------------------------------------------------------------
+
+A33_ORACLE = """
+WITH bucketed AS (
+    SELECT o_totalprice,
+           ntile(12) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+    FROM orders
+)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT)       AS n_rows,
+       ROUND(MIN(o_totalprice), 6)    AS lo,
+       ROUND(MAX(o_totalprice), 6)    AS hi
+FROM bucketed
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+@query("a33_equidepth_histogram", oracle=A33_ORACLE)
+def a33_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A33 — equi-DEPTH histogram via ntile: 12 buckets holding
+    (near-)equal row counts with data-driven boundaries — the
+    complement of s22's equal-WIDTH buckets, and the shape CBO
+    column statistics and "where do the quantiles sit" profiling
+    actually use (equal-width collapses under skew; equal-depth by
+    construction cannot). ntile's remainder rule (first n%k buckets
+    get the extra row) is ANSI-defined identically in both engines,
+    and the (price, orderkey) ordering carries the unique tiebreaker
+    so bucket membership is deterministic at ties — without it the
+    bucket min/max at boundaries would be engine-luck (registry
+    discipline).
+
+    Scale: a global ntile is a total sort — a deliberate profiler
+    cost (o09's bucketed global-rank construction is the
+    shuffle-bounded alternative when N is huge); boundaries-only
+    output keeps the result |buckets| rows."""
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select("o_totalprice", F.ntile(12).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            r6(F.min("o_totalprice")).alias("lo"),
+            r6(F.max("o_totalprice")).alias("hi"),
+        )
+        .orderBy("bucket")
+    )

@@ -1221,3 +1221,82 @@ def l58_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_members").desc(), "community")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# L62 — similarity threshold sensitivity sweep (one pass, all cutoffs)
+# --------------------------------------------------------------------------
+
+L62_ORACLE = f"""
+WITH p AS (
+    SELECT ROUND({duck_dot("a.embedding", "b.embedding")}, 6) AS cosine
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < b.vec_id
+),
+banded AS (
+    SELECT CAST(FLOOR(cosine * 20) AS BIGINT) AS band FROM p
+    WHERE cosine >= 0.2
+)
+SELECT t.thr,
+       CAST(COALESCE(SUM(CASE WHEN b.band >= CAST(ROUND(t.thr * 20, 0)
+            AS BIGINT) THEN 1 END), 0) AS BIGINT) AS n_pairs
+FROM (VALUES (0.20), (0.25), (0.30), (0.35), (0.40), (0.45), (0.50),
+             (0.60), (0.70), (0.80)) t(thr)
+LEFT JOIN banded b ON TRUE
+GROUP BY t.thr
+ORDER BY t.thr
+"""
+
+
+@query("l62_threshold_sweep", oracle=L62_ORACLE)
+def l62_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L62 — near-dup threshold sensitivity in ONE pass: pair counts
+    at ten cosine cutoffs from a single exact-pairs evaluation —
+    the tuning table every dedup rollout needs ("how much does the
+    corpus shrink if we tighten 0.35 → 0.5?") without re-running the
+    pair scan per candidate threshold. Pairs quantize once into
+    0.05-wide bands (the r6'd cosine times 20, floored — exact
+    integer banding on both engines) and every threshold's count is
+    a suffix-sum over bands; thresholds are multiples of 0.05 so a
+    band never straddles a cutoff.
+
+    Oracle note: the DuckDB twin replays the same banding via a
+    VALUES threshold table; `ROUND(thr*20)` not FLOOR on the oracle
+    side because DuckDB's DECIMAL VALUES times 20 can land at
+    x.9999999 in double — rounding to the intended integer is the
+    portable spelling (the l46 anchor-typing lesson's sibling).
+
+    Scale: the pair source here is the GEMM verification twin
+    (oracle-scale); at corpus scale the same sweep runs over
+    `l04_simjoin_lsh` candidates — with the caveat the docstring
+    owes: LSH recall is threshold-dependent, so counts below the
+    banding's design threshold are lower bounds there. Output is
+    10 rows at any N."""
+    (emb,) = load_tables(spark, sf_dir, "embeddings")
+    pairs = exact_pairs(spark, emb, 0.2).select(
+        F.floor(F.col("cosine") * 20).cast("bigint").alias("band")
+    )
+    thresholds = spark.createDataFrame(
+        [(t / 100.0,) for t in (20, 25, 30, 35, 40, 45, 50, 60, 70, 80)],
+        "thr double",
+    )
+    return (
+        F.broadcast(thresholds)
+        .crossJoin(pairs)
+        .groupBy("thr")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("band")
+                        >= F.round(F.col("thr") * 20, 0).cast("bigint"),
+                        1,
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("n_pairs")
+        )
+        .orderBy("thr")
+    )

@@ -231,6 +231,8 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "u15_arrow_udtf",
         "l61_script_mix",
         "t16_stream_python_source",
+        "a33_equidepth_histogram",
+        "l62_threshold_sweep",
     }
 )
 
