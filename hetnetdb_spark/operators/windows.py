@@ -1298,3 +1298,74 @@ def w18_session_window_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+# --------------------------------------------------------------------------
+# W19 — event-type transition matrix (first-order Markov table)
+# --------------------------------------------------------------------------
+
+W19_ORACLE = """
+WITH seq AS (
+    SELECT user_id, event_type,
+           lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_type
+    FROM events
+),
+trans AS (
+    SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+),
+tot AS (
+    SELECT prev_type, SUM(n) AS row_total FROM trans GROUP BY prev_type
+)
+SELECT t.prev_type, t.next_type,
+       CAST(t.n AS BIGINT) AS n_transitions,
+       ROUND(t.n / CAST(o.row_total AS DOUBLE), 6) AS p_next
+FROM trans t JOIN tot o ON o.prev_type = t.prev_type
+ORDER BY t.prev_type, t.next_type
+"""
+
+
+@query("w19_transition_matrix", oracle=W19_ORACLE)
+def w19_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W19 — the first-order Markov transition table over per-user
+    event sequences: P(next event type | current), the behavioral
+    fingerprint funnels (l21) and streak analyses (w14) implicitly
+    assume and this query makes explicit. lag() pairs consecutive
+    events within each user's (ts, event_id)-ordered stream (unique
+    tiebreaker — registry discipline), pairs aggregate to a
+    |types|² matrix, and row-normalization divides by the
+    prev-type marginal: exact integer counts, one r6'd ratio whose
+    operands are identical integers on both engines (the scale-free
+    ratio rule).
+
+    Scale: ONE user_id exchange (pinned wide via `_parallel_by`)
+    feeds the lag window; everything after operates on |types|²
+    rows. The transition matrix of a 100-TB event store costs one
+    shuffle of sequence-adjacent pairs' bounded aggregates — this is
+    the standard sessionized-behavior feature extraction."""
+    (events,) = load_tables(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = _parallel_by(spark, events, "user_id").select(
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    trans = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = trans.groupBy("prev_type").agg(F.sum("n").alias("row_total"))
+    return (
+        trans.join(F.broadcast(tot), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            F.col("n").cast("bigint").alias("n_transitions"),
+            F.round(
+                F.col("n").cast("double") / F.col("row_total").cast("double"), 6
+            ).alias("p_next"),
+        )
+        .orderBy("prev_type", "next_type")
+    )

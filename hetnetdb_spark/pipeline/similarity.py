@@ -1300,3 +1300,82 @@ def l62_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("thr")
     )
+
+
+# --------------------------------------------------------------------------
+# L63 — cross-source near-dup overlap matrix (provenance contamination)
+# --------------------------------------------------------------------------
+
+L63_ORACLE = f"""
+WITH p AS (
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           ROUND({duck_dot("a.embedding", "b.embedding")}, 6) AS cosine
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < b.vec_id
+),
+e AS (SELECT a_id, b_id FROM p WHERE cosine >= {SIM_THRESHOLD}),
+tagged AS (
+    SELECT LEAST(da.source, db.source)    AS source_lo,
+           GREATEST(da.source, db.source) AS source_hi
+    FROM e
+    JOIN documents da ON da.doc_id = e.a_id
+    JOIN documents db ON db.doc_id = e.b_id
+)
+SELECT source_lo, source_hi,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       source_lo <> source_hi   AS cross_source
+FROM tagged
+GROUP BY source_lo, source_hi
+ORDER BY source_lo, source_hi
+"""
+
+
+@query("l63_cross_source_overlap", oracle=L63_ORACLE)
+def l63_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L63 — provenance overlap: near-dup pairs bucketed by the
+    UNORDERED source pair (LEAST/GREATEST canonicalization — pair
+    direction is an artifact of vec_id ordering, not data). The
+    within-source diagonal measures internal redundancy; the
+    off-diagonal `cross_source` rows are the interesting ones —
+    mirror sites, syndication, or a scraped benchmark appearing
+    under two feeds — and are exactly where dedup policy differs
+    (cross-source survivors usually keep BOTH provenance records,
+    l31's governance concern, while within-source keeps one, l26).
+
+    Embeddings pair via the exact GEMM twin at oracle scale (the
+    l36/l38/l58 edge-source convention; LSH banding at corpus
+    scale); sources attach by broadcast-joining the doc metadata
+    onto id pairs — ids shuffle, text never does. Output is bounded
+    by |sources|² regardless of corpus size; counts are exact
+    integers."""
+    (emb,) = load_tables(spark, sf_dir, "embeddings")
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    e = exact_pairs(spark, emb, SIM_THRESHOLD).select("a_id", "b_id")
+    src = docs.select("doc_id", "source")
+    tagged = (
+        e.join(
+            F.broadcast(src.select(F.col("doc_id").alias("a_id"),
+                                   F.col("source").alias("src_a"))),
+            "a_id",
+        )
+        .join(
+            F.broadcast(src.select(F.col("doc_id").alias("b_id"),
+                                   F.col("source").alias("src_b"))),
+            "b_id",
+        )
+        .select(
+            F.least("src_a", "src_b").alias("source_lo"),
+            F.greatest("src_a", "src_b").alias("source_hi"),
+        )
+    )
+    return (
+        tagged.groupBy("source_lo", "source_hi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .select(
+            "source_lo",
+            "source_hi",
+            "n_pairs",
+            (F.col("source_lo") != F.col("source_hi")).alias("cross_source"),
+        )
+        .orderBy("source_lo", "source_hi")
+    )

@@ -233,6 +233,8 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "t16_stream_python_source",
         "a33_equidepth_histogram",
         "l62_threshold_sweep",
+        "w19_transition_matrix",
+        "l63_cross_source_overlap",
     }
 )
 
