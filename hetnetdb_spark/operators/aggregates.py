@@ -1394,3 +1394,74 @@ def a33_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# A34 — Benford first-digit audit (data-generation QA classic)
+# --------------------------------------------------------------------------
+
+A34_ORACLE = """
+WITH digits AS (
+    SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR),
+           1, 1) AS BIGINT) AS d
+    FROM orders
+    WHERE o_totalprice >= 1
+),
+counts AS (
+    SELECT d, COUNT(*) AS n FROM digits GROUP BY d
+),
+tot AS (SELECT SUM(n) AS total FROM counts)
+SELECT d,
+       CAST(n AS BIGINT)                                   AS n,
+       ROUND(n / CAST(total AS DOUBLE), 6)                 AS observed,
+       ROUND(log10(1.0 + 1.0 / d), 6)                      AS benford,
+       ABS(n / CAST(total AS DOUBLE) - log10(1.0 + 1.0 / d)) > 0.05
+                                                           AS deviates
+FROM counts, tot
+ORDER BY d
+"""
+
+
+@query("a34_benford_audit", oracle=A34_ORACLE)
+def a34_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A34 — first-significant-digit distribution vs Benford's law:
+    the data-quality classic for spotting fabricated or
+    badly-generated numeric columns (organic multiplicative data
+    leads with 1 about 30% of the time; uniform generators lead
+    with every digit equally — and TPC-H-style uniform prices are
+    EXPECTED to deviate, which is exactly what the `deviates` flag
+    surfaces on this fixture: the audit detecting synthetic data is
+    the audit working). First digits extract through exact integer/
+    string ops (FLOOR, stringify, first char — no log-based digit
+    math that could round differently; the truncation must be an
+    EXPLICIT floor because the engines' bare double→BIGINT casts
+    disagree at the boundary — Spark truncates toward zero, DuckDB
+    rounds half-even, measured as off-by-one digit counts at
+    x999.99-class prices); expected frequencies are
+    log10 of small exact rationals, identical doubles on both
+    engines, and the deviation flag compares at a 0.05 band far
+    above any float noise.
+
+    Scale: 9-row output from one scan + one 9-group aggregate —
+    the shape every column-level data-quality monitor runs daily."""
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    digits = orders.filter(F.col("o_totalprice") >= 1).select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+        ).cast("bigint").alias("d")
+    )
+    counts = digits.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(F.sum("n").alias("total"))
+    obs = F.col("n").cast("double") / F.col("total").cast("double")
+    benford = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("d"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "d",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(obs, 6).alias("observed"),
+            F.round(benford, 6).alias("benford"),
+            (F.abs(obs - benford) > 0.05).alias("deviates"),
+        )
+        .orderBy("d")
+    )

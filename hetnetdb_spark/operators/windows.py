@@ -1369,3 +1369,63 @@ def w19_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev_type", "next_type")
     )
+
+
+# --------------------------------------------------------------------------
+# W20 — CUSUM drift detection via recursive CTE (identical SQL)
+# --------------------------------------------------------------------------
+
+W20_SQL = """
+WITH RECURSIVE daily AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         ROUND(AVG(value), 6) AS m
+  FROM events GROUP BY 1
+),
+ranked AS (
+  SELECT day, m, row_number() OVER (ORDER BY day) AS rn,
+         (SELECT ROUND(AVG(value), 6) FROM events) AS target
+  FROM daily
+),
+c AS (
+  SELECT rn, day, m, target, ROUND(GREATEST(0, m - target), 6) AS cusum
+  FROM ranked WHERE rn = 1
+  UNION ALL
+  SELECT r.rn, r.day, r.m, r.target,
+         ROUND(GREATEST(0, c.cusum + (r.m - r.target)), 6)
+  FROM ranked r JOIN c ON r.rn = c.rn + 1
+)
+SELECT day, m AS daily_mean, ROUND(cusum, 6) AS cusum,
+       cusum > target * 0.05 AS drift_alarm
+FROM c ORDER BY day
+"""
+
+
+@query("w20_cusum_drift", oracle=W20_SQL, impure=True)
+def w20_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W20 — one-sided CUSUM drift detection over the daily mean
+    series: S_t = max(0, S_{t-1} + (x_t − target)) — the control
+    chart that accumulates small sustained shifts a per-day z-score
+    (w09) dilutes away. The max(0, ·) clamp makes CUSUM
+    NON-expressible as any window aggregate (it is not associative,
+    not invertible, not a prefix sum — w08's EWMA could unroll into
+    a finite-horizon dot product precisely because it lacked such a
+    clamp), so this is the genuine second use of WITH RECURSIVE:
+    o10 recursed over a data HIERARCHY, w20 recurses over a TIME
+    series. Both engines execute the IDENTICAL SQL.
+
+    Determinism: daily means and every CUSUM iterate round at 6dp
+    before feeding the next step (the l38 quantize-per-iteration
+    discipline), so both engines chain bit-identical values; the
+    alarm compares two r6'd quantities at a 5%-of-target band.
+    The only timestamp subtlety: date_trunc('day') yields TIMESTAMP
+    in Spark but DATE in DuckDB — the explicit CAST pins the shared
+    schema.
+
+    Scale: the recursion runs over |days| rows (bounded, tiny) that
+    a single aggregate produced from the full event stream — "big
+    data, small model" (l46's shape): the scan is distributed, the
+    recursion is metadata-sized."""
+    from hetnetdb_spark.catalog import register_views
+
+    register_views(spark, sf_dir, "events")
+    return spark.sql(W20_SQL)

@@ -235,6 +235,8 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "l62_threshold_sweep",
         "w19_transition_matrix",
         "l63_cross_source_overlap",
+        "a34_benford_audit",
+        "w20_cusum_drift",
     }
 )
 
