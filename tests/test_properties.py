@@ -562,3 +562,118 @@ def test_l46_eigenpair_residual(spark):
     # converged to the dominant pair, not a minor one)
     evals = np.linalg.eigvalsh(C)
     assert abs(lam - evals[-1]) < 1e-4, (lam, evals[-1])
+
+
+def test_w20_cusum_matches_sequential_replay(spark):
+    """w20 first-principles: replay the CUSUM recursion in plain
+    Python from the query's own daily means and require bit-equal
+    iterates — and the defining invariant S_t >= 0 everywhere."""
+    from hetnetdb_spark import registry
+
+    registry.load_all()
+    rows = (
+        registry.QUERIES["w20_cusum_drift"](spark, SF_DIR)
+        .orderBy("day")
+        .collect()
+    )
+    assert rows, "w20 returned no rows"
+    means = [r["daily_mean"] for r in rows]
+    target = round(sum(means) / len(means), 6)  # not the query's target
+    # replay with the QUERY's target derived from its own alarm
+    # inputs is circular; instead verify the recursion law between
+    # consecutive emitted iterates: S_t = round(max(0, S_{t-1} +
+    # (m_t - target)), 6) for THE target that makes step 1 hold.
+    s0 = rows[0]["cusum"]
+    t_implied = round(means[0] - s0, 6) if s0 > 0 else None
+    prev = s0
+    for r in rows[1:]:
+        m, s = r["daily_mean"], r["cusum"]
+        assert s >= 0.0
+        if t_implied is not None:
+            expect = round(max(0.0, prev + (m - t_implied)), 6)
+            assert abs(s - expect) <= 1e-9, (s, expect)
+        prev = s
+
+
+def test_l62_threshold_sweep_consistency(spark):
+    """l62 cross-query consistency: counts are monotone
+    non-increasing in the threshold, and the 0.35 row equals the
+    exact similarity join's pair count (l04_simjoin_exact)."""
+    from hetnetdb_spark import registry
+
+    registry.load_all()
+    sweep = {
+        round(r["thr"], 2): r["n_pairs"]
+        for r in registry.QUERIES["l62_threshold_sweep"](spark, SF_DIR).collect()
+    }
+    thrs = sorted(sweep)
+    for a, b in zip(thrs, thrs[1:]):
+        assert sweep[a] >= sweep[b], (a, b, sweep)
+    n_exact = registry.QUERIES["l04_simjoin_exact"](spark, SF_DIR).count()
+    assert sweep[0.35] == n_exact, (sweep[0.35], n_exact)
+
+
+def test_l58_lpa_matches_pure_python_replay(spark):
+    """l58 first-principles: an independent pure-Python synchronous
+    LPA (same spec: min-label tie-break, 4 rounds) over the same
+    edge set must produce the identical community census."""
+    from collections import Counter, defaultdict
+
+    from hetnetdb_spark import registry
+    from hetnetdb_spark.catalog import load_tables as _lt
+    from hetnetdb_spark.pipeline.similarity import (
+        LPA_ITERS,
+        SIM_THRESHOLD,
+        exact_pairs,
+    )
+
+    registry.load_all()
+    (emb,) = _lt(spark, SF_DIR, "embeddings")
+    pairs = [
+        (r["a_id"], r["b_id"])
+        for r in exact_pairs(spark, emb, SIM_THRESHOLD)
+        .select("a_id", "b_id")
+        .collect()
+    ]
+    adj = defaultdict(list)
+    for a, b in pairs:
+        adj[a].append(b)
+        adj[b].append(a)
+    labels = {n: n for n in adj}
+    for _ in range(LPA_ITERS):
+        new = {}
+        for n, nbrs in adj.items():
+            votes = Counter(labels[x] for x in nbrs)
+            top = max(votes.values())
+            new[n] = min(lbl for lbl, c in votes.items() if c == top)
+        labels = new
+    census = Counter(labels.values())
+    expected = sorted(
+        ((lab, cnt, min(n for n, l in labels.items() if l == lab))
+         for lab, cnt in census.items()),
+        key=lambda t: (-t[1], t[0]),
+    )[:20]
+    got = [
+        (r["community"], r["n_members"], r["min_member"])
+        for r in registry.QUERIES["l58_label_propagation"](spark, SF_DIR).collect()
+    ]
+    assert got == [(a, b, c) for a, b, c in expected], (got[:5], expected[:5])
+
+
+def test_a34_digit_counts_are_complete(spark):
+    """a34: digit counts cover every row with price >= 1, observed
+    frequencies sum to ~1, and the benford column equals the closed
+    form log10(1 + 1/d)."""
+    import math
+
+    from hetnetdb_spark import registry
+    from hetnetdb_spark.catalog import load_tables as _lt
+
+    registry.load_all()
+    rows = registry.QUERIES["a34_benford_audit"](spark, SF_DIR).collect()
+    (orders,) = _lt(spark, SF_DIR, "orders")
+    n_src = orders.filter(F.col("o_totalprice") >= 1).count()
+    assert sum(r["n"] for r in rows) == n_src
+    assert abs(sum(r["observed"] for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert abs(r["benford"] - round(math.log10(1 + 1 / r["d"]), 6)) <= 1e-9
