@@ -237,6 +237,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "l63_cross_source_overlap",
         "a34_benford_audit",
         "w20_cusum_drift",
+        "t17_union_watermark_min",
     }
 )
 

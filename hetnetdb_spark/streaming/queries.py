@@ -1287,3 +1287,142 @@ def t16_stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("batch_id")
     )
+
+
+# --------------------------------------------------------------------------
+# T17 — two-stream UNION: the global watermark is the MINIMUM
+# --------------------------------------------------------------------------
+
+T17_ORACLE = """
+WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+p AS (
+    SELECT * FROM events
+    WHERE event_type = 'purchase'
+      AND ts < (SELECT MAX(ts) - INTERVAL 6 HOUR FROM events)
+),
+u AS (SELECT * FROM c UNION ALL SELECT * FROM p),
+wm AS (
+    SELECT LEAST((SELECT MAX(ts) FROM c), (SELECT MAX(ts) FROM p))
+           - INTERVAL 2 HOUR AS w
+)
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM u, wm
+WHERE time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR
+      < w - INTERVAL 1 MINUTE
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@query("t17_union_watermark_min", oracle=T17_ORACLE, impure=True)
+def t17_union_watermark_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T17 — unioning two independently-watermarked streams: the
+    query's GLOBAL watermark is the MINIMUM across inputs — the
+    slowest source gates every append emission, which is the
+    operational fact behind "one stalled topic freezes the whole
+    union" incidents. The purchases source is truncated 6 hours
+    early, so min ≠ max by construction: an engine that (wrongly)
+    advanced the union's watermark to the FASTEST source would emit
+    ~6 extra hours of click windows and fail the hash — the
+    asymmetry is the pin, not a nuisance.
+
+    Mechanics (t04's persisted-watermark protocol): run 1 streams
+    both data snapshots (watermark persists at min(max_click,
+    max_truncated_purchase) − 2h; append emits nothing against the
+    initial watermark); run 2 appends one far-future sentinel row
+    per source, whose only job is to trigger a batch that flushes
+    every real window below the PERSISTED watermark — the sentinels'
+    own windows sit far above it and stay withheld. The final
+    filter applies the shared 1-minute boundary margin on both
+    engines (t12's rule).
+
+    Scale: union-of-streams state is keyed by (window × type)
+    exactly like a single stream; the min-watermark rule is what
+    bounds that state globally — it is also why per-source lateness
+    SLAs matter at 100 TB: state retention is set by the laggard."""
+    import shutil
+
+    (events,) = load_tables(spark, sf_dir, "events")
+    base = os.path.join(SCRATCH, "t17_union")
+    shutil.rmtree(base, ignore_errors=True)
+    src_a = os.path.join(base, "clicks")
+    src_b = os.path.join(base, "purchases")
+    ckpt = os.path.join(base, "ckpt")
+    out = os.path.join(base, "out")
+
+    cut = events.agg(
+        (F.max("ts") - F.expr("INTERVAL 6 HOURS")).alias("cut")
+    ).collect()[0]["cut"]
+    clicks = events.filter(F.col("event_type") == "click")
+    purchases = events.filter(
+        (F.col("event_type") == "purchase") & (F.col("ts") < F.lit(cut))
+    )
+    clicks.coalesce(1).write.mode("overwrite").parquet(src_a)
+    purchases.coalesce(1).write.mode("overwrite").parquet(src_b)
+    schema = spark.read.parquet(src_a).schema
+
+    def run_available_now() -> None:
+        a = (
+            spark.readStream.schema(schema).parquet(src_a)
+            .withWatermark("ts", "2 hours")
+        )
+        b = (
+            spark.readStream.schema(schema).parquet(src_b)
+            .withWatermark("ts", "2 hours")
+        )
+        agg = (
+            a.unionByName(b)
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.col("w.start").alias("window_start"), "event_type", "n"
+            )
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_available_now()
+    # run 2: one far-future sentinel per source triggers the flush
+    # batch that emits everything below the persisted min-watermark.
+    far = events.agg(
+        (F.max("ts") + F.expr("INTERVAL 100 HOURS")).alias("far")
+    ).collect()[0]["far"]
+    for src, eid in ((src_a, -1), (src_b, -2)):
+        one = events.limit(1).select(
+            F.lit(eid).cast(schema["event_id"].dataType).alias("event_id"),
+            *[
+                F.lit(far).cast("timestamp").alias(f.name)
+                if f.name == "ts"
+                else F.col(f.name)
+                for f in schema.fields
+                if f.name != "event_id"
+            ],
+        ).select(*[f.name for f in schema.fields])
+        one.coalesce(1).write.mode("append").parquet(src)
+    run_available_now()
+
+    wm_row = (
+        clicks.agg(F.max("ts").alias("mc"))
+        .crossJoin(purchases.agg(F.max("ts").alias("mp")))
+        .select(F.least("mc", "mp").alias("m"))
+        .collect()[0]
+    )
+    wm = F.lit(wm_row["m"]) - F.expr("INTERVAL 2 HOURS")
+    return (
+        spark.read.parquet(out)
+        .filter(
+            F.col("window_start") + F.expr("INTERVAL 1 HOUR")
+            < wm - F.expr("INTERVAL 1 MINUTE")
+        )
+        .select("window_start", "event_type", F.col("n").cast("bigint").alias("n"))
+        .orderBy("window_start", "event_type")
+    )

@@ -727,3 +727,13 @@ def test_s34_pushdown_through_view_stack(spark):
     assert cols <= {
         "l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"
     }, f"view stack must prune columns; scan reads {sorted(cols)}"
+
+
+def test_l59_probe_exchanges_carry_no_shingles(spark):
+    """l59: the batch-vs-index band join must shuffle only (band
+    key, id) rows — shingle arrays re-join after candidate dedup
+    (the l02 invariant applied to the incremental probe)."""
+    plan = executed_plan(registry.QUERIES["l59_minhash_index_probe"](spark, SF_DIR))
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "sh#" not in line and " sh," not in line, line.strip()[:160]
