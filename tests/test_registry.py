@@ -49,3 +49,20 @@ def test_front_of_line_names_exist():
     registry.load_all()
     missing = [n for n in registry.FRONT_OF_LINE if n not in registry.QUERIES]
     assert not missing, f"FRONT_OF_LINE references unknown queries: {missing}"
+
+
+def test_rotation_lists_name_real_queries():
+    """A typo in NEW_THIS_ROUND / RECHECK_THIS_ROUND / FRONT_OF_LINE
+    would silently break the driver-window prioritization — every
+    name must be a registered query."""
+    registry.load_all()
+    names = set(registry.QUERIES)
+    assert registry.NEW_THIS_ROUND <= names, (
+        registry.NEW_THIS_ROUND - names
+    )
+    assert registry.RECHECK_THIS_ROUND <= names, (
+        registry.RECHECK_THIS_ROUND - names
+    )
+    assert set(registry.FRONT_OF_LINE) <= names, (
+        set(registry.FRONT_OF_LINE) - names
+    )
