@@ -886,3 +886,50 @@ def j20_join_strategy_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c_mktsegment
         """
     )
+
+
+# --------------------------------------------------------------------------
+# J21 — FULL OUTER ... USING: the ANSI coalesced join column
+# --------------------------------------------------------------------------
+
+J21_SQL = """
+WITH a AS (
+    SELECT o_custkey AS custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY 1
+),
+b AS (
+    SELECT c_custkey AS custkey, c_mktsegment FROM customer
+)
+SELECT custkey,
+       COALESCE(n_orders, 0) AS n_orders,
+       COALESCE(c_mktsegment, 'NO-ACCOUNT') AS segment,
+       n_orders IS NULL      AS customer_only,
+       c_mktsegment IS NULL  AS orders_only
+FROM a FULL JOIN b USING (custkey)
+ORDER BY custkey
+"""
+
+
+@query("j21_full_using_coalesce", oracle=J21_SQL, impure=True)
+def j21_full_using_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J21 — the ANSI USING-column rule under FULL OUTER: after
+    ``FULL JOIN ... USING (custkey)``, the name `custkey` denotes
+    COALESCE(a.custkey, b.custkey) — a single merged column that is
+    non-NULL on BOTH unmatched sides, which is precisely what makes
+    USING different from ON plus projection (with ON, each side's
+    key is NULL on the other side's unmatched rows, and naive
+    SELECT-one-side silently nulls half the keys — the classic
+    full-outer reconciliation bug). Both engines run the IDENTICAL
+    SQL; the side-detector flags pin which rows came from which
+    input (fixture customers without orders exist; every order has
+    a customer, so orders_only is all-false — an asymmetry the
+    hash checks too).
+
+    This is the reconciliation-report shape (s18's FK audit is the
+    aggregate cousin): at 100 TB it is one shuffle on the merged
+    key, and the USING form is what keeps downstream code from
+    key-coalescing by hand."""
+    from hetnetdb_spark.catalog import register_views
+
+    register_views(spark, sf_dir, "orders", "customer")
+    return spark.sql(J21_SQL)

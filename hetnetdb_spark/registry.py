@@ -238,6 +238,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "a34_benford_audit",
         "w20_cusum_drift",
         "t17_union_watermark_min",
+        "j21_full_using_coalesce",
     }
 )
 
