@@ -1165,3 +1165,53 @@ def f27_generator_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY n_nationkey, metric, pos
         """
     )
+
+
+# --------------------------------------------------------------------------
+# F28 — datetime formatting / parsing round-trip (pattern surface)
+# --------------------------------------------------------------------------
+
+F28_ORACLE = """
+SELECT o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d %H:%M')   AS fmt_minute,
+       strftime(o_orderdate, '%Y/%j')            AS fmt_doy,
+       CAST(EXTRACT(isodow FROM o_orderdate) AS BIGINT) AS iso_dow,
+       CAST(strptime(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'),
+            '%Y-%m-%d %H:%M:%S') AS TIMESTAMP)   AS parsed_back
+FROM orders
+WHERE o_orderkey % 50 = 7
+ORDER BY o_orderkey
+"""
+
+
+@query("f28_datetime_format_roundtrip", oracle=F28_ORACLE)
+def f28_datetime_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F28 — the datetime FORMAT surface: ``date_format`` rendering
+    (minute precision, year/day-of-year), ISO day-of-week numbering
+    (Monday=1 — Spark's ``dayofweek`` is Sunday=1, so the portable
+    spelling is the shifted mod the oracle's EXTRACT(isodow)
+    defines), and the format→parse round-trip ``to_timestamp(
+    date_format(ts, p), p)`` which must be the identity at seconds
+    precision. Each engine renders with its OWN pattern dialect
+    (Java SimpleDateFormat-ish vs strftime) — the pin is that both
+    dialects' specifiers mean the same fields, which is exactly
+    what breaks when a report migrates engines ('%j' vs 'DDD'
+    day-of-year padding, '%M' minute vs Java month, the classic).
+
+    Scale: per-row codegen string work, no shuffle; the %-sample
+    bounds the hashed output."""
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    ts = F.col("o_orderdate")
+    return (
+        orders.filter(F.col("o_orderkey") % 50 == 7)
+        .select(
+            "o_orderkey",
+            F.date_format(ts, "yyyy-MM-dd HH:mm").alias("fmt_minute"),
+            F.date_format(ts, "yyyy/DDD").alias("fmt_doy"),
+            (((F.dayofweek(ts) + 5) % 7) + 1).cast("bigint").alias("iso_dow"),
+            F.to_timestamp(
+                F.date_format(ts, "yyyy-MM-dd HH:mm:ss"), "yyyy-MM-dd HH:mm:ss"
+            ).alias("parsed_back"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -239,6 +239,8 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "w20_cusum_drift",
         "t17_union_watermark_min",
         "j21_full_using_coalesce",
+        "f28_datetime_format_roundtrip",
+        "s36_table_properties",
     }
 )
 

@@ -1646,3 +1646,71 @@ def s35_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("part_id")
     )
+
+
+# --------------------------------------------------------------------------
+# S36 — table metadata: TBLPROPERTIES lifecycle (set, override, read)
+# --------------------------------------------------------------------------
+
+S36_ORACLE = """
+SELECT * FROM (VALUES
+    ('comment',        'orders snapshot for retention demo'),
+    ('data.owner',     'pipeline'),
+    ('retention.days', '90'),
+    ('tier',           'gold')
+) AS t(key, value)
+ORDER BY key
+"""
+
+
+@query("s36_table_properties", oracle=S36_ORACLE, impure=True)
+def s36_table_properties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S36 — catalog metadata as a first-class surface: table
+    COMMENT and TBLPROPERTIES declared at CREATE, overridden by
+    ALTER TABLE SET TBLPROPERTIES (retention.days 30 → 90 — the
+    LAST write must win), extended with new keys, and read back via
+    SHOW TBLPROPERTIES. Governance tooling (l31's dataset card is
+    the query-side consumer) lives on exactly this: ownership,
+    retention, and tier tags that travel WITH the table through the
+    metastore rather than in a wiki. Two measured catalog facts
+    recorded here: `owner` is a RESERVED property (Spark force-sets
+    it to the current user — portable metadata namespaces its keys,
+    data.owner), and the COMMENT is NOT a tblproperty at all — it
+    lives on the catalog entry (`spark.catalog.getTable().description`)
+    and SHOW TBLPROPERTIES omits it, so the query reads it from the
+    catalog API and pins both surfaces side by side;
+    engine-internal properties (provider, location timestamps) are
+    filtered by prefix so the contract stays engine-portable.
+
+    Oracle is pinned VALUES (s28's pattern — there is no second
+    metastore to replay; the check is the lifecycle contract
+    itself). Scale: metadata-only — no data files are touched by
+    any statement here except the empty CREATE."""
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    loc = os.path.join(SCRATCH, f"s36_props_{tag}")
+    shutil.rmtree(loc, ignore_errors=True)
+    tbl = f"s36_props_{tag}"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    spark.sql(
+        f"CREATE TABLE {tbl} (id BIGINT) USING PARQUET "
+        f"COMMENT 'orders snapshot for retention demo' "
+        f"TBLPROPERTIES ('data.owner'='pipeline', 'retention.days'='30') "
+        f"LOCATION '{loc}'"
+    )
+    spark.sql(
+        f"ALTER TABLE {tbl} SET TBLPROPERTIES "
+        "('retention.days'='90', 'tier'='gold')"
+    )
+    props = spark.sql(f"SHOW TBLPROPERTIES {tbl}")
+    comment = spark.catalog.getTable(tbl).description
+    comment_row = spark.createDataFrame(
+        [("comment", comment)], "key string, value string"
+    )
+    return (
+        props.filter(
+            F.col("key").isin("data.owner", "retention.days", "tier")
+        )
+        .select("key", "value")
+        .unionByName(comment_row)
+        .orderBy("key")
+    )
