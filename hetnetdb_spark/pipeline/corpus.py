@@ -885,3 +885,142 @@ def l55_alpha_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# L64 — exact token-budget selection (greedy prefix under a cap)
+# --------------------------------------------------------------------------
+
+L64_BUDGET = 100_000
+
+L64_ORACLE = f"""
+WITH scored AS (
+    SELECT doc_id, source,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           md5(CAST(doc_id AS VARCHAR) || ':l64')       AS rank_key
+    FROM documents
+),
+ordered AS (
+    SELECT *,
+           SUM(n_tokens) OVER (ORDER BY rank_key, doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cum_tokens
+    FROM scored
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT)                       AS n_selected,
+       CAST(SUM(n_tokens) AS BIGINT)                  AS tokens_selected,
+       CAST(MAX(cum_tokens) AS BIGINT)                AS cum_at_last
+FROM ordered
+WHERE cum_tokens <= {L64_BUDGET}
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query("l64_token_budget_selection", oracle=L64_ORACLE)
+def l64_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L64 — materialize an EXACT token-budget selection: documents
+    take a deterministic shuffled order (portable md5 rank key —
+    l24's seeded-permutation idiom, so the "random" prefix is the
+    same on any engine or cluster layout), a running token sum walks
+    that order, and the selection is the maximal prefix whose
+    cumulative tokens fit the budget. This is the step AFTER l32:
+    l32 plans per-source rates against a budget; l64 actually cuts
+    the corpus at the budget line and reports what made it in, per
+    source — the greedy prefix rule (not bin packing) being exactly
+    what streaming corpus assembly can implement online.
+
+    All-integer: token counts, cumulative sums, and the cut compare
+    are exact; the only ordering inputs are md5 strings with the
+    doc_id tiebreaker (registry discipline).
+
+    Scale: ONE global running sum — rank keys are uniform, so at
+    100 TB this runs as o09's bucketed prefix-sum construction
+    (range-bucket by key prefix, per-bucket windows + a B-row
+    offset pass); the single-window spelling here is the
+    oracle-scale form and the docstring names the rewrite."""
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":l64"))).alias(
+            "rank_key"
+        ),
+    )
+    w = (
+        Window.orderBy("rank_key", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ordered = scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return (
+        ordered.filter(F.col("cum_tokens") <= L64_BUDGET)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_selected"),
+            F.sum("n_tokens").cast("bigint").alias("tokens_selected"),
+            F.max("cum_tokens").cast("bigint").alias("cum_at_last"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# L65 — deterministic source interleave (balanced curriculum order)
+# --------------------------------------------------------------------------
+
+L65_ORACLE = """
+WITH ranked AS (
+    SELECT doc_id, source,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY md5(CAST(doc_id AS VARCHAR) || ':l65'),
+                                       doc_id) AS rank_in_source
+    FROM documents
+)
+SELECT rank_in_source, source, doc_id,
+       row_number() OVER (ORDER BY rank_in_source, source, doc_id)
+           AS global_pos
+FROM ranked
+WHERE rank_in_source <= 4
+ORDER BY global_pos
+"""
+
+
+@query("l65_source_interleave", oracle=L65_ORACLE)
+def l65_source_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L65 — round-robin source interleaving: each source's docs get
+    a deterministic within-source shuffle rank (portable md5 +
+    doc_id tiebreak), and the global order sorts by (rank, source) —
+    so position 1..|sources| is one doc from EVERY source, then the
+    next round, and so on. This is the "balanced batch" ordering
+    multi-source loaders want (no source ever starves a batch, no
+    window of N consecutive docs over-represents one source by more
+    than ⌈N/|sources|⌉), materialized as a deterministic permutation
+    rather than runtime sampling — reproducible across runs,
+    engines, and cluster layouts (l24's argument, upgraded from
+    per-shard to cross-source structure).
+
+    The head (4 rounds) is emitted for the hash; the census pins
+    both the within-source ranking and the global interleave
+    arithmetic. Scale: within-source ranks ride a per-source window
+    (bounded partitions after `_parallel_by`-style keying); the
+    global positions of the FULL permutation come from the same
+    (rank, source) sort key o09 bucket-ranks at scale — no global
+    sort is required to WRITE the order, only to display it."""
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    w_src = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":l65"))), "doc_id"
+    )
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        F.row_number().over(w_src).alias("rank_in_source"),
+    ).filter(F.col("rank_in_source") <= 4)
+    w_glob = Window.orderBy("rank_in_source", "source", "doc_id")
+    return ranked.select(
+        "rank_in_source",
+        "source",
+        "doc_id",
+        F.row_number().over(w_glob).alias("global_pos"),
+    ).orderBy("global_pos")

@@ -241,6 +241,8 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "j21_full_using_coalesce",
         "f28_datetime_format_roundtrip",
         "s36_table_properties",
+        "l64_token_budget_selection",
+        "l65_source_interleave",
     }
 )
 
