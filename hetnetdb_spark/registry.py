@@ -243,6 +243,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "s36_table_properties",
         "l64_token_budget_selection",
         "l65_source_interleave",
+        "s37_python_datasource_sink",
     }
 )
 

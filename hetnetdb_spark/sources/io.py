@@ -1714,3 +1714,122 @@ def s36_table_properties(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(comment_row)
         .orderBy("key")
     )
+
+
+# --------------------------------------------------------------------------
+# S37 — Python Data Source WRITE path (executor writers + driver commit)
+# --------------------------------------------------------------------------
+
+S37_PARTS = 4
+
+S37_ORACLE = f"""
+WITH src AS (
+    SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderkey % 10 = 1
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT)                 AS n_rows,
+       CAST({S37_PARTS} AS BIGINT)              AS manifest_tasks,
+       CAST((SELECT COUNT(*) FROM src) AS BIGINT) AS manifest_total
+FROM src
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@query("s37_python_datasource_sink", oracle=S37_ORACLE, impure=True)
+def s37_python_datasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S37 — the WRITE half of the Python Data Source API (s35/t16
+    covered reads): per-partition ``DataSourceWriter.write``
+    executes ON EXECUTORS (each task streams its rows to its own
+    file and returns a WriterCommitMessage), and the driver-side
+    ``commit`` runs exactly once with ALL task messages — the
+    two-phase protocol that lets a custom Python sink (vendor API,
+    manifest-tracked export) get atomic all-or-nothing semantics
+    without reinventing it. The writer here emits one CSV file per
+    task plus a commit-time manifest recording (task count, total
+    rows); the query reads the DATA FILES back through the normal
+    reader and cross-checks them against the MANIFEST — data/
+    manifest agreement is precisely what the commit protocol
+    guarantees (a task that wrote but failed before reporting would
+    break it; abort() is the cleanup hook).
+
+    Oracle: the same per-priority census from the source relation,
+    with manifest_tasks pinned to the repartition width and
+    manifest_total to the source count — all integer-exact."""
+    import csv as _csv
+    import io as _io
+    import uuid as _uuid
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    outdir = os.path.join(SCRATCH, f"s37_sink_{tag}")
+    shutil.rmtree(outdir, ignore_errors=True)
+    os.makedirs(outdir, exist_ok=True)
+
+    class _Msg(WriterCommitMessage):
+        def __init__(self, n: int) -> None:
+            self.n = n
+
+    class _TaskWriter(DataSourceWriter):
+        def __init__(self, options):
+            self.dir = options["path"]
+
+        def write(self, rows):
+            path = os.path.join(self.dir, f"part-{_uuid.uuid4().hex}.csv")
+            buf = _io.StringIO()
+            w = _csv.writer(buf)
+            n = 0
+            for r in rows:
+                w.writerow([r[0], r[1]])
+                n += 1
+            with open(path, "w") as fh:
+                fh.write(buf.getvalue())
+            return _Msg(n)
+
+        def commit(self, messages):
+            total = sum(m.n for m in messages)
+            with open(os.path.join(self.dir, "_MANIFEST"), "w") as fh:
+                fh.write(f"{len(messages)},{total}\n")
+
+        def abort(self, messages):
+            pass
+
+    class _Sink(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "hetnetdb_manifest_sink"
+
+        def writer(self, schema, overwrite):
+            return _TaskWriter(self.options)
+
+    spark.dataSource.register(_Sink)
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    src = orders.filter(F.col("o_orderkey") % 10 == 1).select(
+        "o_orderkey", "o_orderpriority"
+    )
+    src.repartition(S37_PARTS).write.format("hetnetdb_manifest_sink").option(
+        "path", outdir
+    ).mode("append").save()
+
+    n_tasks, n_total = (
+        open(os.path.join(outdir, "_MANIFEST")).read().strip().split(",")
+    )
+    back = spark.read.schema("o_orderkey BIGINT, o_orderpriority STRING").csv(
+        os.path.join(outdir, "part-*.csv")
+    )
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        .select(
+            "o_orderpriority",
+            "n_rows",
+            F.lit(int(n_tasks)).cast("bigint").alias("manifest_tasks"),
+            F.lit(int(n_total)).cast("bigint").alias("manifest_total"),
+        )
+        .orderBy("o_orderpriority")
+    )
