@@ -1465,3 +1465,88 @@ def a34_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+# --------------------------------------------------------------------------
+# A36 — Pareto coverage: how much of the head covers X% of the mass
+# --------------------------------------------------------------------------
+
+A36_ORACLE = """
+WITH spend AS (
+    SELECT o_custkey,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM orders GROUP BY o_custkey
+),
+ranked AS (
+    SELECT cents,
+           row_number() OVER (ORDER BY cents DESC, o_custkey) AS rk,
+           SUM(cents) OVER (ORDER BY cents DESC, o_custkey
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_cents,
+           (SELECT SUM(cents) FROM spend)  AS total_cents,
+           (SELECT COUNT(*) FROM spend)    AS n_cust
+    FROM spend
+)
+SELECT t.pct,
+       CAST(MIN(rk) AS BIGINT)                        AS n_head,
+       ROUND(CAST(MIN(rk) AS DOUBLE) / MIN(n_cust), 6) AS head_frac
+FROM ranked r
+JOIN (VALUES (50), (80), (90), (99)) t(pct)
+  ON r.cum_cents * 100 >= r.total_cents * t.pct
+GROUP BY t.pct
+ORDER BY t.pct
+"""
+
+
+@query("a36_pareto_coverage", oracle=A36_ORACLE)
+def a36_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A36 — the Pareto/coverage statistic: the smallest head of
+    customers (by spend, descending) whose cumulative spend reaches
+    50/80/90/99% of the total — "do 20% of customers carry 80% of
+    revenue", answered exactly. The l41/a24 crossing machinery on a
+    new axis: money is integer CENTS end-to-end (p13 discipline), so
+    the crossing predicate ``cum*100 >= total*pct`` is pure integer
+    arithmetic — no ratio, no rounding, no float anywhere until the
+    final display fraction. Ties at equal spend order by the unique
+    custkey (registry discipline), making every head size
+    deterministic.
+
+    Scale: per-customer rollup (one shuffle), then a global
+    descending running sum — o09's bucketed prefix-sum shape at
+    100 TB; four threshold rows out."""
+    from pyspark.sql.window import Window
+
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = Window.orderBy(F.col("cents").desc(), "o_custkey")
+    ranked = spend.select(
+        "cents",
+        F.row_number().over(w).alias("rk"),
+        F.sum("cents")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum_cents"),
+    )
+    totals = spend.agg(
+        F.sum("cents").alias("total_cents"), F.count(F.lit(1)).alias("n_cust")
+    )
+    pcts = spark.createDataFrame([(50,), (80,), (90,), (99,)], "pct int")
+    return (
+        ranked.crossJoin(F.broadcast(totals))
+        .join(
+            F.broadcast(pcts),
+            F.col("cum_cents") * 100 >= F.col("total_cents") * F.col("pct"),
+        )
+        .groupBy("pct")
+        .agg(
+            F.min("rk").cast("bigint").alias("n_head"),
+            F.round(
+                F.min("rk").cast("double") / F.min("n_cust").cast("double"), 6
+            ).alias("head_frac"),
+        )
+        .orderBy("pct")
+    )

@@ -244,6 +244,8 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "l64_token_budget_selection",
         "l65_source_interleave",
         "s37_python_datasource_sink",
+        "a36_pareto_coverage",
+        "u17_struct_pandas_udf",
     }
 )
 

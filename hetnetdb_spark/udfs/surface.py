@@ -714,3 +714,79 @@ def u15_arrow_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY s.o_orderkey, s.part
         """
     )
+
+
+# --------------------------------------------------------------------------
+# U17 — struct-returning scalar pandas_udf (vectorized multi-output)
+# --------------------------------------------------------------------------
+
+U17_ORACLE = """
+WITH scored AS (
+    SELECT l_extendedprice / (l_quantity + 1) AS ratio,
+           l_extendedprice
+    FROM lineitem
+),
+banded AS (
+    SELECT CASE WHEN ratio < 1000 THEN 'low'
+                WHEN ratio < 5000 THEN 'mid' ELSE 'high' END AS band,
+           l_extendedprice
+    FROM scored
+)
+SELECT band,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 6)
+           AS price_total
+FROM banded
+GROUP BY band
+ORDER BY band
+"""
+
+
+@query("u17_struct_pandas_udf", oracle=U17_ORACLE)
+def u17_struct_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U17 — a scalar pandas_udf whose return type is a STRUCT: the
+    Python function returns a pandas DataFrame per Arrow batch and
+    Spark reassembles it into one struct column — the vectorized
+    way to compute SEVERAL derived columns in a single Python
+    crossing (u02's scalar form would pay one Arrow round trip per
+    output). The semantic pin: the ratio arithmetic runs in numpy
+    (IEEE doubles, same bits as the engines' division) and the band
+    cut in Python — the per-band census must match the oracle's
+    pure-SQL replay exactly, certifying both the multi-output
+    reassembly and that no value drifted crossing Arrow twice.
+
+    Production note (the standing U-surface guidance): this exists
+    for logic that genuinely needs Python — as pure arithmetic it
+    would be a codegen CASE (u13's SQL UDF shape) at zero cost."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("ratio double, band string")
+    def _score(price: pd.Series, qty: pd.Series) -> pd.DataFrame:
+        ratio = price / (qty + 1.0)
+        band = pd.Series(
+            pd.Categorical(
+                ["low"] * len(ratio), categories=["low", "mid", "high"]
+            )
+        )
+        band = band.mask(ratio >= 1000, "mid").mask(ratio >= 5000, "high")
+        return pd.DataFrame({"ratio": ratio, "band": band.astype(str)})
+
+    (li,) = load_tables(spark, sf_dir, "lineitem")
+    scored = li.select(
+        F.col("l_extendedprice"),
+        _score(F.col("l_extendedprice"), F.col("l_quantity")).alias("s"),
+    )
+    return (
+        scored.groupBy(F.col("s.band").alias("band"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("price_total"),
+        )
+        .orderBy("band")
+    )
