@@ -1429,3 +1429,78 @@ def w20_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, "events")
     return spark.sql(W20_SQL)
+
+
+# --------------------------------------------------------------------------
+# W21 — autocorrelation of the daily series (lags 1..3)
+# --------------------------------------------------------------------------
+
+W21_ORACLE = """
+WITH daily AS (
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           ROUND(AVG(value), 6) AS m
+    FROM events GROUP BY 1
+),
+lagged AS (
+    SELECT l.lag,
+           d.m          AS x,
+           lead.m       AS y
+    FROM (VALUES (1), (2), (3)) l(lag)
+    JOIN daily d ON TRUE
+    JOIN daily lead ON lead.day = d.day + l.lag * INTERVAL 1 DAY
+)
+SELECT lag,
+       CAST(COUNT(*) AS BIGINT)  AS n_pairs,
+       ROUND(corr(x, y), 6)      AS autocorr
+FROM lagged
+GROUP BY lag
+ORDER BY lag
+"""
+
+
+@query("w21_autocorrelation", oracle=W21_ORACLE)
+def w21_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W21 — the autocorrelation function of the daily-mean series
+    at lags 1–3: the time-series diagnostic that separates
+    trending/seasonal signals (|r| high at some lag) from white
+    noise, and the statistic an anomaly stack (w09 z-scores, w20
+    CUSUM) consults to pick its baseline window. Pairing is an
+    explicit equi-join on day + lag·INTERVAL (exact timestamp
+    arithmetic — a dense daily grid joins to itself, missing days
+    simply produce no pair, handled identically by both engines)
+    rather than a row-offset lag, so calendar gaps cannot
+    silently misalign the series.
+
+    Float posture: the joined operands are the 6dp-rounded daily
+    means (bit-identical on both engines — w20's quantized series),
+    and corr is a RATIO of co-moments over those identical operands
+    — the a30 cancellation argument, so r6 output is safe.
+
+    Scale: the daily series is one distributed aggregate
+    (|days| rows); the lag join and corr run on metadata-sized
+    input — big data, small model, third member (l46, w20)."""
+    (events,) = load_tables(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.round(F.avg("value"), 6).alias("m"))
+    lags = spark.range(1, 4).select(F.col("id").cast("int").alias("lag"))
+    d = daily.select(F.col("day").alias("d_day"), F.col("m").alias("x"))
+    lead = daily.select(F.col("day").alias("l_day"), F.col("m").alias("y"))
+    paired = (
+        F.broadcast(lags)
+        .crossJoin(d)
+        .join(
+            lead,
+            F.col("l_day")
+            == F.col("d_day")
+            + F.col("lag") * F.expr("INTERVAL 1 DAY"),
+        )
+    )
+    return (
+        paired.groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.round(F.corr("x", "y"), 6).alias("autocorr"),
+        )
+        .orderBy("lag")
+    )

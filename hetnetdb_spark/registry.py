@@ -246,6 +246,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "s37_python_datasource_sink",
         "a36_pareto_coverage",
         "u17_struct_pandas_udf",
+        "w21_autocorrelation",
     }
 )
 
