@@ -1550,3 +1550,52 @@ def a36_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pct")
     )
+
+
+# --------------------------------------------------------------------------
+# A37 — higher moments: skewness/kurtosis across DEFINITION dialects
+# --------------------------------------------------------------------------
+
+A37_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT)      AS n,
+       ROUND(skewness(l_quantity), 6) AS skew_sample,
+       ROUND(kurtosis(l_quantity), 6) AS kurt_sample
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@query("a37_higher_moments", oracle=A37_ORACLE)
+def a37_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A37 — third and fourth moments, across the two definition
+    dialects the ecosystem ships (measured, n=5 witness in the
+    probe): Spark's skewness/kurtosis are the POPULATION statistics
+    (g₁ = m₃/m₂^1.5, excess g₂), DuckDB's are the SAMPLE-ADJUSTED
+    G₁/G₂ (what pandas and Excel report). The query converts
+    Spark's g's through the exact closed-form corrections —
+    G₁ = g₁·√(n(n−1))/(n−2),
+    G₂ = ((n+1)·g₂ + 6)·(n−1)/((n−2)(n−3)) —
+    so the oracle can be DuckDB's NATIVE aggregates: the pin is the
+    definition mapping itself, the thing that silently skews every
+    cross-system stats report that assumes "skewness is skewness".
+
+    Float posture: g's are ratios of co-moments (a30 cancellation)
+    and the corrections are exact rationals in n — r6 holds at all
+    three SFs. One algebraic-aggregate pass, |flags| rows."""
+    (li,) = load_tables(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1)).cast("double")
+    g1 = F.skewness("l_quantity")
+    g2 = F.kurtosis("l_quantity")
+    G1 = g1 * F.sqrt(n * (n - 1)) / (n - 2)
+    G2 = ((n + 1) * g2 + 6) * (n - 1) / ((n - 2) * (n - 3))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(G1, 6).alias("skew_sample"),
+            F.round(G2, 6).alias("kurt_sample"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -247,6 +247,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "a36_pareto_coverage",
         "u17_struct_pandas_udf",
         "w21_autocorrelation",
+        "a37_higher_moments",
     }
 )
 
