@@ -1379,3 +1379,56 @@ def l63_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_lo", "source_hi")
     )
+
+
+# --------------------------------------------------------------------------
+# L66 — embedding norm audit (is the index actually normalized?)
+# --------------------------------------------------------------------------
+
+L66_ORACLE = f"""
+WITH norms AS (
+    SELECT vec_id, ROUND(SQRT({duck_dot("embedding", "embedding")}), 6) AS nrm
+    FROM embeddings
+)
+SELECT CAST(COUNT(*) AS BIGINT)                                   AS n_vectors,
+       ROUND(MIN(nrm), 6)                                         AS min_norm,
+       ROUND(MAX(nrm), 6)                                         AS max_norm,
+       CAST(COALESCE(SUM(CASE WHEN ABS(nrm - 1.0) > 0.01 THEN 1 END), 0)
+            AS BIGINT)                                            AS n_unnormalized,
+       bool_and(ABS(nrm - 1.0) <= 0.01)                           AS index_normalized
+FROM norms
+"""
+
+
+@query("l66_embedding_norm_audit", oracle=L66_ORACLE)
+def l66_embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L66 — the precondition audit every cosine operator in this
+    repo silently assumes: dot(a,b) equals cosine ONLY if the
+    vectors are unit-norm. The audit computes each vector's L2 norm
+    with the house sequential-fold dot (bit-identical on both
+    engines — the same spelling the similarity oracles replay),
+    flags anything off unit by more than 1%, and emits the
+    corpus-level verdict `index_normalized` that l02/l03/l04/l35/
+    l50/l58's docstrings implicitly rely on — making the assumption
+    a CHECKED invariant instead of fixture folklore. On an index
+    where this returns false, every "cosine" threshold in the dedup
+    stack is actually an unnormalized dot and the pipeline must
+    renormalize at ingest (one map-side pass) before any of it is
+    meaningful.
+
+    Scale: one scan, per-row codegen fold, 1-row output — the
+    cheapest possible invariant to keep in a daily index health
+    check."""
+    (emb,) = load_tables(spark, sf_dir, "embeddings")
+    nrm = F.round(F.sqrt(dot(F.col("embedding"), F.col("embedding"))), 6)
+    norms = emb.select(nrm.alias("nrm"))
+    off = F.abs(F.col("nrm") - 1.0) > 0.01
+    return norms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.round(F.min("nrm"), 6).alias("min_norm"),
+        F.round(F.max("nrm"), 6).alias("max_norm"),
+        F.coalesce(F.sum(F.when(off, 1)), F.lit(0))
+        .cast("bigint")
+        .alias("n_unnormalized"),
+        F.expr("bool_and(ABS(nrm - 1.0) <= 0.01)").alias("index_normalized"),
+    )

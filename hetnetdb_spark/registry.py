@@ -248,6 +248,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "u17_struct_pandas_udf",
         "w21_autocorrelation",
         "a37_higher_moments",
+        "l66_embedding_norm_audit",
     }
 )
 
