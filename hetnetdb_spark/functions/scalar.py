@@ -1215,3 +1215,82 @@ def f28_datetime_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("o_orderkey")
     )
+
+
+# --------------------------------------------------------------------------
+# F31 — array set algebra (union / intersect / except, dedup semantics)
+# --------------------------------------------------------------------------
+
+F31_ORACLE = """
+WITH lo AS (
+    SELECT c_nationkey,
+           list_sort(list_distinct(list(c_mktsegment))) AS segs
+    FROM customer WHERE c_custkey % 2 = 0 GROUP BY c_nationkey
+),
+hi AS (
+    SELECT c_nationkey,
+           list_sort(list_distinct(list(c_mktsegment))) AS segs
+    FROM customer WHERE c_custkey % 2 = 1 GROUP BY c_nationkey
+)
+SELECT lo.c_nationkey,
+       COALESCE(array_to_string(list_sort(list_distinct(
+           list_concat(lo.segs, hi.segs))), ','), '')              AS seg_union,
+       COALESCE(array_to_string(list_sort(list_distinct(
+           list_filter(lo.segs, x -> list_contains(hi.segs, x)))), ','), '')
+                                                                   AS seg_intersect,
+       COALESCE(array_to_string(list_sort(list_distinct(
+           list_filter(lo.segs, x -> NOT list_contains(hi.segs, x)))), ','), '')
+                                                                   AS seg_except
+FROM lo JOIN hi ON lo.c_nationkey = hi.c_nationkey
+ORDER BY lo.c_nationkey
+"""
+
+
+@query("f31_array_set_algebra", oracle=F31_ORACLE)
+def f31_array_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F31 — the array set-algebra trio: ``array_union`` /
+    ``array_intersect`` / ``array_except`` over per-group segment
+    sets (even- vs odd-keyed customers per nation), with their
+    DEDUPLICATION contract pinned — all three return SET semantics
+    regardless of input multiplicity, which is the property callers
+    routinely mis-assume (concat ≠ union). DuckDB has no native
+    trio, so the oracle composes each from
+    list_distinct/list_filter/list_contains — the definition itself.
+
+    Cross-engine encoding note (measured): array COLUMNS stringify
+    differently through the comparison harness (Python list repr vs
+    numpy array repr), so set results ship as SORTED, CSV-JOINED
+    strings on both sides — element order inside the unordered-set
+    results is engine-defined, the sort makes it canonical
+    (the registry tie-break discipline applied to collections) —
+    and DuckDB's array_to_string of an EMPTY list yields NULL where
+    Spark's array_join yields '' (measured), so the oracle
+    coalesces.
+
+    Scale: collect_set here is segment-bounded per group (the a09
+    rule); set ops are codegen array expressions, no extra
+    shuffle."""
+    (customer,) = load_tables(spark, sf_dir, "customer")
+
+    def segs(parity: int, alias: str):
+        return (
+            customer.filter(F.col("c_custkey") % 2 == parity)
+            .groupBy("c_nationkey")
+            .agg(F.array_sort(F.collect_set("c_mktsegment")).alias(alias))
+        )
+
+    lo, hi = segs(0, "lo"), segs(1, "hi")
+
+    def joined(col):
+        return F.array_join(F.array_sort(col), ",")
+
+    return (
+        lo.join(hi, "c_nationkey")
+        .select(
+            "c_nationkey",
+            joined(F.array_union("lo", "hi")).alias("seg_union"),
+            joined(F.array_intersect("lo", "hi")).alias("seg_intersect"),
+            joined(F.array_except("lo", "hi")).alias("seg_except"),
+        )
+        .orderBy("c_nationkey")
+    )

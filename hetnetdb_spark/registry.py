@@ -249,6 +249,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "w21_autocorrelation",
         "a37_higher_moments",
         "l66_embedding_norm_audit",
+        "f31_array_set_algebra",
     }
 )
 
