@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from hetnetdb_spark.catalog import load_tables
-from hetnetdb_spark.expr import r6
+from hetnetdb_spark.expr import r6, z6, zround
 from hetnetdb_spark.registry import query
 
 # --------------------------------------------------------------------------
@@ -676,11 +676,11 @@ def a18_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 A19_ORACLE = """
 SELECT l_returnflag,
-       CAST(COUNT(*) AS BIGINT)                              AS n,
-       ROUND(corr(l_quantity, l_extendedprice), 6)           AS corr_qty_price,
-       ROUND(corr(l_discount, l_extendedprice), 6)           AS corr_disc_price,
-       ROUND(covar_samp(l_quantity, l_extendedprice), 2)     AS cov_qty_price,
-       ROUND(covar_pop(l_discount, l_tax), 6)                AS cov_disc_tax
+       CAST(COUNT(*) AS BIGINT)                                    AS n,
+       ROUND(corr(l_quantity, l_extendedprice), 6) + 0.0           AS corr_qty_price,
+       ROUND(corr(l_discount, l_extendedprice), 6) + 0.0           AS corr_disc_price,
+       ROUND(covar_samp(l_quantity, l_extendedprice), 2) + 0.0     AS cov_qty_price,
+       ROUND(covar_pop(l_discount, l_tax), 6) + 0.0                AS cov_disc_tax
 FROM lineitem
 GROUP BY l_returnflag
 """
@@ -700,17 +700,22 @@ def a19_correlation_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(1e4-1e5) and its distributed-vs-sequential co-moment merge
     drifts past 1e-6 ABSOLUTE at scale (the round-4 driver caught
     exactly this), so that column rounds at 2dp on both sides.
-    Complements s17's per-column profile with the between-column
-    view a feature-selection pass needs."""
+    Every rounded column here can be negative, so rounding goes
+    through `zround` (`round + 0.0`) on BOTH sides: a value rounding
+    to zero from below is `-0.0`, numerically equal but a different
+    bit pattern than `0.0`, and the driver hashes bytes — the r4/r5
+    red row was exactly Spark `0.0` vs DuckDB `-0.0` on
+    `cov_disc_tax` for group N. Complements s17's per-column profile
+    with the between-column view a feature-selection pass needs."""
     (lineitem,) = load_tables(spark, sf_dir, "lineitem")
     return lineitem.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        r6(F.corr("l_quantity", "l_extendedprice")).alias("corr_qty_price"),
-        r6(F.corr("l_discount", "l_extendedprice")).alias("corr_disc_price"),
-        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+        z6(F.corr("l_quantity", "l_extendedprice")).alias("corr_qty_price"),
+        z6(F.corr("l_discount", "l_extendedprice")).alias("corr_disc_price"),
+        zround(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
             "cov_qty_price"
         ),
-        r6(F.covar_pop("l_discount", "l_tax")).alias("cov_disc_tax"),
+        z6(F.covar_pop("l_discount", "l_tax")).alias("cov_disc_tax"),
     )
 
 
@@ -1169,9 +1174,9 @@ def a26_mad_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 A30_ORACLE = """
 SELECT l_returnflag,
        CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT)  AS n,
-       ROUND(regr_slope(l_extendedprice, l_quantity), 6)        AS slope,
-       ROUND(regr_intercept(l_extendedprice, l_quantity), 6)    AS intercept,
-       ROUND(regr_r2(l_extendedprice, l_quantity), 6)           AS r2,
+       ROUND(regr_slope(l_extendedprice, l_quantity), 6) + 0.0     AS slope,
+       ROUND(regr_intercept(l_extendedprice, l_quantity), 6) + 0.0 AS intercept,
+       ROUND(regr_r2(l_extendedprice, l_quantity), 6) + 0.0        AS r2,
        ROUND(regr_avgx(l_extendedprice, l_quantity), 6)         AS avg_x,
        ROUND(regr_avgy(l_extendedprice, l_quantity), 6)         AS avg_y
 FROM lineitem
@@ -1208,9 +1213,9 @@ def a30_regression_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_returnflag")
         .agg(
             F.expr(f"regr_count({y}, {x})").cast("bigint").alias("n"),
-            r6(F.expr(f"regr_slope({y}, {x})")).alias("slope"),
-            r6(F.expr(f"regr_intercept({y}, {x})")).alias("intercept"),
-            r6(F.expr(f"regr_r2({y}, {x})")).alias("r2"),
+            z6(F.expr(f"regr_slope({y}, {x})")).alias("slope"),
+            z6(F.expr(f"regr_intercept({y}, {x})")).alias("intercept"),
+            z6(F.expr(f"regr_r2({y}, {x})")).alias("r2"),
             r6(F.expr(f"regr_avgx({y}, {x})")).alias("avg_x"),
             r6(F.expr(f"regr_avgy({y}, {x})")).alias("avg_y"),
         )
@@ -1559,8 +1564,8 @@ def a36_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 A37_ORACLE = """
 SELECT l_returnflag,
        CAST(COUNT(*) AS BIGINT)      AS n,
-       ROUND(skewness(l_quantity), 6) AS skew_sample,
-       ROUND(kurtosis(l_quantity), 6) AS kurt_sample
+       ROUND(skewness(l_quantity), 6) + 0.0 AS skew_sample,
+       ROUND(kurtosis(l_quantity), 6) + 0.0 AS kurt_sample
 FROM lineitem
 GROUP BY l_returnflag
 ORDER BY l_returnflag
@@ -1594,8 +1599,8 @@ def a37_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.round(G1, 6).alias("skew_sample"),
-            F.round(G2, 6).alias("kurt_sample"),
+            zround(G1).alias("skew_sample"),
+            zround(G2).alias("kurt_sample"),
         )
         .orderBy("l_returnflag")
     )

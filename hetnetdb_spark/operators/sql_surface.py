@@ -83,12 +83,24 @@ def o10_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     (default 1M) that a legitimate input-sized recursion trips as
     soon as the table outgrows it — the 10x slope run failed with
     RECURSION_ROW_LIMIT_EXCEEDED at 2M parts. The row limit is
-    lifted here (execution-time read, so it must stay set while the
-    returned frame is live; `-1` = unlimited is the documented
-    production setting for data-proportional recursions)."""
+    lifted for THIS query only: the conf is execution-time read, so
+    the recursion is materialized inside the override scope (the
+    rollup is <= depth rows — bounded at any SF) and the previous
+    limit is restored in a finally. Leaving `-1` on the shared
+    session would disable the runaway-recursion guard for every
+    later query in the same session (w20's recursive CTE included)."""
     register_views(spark, sf_dir, "part")
+    prev = spark.conf.get("spark.sql.cteRecursionRowLimit", None)
     spark.conf.set("spark.sql.cteRecursionRowLimit", "-1")
-    return spark.sql(O10_SQL)
+    try:
+        result = spark.sql(O10_SQL)
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.cteRecursionRowLimit")
+        else:
+            spark.conf.set("spark.sql.cteRecursionRowLimit", prev)
 
 
 # --------------------------------------------------------------------------

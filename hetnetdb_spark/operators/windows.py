@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from hetnetdb_spark.catalog import load_events_raw, load_tables
-from hetnetdb_spark.expr import r6
+from hetnetdb_spark.expr import r6, zround
 from hetnetdb_spark.registry import query
 
 
@@ -1451,7 +1451,7 @@ lagged AS (
 )
 SELECT lag,
        CAST(COUNT(*) AS BIGINT)  AS n_pairs,
-       ROUND(corr(x, y), 6)      AS autocorr
+       ROUND(corr(x, y), 6) + 0.0 AS autocorr
 FROM lagged
 GROUP BY lag
 ORDER BY lag
@@ -1500,7 +1500,7 @@ def w21_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         paired.groupBy("lag")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
-            F.round(F.corr("x", "y"), 6).alias("autocorr"),
+            zround(F.corr("x", "y")).alias("autocorr"),
         )
         .orderBy("lag")
     )

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hetnetdb_spark.catalog import load_tables
+from hetnetdb_spark.expr import zround
 from hetnetdb_spark.registry import query
 
 #: leading dims used for the decomposition — keeps the 8×8 moment
@@ -74,11 +75,11 @@ def _l46_oracle() -> str:
     )
     rayleigh = " + ".join(f"({u}) * v{i}" for i, u in enumerate(u_exprs, 1))
     unpivot = " UNION ALL ".join(
-        f"SELECT CAST({i} AS BIGINT) AS dim, ROUND(v{i}, 6) AS loading, "
-        f"ROUND({rayleigh}, 6) AS eigenvalue FROM last, c"
+        f"SELECT CAST({i} AS BIGINT) AS dim, ROUND(v{i}, 6) + 0.0 AS loading, "
+        f"ROUND({rayleigh}, 6) + 0.0 AS eigenvalue FROM last, c"
         if i == 1
-        else f"SELECT CAST({i} AS BIGINT), ROUND(v{i}, 6), "
-        f"ROUND({rayleigh}, 6) FROM last, c"
+        else f"SELECT CAST({i} AS BIGINT), ROUND(v{i}, 6) + 0.0, "
+        f"ROUND({rayleigh}, 6) + 0.0 FROM last, c"
         for i in range(1, L46_D + 1)
     )
     return f"""
@@ -182,6 +183,6 @@ def l46_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dim long, loading double, eigenvalue double",
     )
     return out.select(
-        "dim", F.round("loading", 6).alias("loading"),
-        F.round("eigenvalue", 6).alias("eigenvalue"),
+        "dim", zround(F.col("loading")).alias("loading"),
+        zround(F.col("eigenvalue")).alias("eigenvalue"),
     )

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from hetnetdb_spark.catalog import load_tables
-from hetnetdb_spark.expr import r6
+from hetnetdb_spark.expr import r6, zround
 from hetnetdb_spark.registry import query
 
 # --------------------------------------------------------------------------
@@ -1184,9 +1184,9 @@ s AS (
     FROM pts
 )
 SELECT CAST(m AS BIGINT) AS n_terms,
-       ROUND((m * sxy - sx * sy) / (m * sxx - sx * sx), 6) AS zipf_slope,
+       ROUND((m * sxy - sx * sy) / (m * sxx - sx * sx), 6) + 0.0 AS zipf_slope,
        ROUND((sy - (m * sxy - sx * sy) / (m * sxx - sx * sx) * sx) / m, 6)
-           AS intercept
+           + 0.0 AS intercept
 FROM s
 """
 
@@ -1241,8 +1241,8 @@ def l45_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return s.select(
         F.col("m").cast("long").alias("n_terms"),
-        F.round(slope, 6).alias("zipf_slope"),
-        F.round((F.col("sy") - slope * F.col("sx")) / F.col("m"), 6).alias(
+        zround(slope).alias("zipf_slope"),
+        zround((F.col("sy") - slope * F.col("sx")) / F.col("m")).alias(
             "intercept"
         ),
     )
@@ -1282,7 +1282,7 @@ uni AS (
 SELECT b.w1, b.w2, CAST(b.nb AS BIGINT) AS nb,
        ROUND(LN((b.nb / t.nbg)
                 / ((u1.nu / (2.0 * t.nbg)) * (u2.nu / (2.0 * t.nbg)))), 6)
-           AS pmi
+           + 0.0 AS pmi
 FROM bfreq b
 CROSS JOIN tot t
 JOIN uni u1 ON u1.term = b.w1
@@ -1350,7 +1350,7 @@ def l49_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .join(F.broadcast(u1), "w1")
         .join(F.broadcast(u2), "w2")
-        .select("w1", "w2", "nb", F.round(pmi, 6).alias("pmi"))
+        .select("w1", "w2", "nb", zround(pmi).alias("pmi"))
         .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(L49_TOP)
     )

@@ -141,115 +141,9 @@ def _verified_names() -> set[str]:
 #: round and sort into tiers 0/1 via CORRECTNESS_r04.json.)
 NEW_THIS_ROUND: frozenset[str] = frozenset(
     {
-        "w09_rolling_zscore",
-        "s22_value_histogram",
-        "l32_corpus_mixture",
-        "l33_incremental_dedup",
-        "a22_argmax_mode",
-        "s23_malformed_records",
-        "a23_approx_percentile_bound",
-        "w10_mom_growth",
-        "l34_passage_dedup",
-        "w11_running_distinct",
-        "j16_lateral_topk",
-        "u10_iter_pandas_udf",
-        "l35_semantic_dedup",
-        "t12_stream_outer_join",
-        "l36_triangle_count",
-        "l37_portable_bloom_probe",
-        "l38_pagerank",
-        "u11_apply_in_arrow",
-        "s24_snapshot_time_travel",
-        "f20_calendar_edges",
-        "l40_prep_pipeline",
-        "t13_rocksdb_state",
-        "s25_observed_metrics",
-        "s26_parameterized_sql",
-        "s27_catalog_table",
-        "f21_codec_roundtrips",
-        # second continuation session
-        "w12_interval_merge",
-        "l41_heavy_hitters",
-        "l42_weighted_sample",
-        "o09_distributed_rank",
-        "l43_bigram_logprob",
-        "a24_weighted_quantiles",
-        "l44_ngram_diversity",
-        "l45_zipf_slope",
-        "l46_pca_power_iteration",
-        "j17_asof_nearest",
-        "a25_sketch_intersection",
-        "l47_hashed_features",
-        "w13_rolling_median",
-        "l48_dp_noisy_counts",
-        "l49_pmi_collocations",
-        "a26_mad_robust_stats",
-        "w14_activity_streaks",
-        "a27_countmin_contract",
-        "u12_polymorphic_udtf",
-        "j18_null_skew_outer_join",
-        "t14_stream_upsert_sink",
-        "l50_knn_classify",
-        "s28_csv_dialect",
-        "s29_sql_variables",
-        "l51_padding_efficiency",
-        "w15_peak_detection",
-        "l52_entropy_profile",
-        "l53_negative_sampling",
-        "l54_quality_model_scoring",
-        "l39_modality_mixture",
-        # third continuation session: the Spark 4 SQL-surface wave
-        "o10_recursive_cte",
-        "u13_sql_udf",
-        "f22_variant_roundtrip",
-        "f23_try_arithmetic",
-        "a28_ordered_listagg",
-        "a29_approx_topk_contract",
-        "a30_regression_profile",
-        "f24_map_higher_order",
-        "f25_xml_roundtrip",
-        "s31_column_defaults",
-        "l55_alpha_mixture",
-        "w16_interval_range_frame",
-        "f27_generator_chain",
-        "l56_k_anonymity",
-        "w17_ignore_nulls_fill",
-        "j20_join_strategy_hints",
-        "l57_text_normalization",
-        "a31_boolean_aggregates",
-        "w18_session_window_fn",
-        "l58_label_propagation",
-        "t15_listener_metrics",
-        "l59_minhash_index_probe",
-        "o13_group_order_by_all",
-        "a32_sql_pivot_clause",
-        "s33_partition_discovery",
-        "u14_sql_table_function",
-        "s34_view_stack",
-        "l60_vocab_oov_rate",
-        "s35_python_datasource",
-        "u15_arrow_udtf",
-        "l61_script_mix",
-        "t16_stream_python_source",
-        "a33_equidepth_histogram",
-        "l62_threshold_sweep",
-        "w19_transition_matrix",
-        "l63_cross_source_overlap",
-        "a34_benford_audit",
-        "w20_cusum_drift",
-        "t17_union_watermark_min",
-        "j21_full_using_coalesce",
-        "f28_datetime_format_roundtrip",
-        "s36_table_properties",
-        "l64_token_budget_selection",
-        "l65_source_interleave",
-        "s37_python_datasource_sink",
-        "a36_pareto_coverage",
-        "u17_struct_pandas_udf",
-        "w21_autocorrelation",
-        "a37_higher_moments",
-        "l66_embedding_norm_audit",
-        "f31_array_set_algebra",
+        # Round 6: rotated — round 5's additions have now waited a
+        # full round and sort into tiers 0/1 via CORRECTNESS_r05.json.
+        # New round-6 queries are appended here as they land.
     }
 )
 
@@ -260,36 +154,20 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
 #: the round-5 float-discipline fixes).
 RECHECK_THIS_ROUND: frozenset[str] = frozenset(
     {
-        "a16_hll_sketch_union",   # rows-only -> full ±2%-bound oracle
-        "q11_important_stock",    # cutoff compare -> scale-free ratio
-        "w07_time_grid_gapfill",  # oracle is_gap now join-key based
-        "l03_knn_ivf",            # centroid means rounded to 7dp
-        "l04_simjoin_exact",      # GEMM guard-band sequential recompute
-        "l04_simjoin_lsh",        # inherits exact_pairs guard band
-        "a04_approx_count_distinct",  # rows-only -> ±6%-bound oracle
-        "l02_minhash_neardup",    # rows-only -> portable-hash replay oracle
-        "l02_simhash_neardup",    # rows-only -> portable-hash replay oracle
-        "f09_engine_hashes",      # rows-only -> collision-free property pin
-        "l15_stratified_sample",  # rows-only -> 5-sigma binomial bound
-        "u08_cogrouped_pandas",   # demo domain bounded (20.8s -> 0.9s)
-        "l08_image_features",     # rows-only -> UTF-8 byte-class replay oracle
-        "t04_watermark_latedrop",  # rows-only -> emission-gate full oracle (r5 late)
-        "t08_output_modes",        # rows-only -> paced-batch full oracle (r5 late)
-        # sf0.1 full-registry sweep fallout (r5 late): money sums now
-        # accumulate in DECIMAL on both engines — the 6dp-rounded
-        # double sums of O(1e9+) drifted past 1e-6 at 10x the
-        # driver's gate scale (a19's magnitude lesson, applied to
-        # every >=1e8-per-group money sum).
-        "q1_pricing_summary",
-        "q6_forecast_revenue",
-        "a01_ungrouped_agg",
-        "a10_cube",
-        "a14_unpivot",
-        "s03_json_roundtrip",
+        # a19's rounding changed AGAIN this round (zround: signed-zero
+        # normalization on both sides after the r5 driver's -0.0 hash
+        # fail), so its r1-r4 green rows certify a stale contract.
+        "a19_correlation_profile",
+        # s14/s15 took new decimal money-sum oracles late in r5 but
+        # never landed in the r5 window — their only green rows
+        # predate the rework.
         "s14_partition_upsert",
         "s15_schema_evolution",
-        "j13_salted_skew_join",
-        "u01_python_udf",
+        # t04/t08's only driver word is an r3 "no_oracle" rows-only
+        # row; both gained full emission-gate oracles in r5 and have
+        # never been driver-checked against them.
+        "t04_watermark_latedrop",
+        "t08_output_modes",
     }
 )
 
@@ -299,8 +177,11 @@ RECHECK_THIS_ROUND: frozenset[str] = frozenset(
 #: no-oracle declaration for a real error-bound oracle — both must
 #: not miss the ~50-entry window.
 FRONT_OF_LINE: tuple[str, ...] = (
-    "a16_hll_sketch_union",
     "a19_correlation_profile",
+    "t04_watermark_latedrop",
+    "t08_output_modes",
+    "s14_partition_upsert",
+    "s15_schema_evolution",
 )
 
 

@@ -1753,6 +1753,14 @@ def s37_python_datasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     guarantees (a task that wrote but failed before reporting would
     break it; abort() is the cleanup hook).
 
+    Deployment note: the writers target a SCRATCH path that is
+    driver-local; the data/manifest cross-check works here because
+    local-mode executors share the driver filesystem. On a real
+    cluster the same protocol needs a SHARED filesystem (object
+    store / DFS) path — the commit messages are the portable part,
+    the file destination is not. The test pins the two-phase
+    protocol shape, not the storage layout.
+
     Oracle: the same per-priority census from the source relation,
     with manifest_tasks pinned to the repartition width and
     manifest_total to the source count — all integer-exact."""

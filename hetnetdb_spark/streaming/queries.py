@@ -1101,7 +1101,16 @@ def t15_listener_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             self.terminated = False
 
         def onQueryStarted(self, event) -> None:
-            pass
+            # Capture the id HERE: onQueryStarted is delivered
+            # synchronously with start(), so the filter is armed
+            # before the first micro-batch can report progress.
+            # Assigning from the main thread after start() returned
+            # (the old shape) raced batch 0's progress event — a
+            # fast first batch was silently dropped by the id filter
+            # and listener_rows undercounted. First-started wins;
+            # the listener lives only for this function's one query.
+            if self.query_id is None:
+                self.query_id = str(event.id)
 
         def onQueryProgress(self, event) -> None:
             p = event.progress
@@ -1132,7 +1141,6 @@ def t15_listener_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        rec.query_id = str(q.id)
         q.awaitTermination()
         deadline = _time.monotonic() + 30
         while not rec.terminated and _time.monotonic() < deadline:
@@ -1345,7 +1353,11 @@ def t17_union_watermark_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     (events,) = load_tables(spark, sf_dir, "events")
-    base = os.path.join(SCRATCH, "t17_union")
+    # Per-sf scratch tag like every other T-query sink: untagged,
+    # interleaved runs at different scale factors would collide on
+    # sources, checkpoint, and output.
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    base = os.path.join(SCRATCH, f"t17_union_{tag}")
     shutil.rmtree(base, ignore_errors=True)
     src_a = os.path.join(base, "clicks")
     src_b = os.path.join(base, "purchases")

@@ -61,6 +61,20 @@ def assert_frames_match(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: s
             sa = sv.astype("float64").to_numpy()
             da = dv.astype("float64").to_numpy()
             ok = np.isclose(sa, da, rtol=0.0, atol=1e-9, equal_nan=True)
+            # Driver-faithful signed-zero check: the driver hashes raw
+            # bytes, so Spark 0.0 vs oracle -0.0 is a driver FAIL even
+            # though isclose (and ==) call them equal. Flag any zero
+            # whose sign bit differs between the two sides so this bug
+            # class can never again be local-green/driver-red (a19, r4-r5).
+            zdiv = (sa == 0.0) & (da == 0.0) & (np.signbit(sa) != np.signbit(da))
+            if zdiv.any():
+                bad = int(np.argmax(zdiv))
+                raise AssertionError(
+                    f"{name}: column {c!r} signed-zero divergence at sorted "
+                    f"row {bad}: spark={sv.iloc[bad]!r} oracle={dv.iloc[bad]!r} "
+                    f"— wrap both sides' rounding in zround/`ROUND(...) + 0.0` "
+                    f"({int(zdiv.sum())} rows affected)"
+                )
         else:
             ok = (sv.to_numpy() == dv.to_numpy()) | (sv.isna() & dv.isna()).to_numpy()
         if not ok.all():

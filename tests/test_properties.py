@@ -677,3 +677,93 @@ def test_a34_digit_counts_are_complete(spark):
     assert abs(sum(r["observed"] for r in rows) - 1.0) < 1e-4
     for r in rows:
         assert abs(r["benford"] - round(math.log10(1 + 1 / r["d"]), 6)) <= 1e-9
+
+
+# --------------------------------------------------------------------------
+# Signed-zero / NaN float discipline (round-6 backstop for the a19 class)
+# --------------------------------------------------------------------------
+
+def test_comparator_rejects_signed_zero_divergence():
+    """The local harness must be driver-faithful on -0.0: the driver
+    hashes raw bytes, so a Spark 0.0 against an oracle -0.0 is a
+    driver FAIL that np.isclose alone would wave through (exactly the
+    a19 r4/r5 red row). Inject the divergence and require a loud
+    assertion."""
+    import numpy as np
+    import pandas as pd
+    import pytest as _pytest
+
+    a = pd.DataFrame({"g": ["x", "y"], "v": [0.0, 1.5]})
+    b = pd.DataFrame({"g": ["x", "y"], "v": [-0.0, 1.5]})
+    with _pytest.raises(AssertionError, match="signed-zero"):
+        assert_frames_match(a, b, "injected")
+    # sanity: matching signs (both -0.0) still pass
+    c = pd.DataFrame({"g": ["x", "y"], "v": [-0.0, 1.5]})
+    assert_frames_match(b, c, "matched")
+    assert np.signbit(b["v"].to_numpy()[0])
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    nkeys=st.integers(min_value=1, max_value=5),
+)
+def test_corr_covar_family_signed_zero_safe(spark, oracle, seed, nkeys):
+    """Random signed near-zero data through the corr/covar/regr
+    aggregate family on BOTH engines, compared with a byte-strict
+    signbit check (not isclose): the zround(`ROUND + 0.0`) recipe
+    must keep every rounded statistic free of -0.0 on either side.
+
+    The generator deliberately centers both columns at 0 with
+    sub-1e-6 magnitudes so unrounded statistics land inside the
+    rounding window where ROUND(x, 6) yields +/-0.0 — the exact
+    regime that made a19 driver-red while local-green."""
+    import numpy as np
+    import pandas as pd
+
+    from hetnetdb_spark.expr import z6
+
+    rng = np.random.default_rng(seed)
+    n = 40
+    pdf = pd.DataFrame(
+        {
+            "k": rng.integers(0, nkeys, n).astype("int64"),
+            "x": (rng.standard_normal(n) * 1e-7),
+            "y": (rng.standard_normal(n) * 1e-7),
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    out = (
+        sdf.groupBy("k")
+        .agg(
+            z6(F.corr("x", "y")).alias("c"),
+            z6(F.covar_pop("x", "y")).alias("cp"),
+            z6(F.covar_samp("x", "y")).alias("cs"),
+            z6(F.expr("regr_slope(y, x)")).alias("sl"),
+        )
+        .toPandas()
+    )
+    oracle.register("nz_src", pdf)
+    duck = oracle.execute(
+        """
+        SELECT k,
+               ROUND(corr(x, y), 6) + 0.0        AS c,
+               ROUND(covar_pop(x, y), 6) + 0.0   AS cp,
+               ROUND(covar_samp(x, y), 6) + 0.0  AS cs,
+               ROUND(regr_slope(y, x), 6) + 0.0  AS sl
+        FROM nz_src GROUP BY k
+        """
+    ).fetchdf()
+    oracle.unregister("nz_src")
+    # neither side may emit a negative zero anywhere...
+    for pdf_side, label in ((out, "spark"), (duck, "oracle")):
+        for col in ("c", "cp", "cs", "sl"):
+            a = pdf_side[col].to_numpy(dtype="float64", na_value=np.nan)
+            neg0 = (a == 0.0) & np.signbit(a)
+            assert not neg0.any(), f"{label}.{col} emitted -0.0"
+    # ...and the strict comparator (with its signbit check) must pass.
+    assert_frames_match(out, duck, "corr_covar_signed_zero")
