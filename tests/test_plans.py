@@ -653,10 +653,31 @@ def test_o10_recursion_is_engine_looped(spark):
     """o10: WITH RECURSIVE must plan as the engine's UnionLoop
     operator (Spark 4 recursion execution), and the money rollup
     must accumulate in decimal — a double sum here would reintroduce
-    the partition-order drift the a19/q1 discipline removed."""
-    plan = executed_plan(registry.QUERIES["o10_recursive_cte"](spark, SF_DIR))
+    the partition-order drift the a19/q1 discipline removed.
+
+    The registered query materializes its (<= depth-row) result
+    inside a conf-scoped override so the recursion row-limit guard
+    is restored for later queries — so the UnionLoop pin inspects
+    the recursive SQL's own plan, built under the same scoped
+    override the query uses."""
+    from hetnetdb_spark.catalog import register_views
+    from hetnetdb_spark.operators.sql_surface import O10_SQL
+
+    register_views(spark, SF_DIR, "part")
+    prev = spark.conf.get("spark.sql.cteRecursionRowLimit", None)
+    spark.conf.set("spark.sql.cteRecursionRowLimit", "-1")
+    try:
+        plan = executed_plan(spark.sql(O10_SQL))
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.cteRecursionRowLimit")
+        else:
+            spark.conf.set("spark.sql.cteRecursionRowLimit", prev)
     assert "UnionLoop" in plan, plan
     assert "sum(cast(price" in plan and "as decimal(18,6)" in plan, plan
+    # the registered query must leave the session guard restored
+    registry.QUERIES["o10_recursive_cte"](spark, SF_DIR).collect()
+    assert spark.conf.get("spark.sql.cteRecursionRowLimit") != "-1"
 
 
 def test_u13_sql_udf_inlines_to_codegen(spark):
