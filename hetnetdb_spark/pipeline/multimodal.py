@@ -101,19 +101,52 @@ def l08_multimodal_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def _decode_bytes(data: bytes, width: int, height: int) -> list[float]:
-    """STUB DECODER. Real deployments: `PIL.Image.open(BytesIO(data))
-    .resize(...)` / torchaudio / pyav — none installed here. The
-    fallback is a deterministic byte-histogram 'feature vector'
-    (4 coarse bins + normalized length), so tests assert exact
-    values and the Arrow plumbing is exercised with realistic
-    shapes."""
-    try:  # pragma: no cover — codec libs absent in this container
-        import PIL.Image  # noqa: F401
+def _decode_real(data: bytes, width: int, height: int) -> list[float] | None:
+    """Real codec path — active only where PIL is installed AND the
+    payload parses as an image. Decodes, thumbnails to 16x16
+    grayscale (bounded work per asset regardless of source
+    resolution — the property that keeps the mapInPandas batch cost
+    flat at 100 TB), and emits the same 5-float shape as the
+    fallback: 4-bin luminance histogram + min(width, height).
+    Returns None when the payload is not a decodable image so the
+    caller can fall back deterministically."""
+    try:  # pragma: no cover — PIL absent in this container
+        import io as _io
 
-        raise NotImplementedError("real decode path not wired in this container")
+        from PIL import Image, UnidentifiedImageError
     except ImportError:
-        pass
+        return None
+    try:  # pragma: no cover — PIL absent in this container
+        with Image.open(_io.BytesIO(data)) as im:
+            im = im.convert("L")
+            im.thumbnail((16, 16))
+            pixels = list(im.getdata())
+    except (UnidentifiedImageError, OSError, ValueError):
+        return None
+    counts = [0, 0, 0, 0]
+    for p in pixels:
+        counts[p >> 6] += 1
+    n = max(len(pixels), 1)
+    return [c / n for c in counts] + [float(min(width, height))]
+
+
+def _decode_bytes(data: bytes, width: int, height: int) -> list[float]:
+    """Feature extraction with a codec-aware dispatch: where PIL is
+    installed and the payload is a real image, decode it
+    (`_decode_real`); otherwise fall back to a deterministic
+    byte-histogram 'feature vector' (4 coarse bins + min dimension)
+    so the Arrow plumbing is exercised with realistic shapes and
+    tests can assert exact values. The fixture payloads are UTF-8
+    text bytes, not valid PNGs, so this container always takes the
+    fallback — which is also what keeps l08's full oracle valid
+    (the DuckDB twin replays the byte-class arithmetic from the
+    text column). A corpus of genuine images on a codec-equipped
+    cluster takes the real path with no code change; the
+    skip-marked test in tests/test_invariants.py exercises it
+    whenever PIL is importable."""
+    real = _decode_real(data, width, height)
+    if real is not None:  # pragma: no cover — codec libs absent here
+        return real
     counts = [0, 0, 0, 0]
     for b in data:
         counts[b >> 6] += 1
