@@ -130,6 +130,26 @@ def _decode_real(data: bytes, width: int, height: int) -> list[float] | None:
     return [c / n for c in counts] + [float(min(width, height))]
 
 
+#: Magic-byte signatures the real decode path accepts. Dispatching on
+#: signatures (not on "does PIL happen to parse it") keeps the l08
+#: byte-class oracle valid even on PIL-equipped deployments: PIL
+#: accepts ASCII formats (PBM/PPM start with 'P1'..'P6'), so a text
+#: fixture payload could otherwise silently take the real path and
+#: diverge from the oracle. Round-7 ADVICE fix.
+_IMAGE_MAGIC: tuple[bytes, ...] = (
+    b"\x89PNG\r\n\x1a\n",  # PNG
+    b"\xff\xd8\xff",  # JPEG
+    b"GIF87a",  # GIF
+    b"GIF89a",
+    b"BM",  # BMP
+    b"RIFF",  # WebP (RIFF....WEBP; RIFF alone never starts UTF-8 text fixtures)
+)
+
+
+def _looks_like_image(data: bytes) -> bool:
+    return any(data.startswith(m) for m in _IMAGE_MAGIC)
+
+
 def _decode_bytes(data: bytes, width: int, height: int) -> list[float]:
     """Feature extraction with a codec-aware dispatch: where PIL is
     installed and the payload is a real image, decode it
@@ -144,9 +164,10 @@ def _decode_bytes(data: bytes, width: int, height: int) -> list[float]:
     cluster takes the real path with no code change; the
     skip-marked test in tests/test_invariants.py exercises it
     whenever PIL is importable."""
-    real = _decode_real(data, width, height)
-    if real is not None:  # pragma: no cover — codec libs absent here
-        return real
+    if _looks_like_image(data):  # pragma: no cover — fixtures are text
+        real = _decode_real(data, width, height)
+        if real is not None:
+            return real
     counts = [0, 0, 0, 0]
     for b in data:
         counts[b >> 6] += 1
@@ -221,24 +242,58 @@ def l08_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 FRAME_BYTES = 32  # stub 'frame' = 32-byte slice of the payload
 
+# Frame fingerprint contract: sha256 over the LOWERCASE HEX encoding
+# of the frame bytes (not the raw bytes). Injective in the frame
+# content, so dedup semantics are identical to hashing raw bytes —
+# and it makes the full oracle expressible: DuckDB 1.0.0 has no BLOB
+# byte ops, but `substring(lower(hex(encode(text))), b*2+1, n*2)` IS
+# byte slicing in hex space, and sha256(VARCHAR) exists. Round 7
+# upgraded this query from rows-only to a full oracle on exactly
+# this identity.
+L8_FRAMES_ORACLE = f"""
+WITH videos AS (
+    SELECT doc_id,
+           lower(hex(encode(text)))   AS hx,
+           octet_length(encode(text)) AS n_bytes,
+           doc_id % 30 + 1            AS n_frames
+    FROM documents
+    WHERE doc_id % 3 = 2
+),
+idx AS (SELECT UNNEST(range(0, 30, 5)) AS frame_idx),
+frames AS (
+    SELECT v.doc_id,
+           sha256(substring(
+               v.hx,
+               ((i.frame_idx * {FRAME_BYTES})
+                % GREATEST(v.n_bytes - {FRAME_BYTES}, 1)) * 2 + 1,
+               {FRAME_BYTES} * 2)) AS frame_sha
+    FROM videos v JOIN idx i ON i.frame_idx < v.n_frames
+)
+SELECT CAST(COUNT(*) AS BIGINT)                  AS n_frames_sampled,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT)    AS n_videos,
+       CAST(COUNT(DISTINCT frame_sha) AS BIGINT) AS n_unique_frames
+FROM frames
+"""
 
-@query("l08_frame_sample", oracle=None)
+
+@query("l08_frame_sample", oracle=L8_FRAMES_ORACLE)
 def l08_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L8 (rows-only) — sample every 5th 'frame' from 'video'
-    payloads: a 1:N mapInPandas explosion (one input row → many
-    frame rows), the batch shape real video frame-sampling has.
-    Frames here are byte slices (stub decoder); each output row
-    carries the frame index and a content hash so downstream exact
-    dedup (L1) composes directly.
+    """L8 — sample every 5th 'frame' from 'video' payloads: a 1:N
+    mapInPandas explosion (one input row → many frame rows), the
+    batch shape real video frame-sampling has. Frames here are byte
+    slices (stub decoder); each output row carries the frame index
+    and a content fingerprint so downstream exact dedup (L1)
+    composes directly.
 
-    Rows-only cause (checked round 5): the replay needs byte-level
-    BLOB slicing in the oracle engine, and this DuckDB build has
-    neither substring(BLOB) nor blob bracket slicing (and sha256
-    takes VARCHAR only — a slice can split a multibyte char, so a
-    text round-trip is not UTF-8-safe). The sibling
-    l08_image_features DOES replay in SQL because its feature needs
-    only byte-CLASS counts, which UTF-8 structure exposes through
-    char-level functions."""
+    FULL oracle since round 7: the fingerprint is sha256 over the
+    frame's lowercase-hex encoding (see L8_FRAMES_ORACLE), which
+    DuckDB replays by slicing the payload's hex string — byte
+    offsets become hex-char offsets ×2, sidestepping DuckDB 1.0.0's
+    missing BLOB byte ops (the round-5 rows-only cause). The twin
+    re-derives videos (doc_id % 3 = 2), frame indices
+    (range-step-5 < n_frames), the wrap-around slice start, and the
+    per-frame hash end-to-end, so the 1:N explosion arithmetic is
+    value-checked, not just row-counted."""
 
     def sample(batches):
         for pdf in batches:
@@ -251,7 +306,9 @@ def l08_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                     frame = bytes(data[start : start + FRAME_BYTES])
                     out["doc_id"].append(doc_id)
                     out["frame_idx"].append(idx)
-                    out["frame_sha"].append(hashlib.sha256(frame).hexdigest())
+                    out["frame_sha"].append(
+                        hashlib.sha256(frame.hex().encode()).hexdigest()
+                    )
             yield pd.DataFrame(out)
 
     (documents,) = load_tables(spark, sf_dir, "documents")

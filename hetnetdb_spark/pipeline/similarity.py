@@ -83,8 +83,16 @@ def emb_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     6dp-rounded score + vec_id, so ties cut identically.
     """
     (emb,) = load_tables(spark, sf_dir, "embeddings")
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    qlit = F.array(*[F.lit(float(v)) for v in qvec])
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    if qrow is None:
+        # The old broadcast-join shape degraded to an empty frame;
+        # the plan-build-time binding must fail loudly instead of
+        # with an opaque 'NoneType is not subscriptable'.
+        raise ValueError(
+            f"embeddings at {sf_dir!r} has no vec_id=0 query row; "
+            "emb_topk_cosine binds its parameter from that row"
+        )
+    qlit = F.array(*[F.lit(float(v)) for v in qrow[0]])
     return (
         emb.filter(F.col("vec_id") != 0)
         .select(

@@ -141,9 +141,10 @@ def _verified_names() -> set[str]:
 #: round and sort into tiers 0/1 via CORRECTNESS_r04.json.)
 NEW_THIS_ROUND: frozenset[str] = frozenset(
     {
-        # Round 6: rotated — round 5's additions have now waited a
-        # full round and sort into tiers 0/1 via CORRECTNESS_r05.json.
-        # New round-6 queries are appended here as they land.
+        # Round 7: rotated — round 6 added no queries, so the 69-name
+        # never-sampled backlog (round-5 L/S/T/U/W tail) owns tiers
+        # 0/1 outright. New round-7 queries are appended here as they
+        # land so they cannot displace that backlog from the window.
     }
 )
 
@@ -154,34 +155,25 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
 #: the round-5 float-discipline fixes).
 RECHECK_THIS_ROUND: frozenset[str] = frozenset(
     {
-        # a19's rounding changed AGAIN this round (zround: signed-zero
-        # normalization on both sides after the r5 driver's -0.0 hash
-        # fail), so its r1-r4 green rows certify a stale contract.
-        "a19_correlation_profile",
-        # s14/s15 took new decimal money-sum oracles late in r5 but
-        # never landed in the r5 window — their only green rows
-        # predate the rework.
-        "s14_partition_upsert",
-        "s15_schema_evolution",
-        # t04/t08's only driver word is an r3 "no_oracle" rows-only
-        # row; both gained full emission-gate oracles in r5 and have
-        # never been driver-checked against them.
-        "t04_watermark_latedrop",
-        "t08_output_modes",
+        # Round 7: rotated to empty. CORRECTNESS_r06 certified the
+        # round-6 contracts for every previously-listed name (a19,
+        # s14, s15, t04, t08 all green on their NEW oracles), so
+        # nothing needs a forced re-check and every driver slot goes
+        # to the never-sampled backlog.
+        # l08_frame_sample's oracle was upgraded this round from
+        # rows-only to a full Python-pinned ground truth; its r3 row
+        # is a weaker "no_oracle" record, which _verified_names
+        # already counts as verified — list it here so the driver
+        # checks the new full oracle.
+        "l08_frame_sample",
     }
 )
 
 #: Names forced to the very front of the verification window while
-#: they lack a driver-green CORRECTNESS row. a19 is round 4's one red
-#: row (magnitude-aware rounding fixed this round) and a16 trades its
-#: no-oracle declaration for a real error-bound oracle — both must
-#: not miss the ~50-entry window.
+#: they lack a driver-green CORRECTNESS row — for queries whose only
+#: green row certifies a stale contract (oracle upgraded this round).
 FRONT_OF_LINE: tuple[str, ...] = (
-    "a19_correlation_profile",
-    "t04_watermark_latedrop",
-    "t08_output_modes",
-    "s14_partition_upsert",
-    "s15_schema_evolution",
+    "l08_frame_sample",
 )
 
 
@@ -205,14 +197,17 @@ def _prioritize() -> None:
     """
     verified = _verified_names() - RECHECK_THIS_ROUND
 
-    def tier(name: str) -> int:
+    def tier(name: str) -> tuple[int, int]:
         if name in FRONT_OF_LINE and name not in verified:
-            return -1
+            # Tier -1 honors the FRONT_OF_LINE tuple's own order (it
+            # is a priority list, not a set) — the stable sort keeps
+            # registration order for every other tier.
+            return (-1, FRONT_OF_LINE.index(name))
         if name in verified:
-            return 3 + (name in IMPURE)
+            return (3 + (name in IMPURE), 0)
         if name in NEW_THIS_ROUND:
-            return 2
-        return name in IMPURE
+            return (2, 0)
+        return (name in IMPURE, 0)
 
     ordered = sorted(QUERIES, key=tier)  # stable: keeps registration order
     for d in (QUERIES, ORACLE):

@@ -1149,6 +1149,17 @@ def t15_listener_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise RuntimeError(
                 f"t15: listener never saw termination; events so far: {rec.batches}"
             )
+        if rec.query_id != str(q.id):
+            # First-started-wins can bind a DIFFERENT stream if one
+            # ever starts concurrently in this shared session — then
+            # every progress event of OUR query is silently filtered
+            # out and the oracle fails as an opaque divergence. Fail
+            # loudly at the point of mis-binding instead.
+            raise RuntimeError(
+                f"t15: listener bound query {rec.query_id}, but this "
+                f"run's query is {q.id} — another stream started "
+                "concurrently in the shared session"
+            )
     finally:
         spark.streams.removeListener(rec)
 
