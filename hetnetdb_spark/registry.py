@@ -166,6 +166,12 @@ RECHECK_THIS_ROUND: frozenset[str] = frozenset(
         # already counts as verified — list it here so the driver
         # checks the new full oracle.
         "l08_frame_sample",
+        # emb_topk_cosine's only green row is r3 — before the round-6
+        # plan rebuild (query vector bound at plan-build time and
+        # inlined as a literal). The contract is unchanged but the
+        # executed plan has never been driver-sampled; the r6 verdict
+        # asked for a driver-fresh row on the new shape.
+        "emb_topk_cosine",
     }
 )
 
@@ -174,6 +180,7 @@ RECHECK_THIS_ROUND: frozenset[str] = frozenset(
 #: green row certifies a stale contract (oracle upgraded this round).
 FRONT_OF_LINE: tuple[str, ...] = (
     "l08_frame_sample",
+    "emb_topk_cosine",
 )
 
 
