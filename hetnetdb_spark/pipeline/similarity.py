@@ -318,26 +318,33 @@ def _hyperplanes() -> np.ndarray:
     return rng.standard_normal((N_PLANES, DIM))
 
 
-def _band_structs() -> list[F.Column]:
+def _band_structs(
+    n_bands: int = N_BANDS,
+    bits: int = BITS_PER_BAND,
+    col: str = "embedding",
+) -> list[F.Column]:
     """One (band_id, band_val) struct per band, band_val built
     directly from that band's plane signs. Per-band values avoid
     packing 64 bits into one signed long (bit 63 would overflow) and
-    keep every expression inside codegen."""
+    keep every expression inside codegen. Parameterized since round
+    7 so the selective 8×8 regime (`l04_simjoin_lsh_tuned`) shares
+    the same seed-42 planes and sign arithmetic as the default
+    16×4; ``n_bands * bits`` must not exceed N_PLANES."""
     planes = _hyperplanes()
     out = []
-    for b in range(N_BANDS):
+    for b in range(n_bands):
         val = F.lit(0)
-        for r in range(BITS_PER_BAND):
-            p = b * BITS_PER_BAND + r
+        for r in range(bits):
+            p = b * bits + r
             plane = F.array(*[F.lit(float(x)) for x in planes[p]])
             val = val + F.when(
-                dot(F.col("embedding"), plane) > 0, F.lit(1 << r)
+                dot(F.col(col), plane) > 0, F.lit(1 << r)
             ).otherwise(F.lit(0))
         out.append(F.struct(F.lit(b).alias("band_id"), val.alias("band_val")))
     return out
 
 
-def _plane_dot_sql(plane: np.ndarray) -> str:
+def _plane_dot_sql(plane: np.ndarray, col: str = "embedding") -> str:
     """embedding · plane as a left-associative SQL sum of literal
     terms. Bit-reproducibility argument: Spark's `dot` folds
     ``aggregate(zip_with(...), 0.0, acc + v)`` in index order, and a
@@ -348,7 +355,7 @@ def _plane_dot_sql(plane: np.ndarray) -> str:
     produce the identical double and the > 0 sign test cannot
     straddle."""
     return " + ".join(
-        f"CAST(embedding[{i + 1}] AS DOUBLE) * {float(plane[i])!r}"
+        f"CAST({col}[{i + 1}] AS DOUBLE) * {float(plane[i])!r}"
         for i in range(DIM)
     )
 
@@ -497,6 +504,223 @@ def l04_simjoin_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_verified").cast("double")
                 / F.greatest(F.col("n_exact"), F.lit(1)).cast("double")
             ).alias("recall"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# L4 selective regime — 8×8 banding on a planted near-dup benchmark
+# --------------------------------------------------------------------------
+
+SEL_BANDS = 8
+SEL_BITS = 8
+SEL_TAU = 0.9
+N_PLANT = 64
+PLANT_OFF = 10_000_000
+PERT = 0.08
+_MIX = 2654435761  # Knuth multiplicative constant — the eps hash
+
+
+def _l04_tuned_oracle() -> str:
+    """Twin of `l04_simjoin_lsh_tuned`: plants the same twins
+    (identical double arithmetic — in-order sums, same literals),
+    bands 8×8 with the same seed-42 planes, and replays candidates,
+    verification, and planted-pair recall."""
+    planes = _hyperplanes()
+    band_cols = []
+    for b in range(SEL_BANDS):
+        bits = " + ".join(
+            f"CASE WHEN ({_plane_dot_sql(planes[b * SEL_BITS + r], 'e')}) > 0 "
+            f"THEN {1 << r} ELSE 0 END"
+            for r in range(SEL_BITS)
+        )
+        band_cols.append(f"({bits}) AS bv{b}")
+    sig = ",\n         ".join(band_cols)
+    unpivot = "\n    UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band_id, bv{b} AS band_val FROM sig"
+        for b in range(SEL_BANDS)
+    )
+    return f"""
+WITH base AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+    FROM embeddings
+),
+praw AS (
+    SELECT vec_id,
+           list_transform(range(1, {DIM} + 1),
+               i -> e[i] + (CAST(((vec_id * {DIM} + i) * {_MIX}) % 1000
+                                 AS DOUBLE) / 1000.0 - 0.5) * {PERT!r}) AS tw
+    FROM base WHERE vec_id < {N_PLANT}
+),
+pl AS (
+    SELECT vec_id + {PLANT_OFF} AS vec_id,
+           list_transform(tw, x -> x / sqrt(list_aggregate(
+               list_transform(tw, y -> y * y), 'sum'))) AS e
+    FROM praw
+),
+allv AS (SELECT * FROM base UNION ALL SELECT * FROM pl),
+sig AS MATERIALIZED (
+    SELECT vec_id,
+           {sig}
+    FROM allv
+),
+banded AS (
+    {unpivot}
+),
+cand AS (
+    SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+    FROM banded a JOIN banded b
+      ON a.band_id = b.band_id AND a.band_val = b.band_val
+     AND a.vec_id < b.vec_id
+),
+ver AS (
+    SELECT c.a_id, c.b_id
+    FROM cand c
+    JOIN allv ea ON ea.vec_id = c.a_id
+    JOIN allv eb ON eb.vec_id = c.b_id
+    WHERE ROUND({duck_dot("ea.e", "eb.e")}, 6) >= {SEL_TAU}
+),
+pp AS (
+    SELECT vec_id AS a_id, vec_id + {PLANT_OFF} AS b_id
+    FROM base WHERE vec_id < {N_PLANT}
+),
+n AS (SELECT COUNT(*) AS n_vectors FROM allv)
+SELECT 'lsh-8x8-planted' AS strategy,
+       (SELECT n_vectors FROM n) AS n_vectors,
+       (SELECT COUNT(*) FROM cand) AS n_candidates,
+       ROUND(CAST((SELECT COUNT(*) FROM cand) AS DOUBLE)
+             / ((SELECT n_vectors FROM n)
+                * ((SELECT n_vectors FROM n) - 1) / 2.0), 6)
+           AS candidate_rate,
+       (SELECT COUNT(*) FROM ver) AS n_verified,
+       (SELECT COUNT(*) FROM pp) AS n_planted,
+       (SELECT COUNT(*) FROM ver v JOIN pp p
+         ON v.a_id = p.a_id AND v.b_id = p.b_id) AS n_planted_recovered,
+       ROUND(CAST((SELECT COUNT(*) FROM ver v JOIN pp p
+                    ON v.a_id = p.a_id AND v.b_id = p.b_id) AS DOUBLE)
+             / GREATEST((SELECT COUNT(*) FROM pp), 1), 6) AS recall_planted
+"""
+
+
+@query("l04_simjoin_lsh_tuned", oracle=_l04_tuned_oracle())
+def l04_simjoin_lsh_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 selective regime — the high-threshold banding the l04
+    docstring and the round-7 slope program (PLANS.md) point at:
+    8 bands × 8 bits from the SAME seed-42 planes, so a random pair
+    collides in a band with p≈2⁻⁸ and the corpus-wide candidate
+    rate drops to ≈ 1-(255/256)⁸ ≈ 3% (vs 64% for the 16×4
+    recall-first regime at the 0.35 demo threshold) — the measured
+    counterpoint to the quadratic-constant law recorded in PLANS.md.
+
+    Recall is reported against a PLANTED ground truth (the standard
+    ANN-benchmark method, ground truth known by construction,
+    because the direction-random fixture has no natural pairs at
+    cosine ≥ 0.9 — see PLANS.md round 7): the first 64 vectors get
+    a deterministic perturbed twin (eps from a Knuth-multiplicative
+    hash of (vec_id, dim), renormalized ⇒ cosine ≈ 0.97-0.99), and
+    the query reports how many planted pairs the banding + exact
+    verification recovers. At per-plane agreement ≈ 0.94 the
+    expected planted recall is 1-(1-0.94⁸)⁸ ≈ 0.999.
+
+    Both engines build the twins with in-order double sums, the
+    same literals, and the same index arithmetic, so banding signs
+    and the 6dp-rounded verification threshold are bit-identical —
+    the full-oracle discipline of l04/l16 extended through the
+    planting step. Scale posture identical to l04: band join moves
+    (band_id, band_val, vec_id) only; vectors re-join onto the
+    candidate pairs."""
+    (emb,) = load_tables(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    praw = base.filter(F.col("vec_id") < N_PLANT).select(
+        "vec_id",
+        F.transform(
+            F.col("e"),
+            lambda x, i: x
+            + (
+                (
+                    (F.col("vec_id") * DIM + i + 1) * F.lit(_MIX) % 1000
+                ).cast("double")
+                / 1000.0
+                - 0.5
+            )
+            * F.lit(PERT),
+        ).alias("tw"),
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("tw", lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    planted = praw.select(
+        (F.col("vec_id") + PLANT_OFF).alias("vec_id"),
+        F.transform("tw", lambda x: x / norm).alias("e"),
+    )
+    allv = base.unionByName(planted)
+
+    banded = allv.select(
+        "vec_id",
+        F.explode(
+            F.array(*_band_structs(n_bands=SEL_BANDS, bits=SEL_BITS, col="e"))
+        ).alias("band"),
+    ).select("vec_id", "band.band_id", "band.band_val")
+    a = banded.select("band_id", "band_val", F.col("vec_id").alias("a_id"))
+    b = banded.select("band_id", "band_val", F.col("vec_id").alias("b_id"))
+    cand = (
+        a.join(b, ["band_id", "band_val"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    ea = allv.select(F.col("vec_id").alias("a_id"), F.col("e").alias("a_e"))
+    eb = allv.select(F.col("vec_id").alias("b_id"), F.col("e").alias("b_e"))
+    ver = (
+        cand.join(ea, "a_id")
+        .join(eb, "b_id")
+        .filter(r6(dot(F.col("a_e"), F.col("b_e"))) >= SEL_TAU)
+        .select("a_id", "b_id")
+    )
+    pp = base.filter(F.col("vec_id") < N_PLANT).select(
+        F.col("vec_id").alias("a_id"),
+        (F.col("vec_id") + PLANT_OFF).alias("b_id"),
+    )
+
+    n_vectors = allv.agg(F.count(F.lit(1)).alias("n_vectors"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_ver = ver.agg(F.count(F.lit(1)).alias("n_verified"))
+    n_pp = pp.agg(F.count(F.lit(1)).alias("n_planted"))
+    n_rec = (
+        ver.join(pp, ["a_id", "b_id"])
+        .agg(F.count(F.lit(1)).alias("n_planted_recovered"))
+    )
+    return (
+        n_vectors.crossJoin(n_cand)
+        .crossJoin(n_ver)
+        .crossJoin(n_pp)
+        .crossJoin(n_rec)
+        .select(
+            F.lit("lsh-8x8-planted").alias("strategy"),
+            "n_vectors",
+            "n_candidates",
+            r6(
+                F.col("n_candidates").cast("double")
+                / (
+                    F.col("n_vectors").cast("double")
+                    * (F.col("n_vectors") - 1).cast("double")
+                    / 2.0
+                )
+            ).alias("candidate_rate"),
+            "n_verified",
+            "n_planted",
+            "n_planted_recovered",
+            r6(
+                F.col("n_planted_recovered").cast("double")
+                / F.greatest(F.col("n_planted"), F.lit(1)).cast("double")
+            ).alias("recall_planted"),
         )
     )
 

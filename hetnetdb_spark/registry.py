@@ -145,6 +145,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         # never-sampled backlog (round-5 L/S/T/U/W tail) owns tiers
         # 0/1 outright. New round-7 queries are appended here as they
         # land so they cannot displace that backlog from the window.
+        "l04_simjoin_lsh_tuned",
     }
 )
 
