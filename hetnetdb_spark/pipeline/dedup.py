@@ -1317,3 +1317,97 @@ def l59_minhash_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# L67 — exact-substring duplication profile (Lee et al. granularity)
+# --------------------------------------------------------------------------
+
+SUBSTR_K = 40  # chars per gram — the dup-span detection window
+
+L67_ORACLE = f"""
+WITH grams AS (
+    SELECT doc_id, source, md5(g) AS g
+    FROM (
+        SELECT doc_id, source,
+               UNNEST(CASE WHEN length(text) >= {SUBSTR_K}
+                      THEN list_transform(
+                               range(1, length(text) - {SUBSTR_K} + 2),
+                               p -> substring(text, p, {SUBSTR_K}))
+                      ELSE CAST([] AS VARCHAR[]) END) AS g
+        FROM documents
+    )
+),
+stats AS (
+    SELECT g, COUNT(*) AS cnt, COUNT(DISTINCT doc_id) AS nd
+    FROM grams GROUP BY g
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_positions,
+       CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS dup_positions,
+       CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS cross_doc_positions,
+       ROUND(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+           AS dup_fraction,
+       ROUND(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+           AS cross_doc_fraction
+FROM grams JOIN stats USING (g)
+GROUP BY source
+"""
+
+
+@query("l67_substring_dedup", oracle=L67_ORACLE)
+def l67_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L67 — exact-substring duplication profile at character-gram
+    granularity: the dedup level BETWEEN whole-document (l01) and
+    passage (l34), published as the high-impact one for LM training
+    corpora ("Deduplicating Training Data Makes Language Models
+    Better", Lee et al. 2022 — their 50-token window, here 40
+    chars). Every position's K-char gram is extracted; a position
+    is duplicated if its gram occurs anywhere else in the corpus,
+    cross-doc if in ≥2 distinct documents. Per source: position
+    counts and the duplicated-character fractions a span-cutting
+    pass would remove.
+
+    Plan: one explode to |chars| gram rows, grams immediately
+    replaced by their md5 (32 hex chars shuffle instead of K text
+    chars; production swaps in xxhash64 for an 8-byte key — md5
+    here buys cross-engine replay), one hash agg by gram key, one
+    equi-join back onto positions (same key, co-partitioned by the
+    agg's shuffle), then a |sources|-group agg. Everything linear
+    in corpus characters; nothing quadratic anywhere — the
+    suffix-array construction of the paper is only needed when the
+    window must be *maximal* spans, not fixed-K detection.
+    """
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    n = F.char_length("text")
+    grams = documents.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.when(
+                n >= SUBSTR_K,
+                F.expr(
+                    f"transform(sequence(1, char_length(text) - {SUBSTR_K} + 1),"
+                    f" p -> substring(text, p, {SUBSTR_K}))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    ).select("doc_id", "source", F.md5("gram").alias("g"))
+    stats = grams.groupBy("g").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.countDistinct("doc_id").alias("nd"),
+    )
+    joined = grams.join(stats, "g")
+    dup = F.when(F.col("cnt") > 1, 1).otherwise(0)
+    cross = F.when(F.col("nd") > 1, 1).otherwise(0)
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_positions"),
+        F.sum(dup).cast("bigint").alias("dup_positions"),
+        F.sum(cross).cast("bigint").alias("cross_doc_positions"),
+        r6(F.sum(dup) * F.lit(1.0) / F.count(F.lit(1))).alias("dup_fraction"),
+        r6(F.sum(cross) * F.lit(1.0) / F.count(F.lit(1))).alias(
+            "cross_doc_fraction"
+        ),
+    )

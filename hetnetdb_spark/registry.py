@@ -146,6 +146,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         # 0/1 outright. New round-7 queries are appended here as they
         # land so they cannot displace that backlog from the window.
         "l04_simjoin_lsh_tuned",
+        "l67_substring_dedup",
     }
 )
 
