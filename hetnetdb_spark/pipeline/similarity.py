@@ -698,10 +698,10 @@ def l04_simjoin_lsh_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_planted_recovered"))
     )
     return (
-        n_vectors.crossJoin(n_cand)
-        .crossJoin(n_ver)
-        .crossJoin(n_pp)
-        .crossJoin(n_rec)
+        n_vectors.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_ver))
+        .crossJoin(F.broadcast(n_pp))
+        .crossJoin(F.broadcast(n_rec))
         .select(
             F.lit("lsh-8x8-planted").alias("strategy"),
             "n_vectors",

@@ -758,3 +758,40 @@ def test_l59_probe_exchanges_carry_no_shingles(spark):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "sh#" not in line and " sh," not in line, line.strip()[:160]
+
+
+def test_l04_tuned_band_exchanges_carry_no_vectors(spark):
+    """l04_simjoin_lsh_tuned: the 8x8 band self-join must shuffle
+    only (band key, vec_id) rows — the double-cast embedding arrays
+    re-join onto deduplicated candidate pairs afterwards (the l02/
+    l59 invariant applied to the selective regime), and nothing in
+    the plan may degenerate to a cartesian product."""
+    plan = executed_plan(
+        registry.QUERIES["l04_simjoin_lsh_tuned"](spark, SF_DIR)
+    )
+    # The only nested-loop joins allowed are the broadcast 1-row
+    # summary-assembly crossJoins; a non-broadcast cartesian means
+    # the band join degenerated.
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning(band_id" in line:
+            assert " e#" not in line and "embedding#" not in line, (
+                line.strip()[:160]
+            )
+
+
+def test_l67_gram_exchanges_carry_hash_not_text(spark):
+    """l67_substring_dedup: every gram-key exchange must carry the
+    md5 key (g), never the raw K-char gram or the document text —
+    the shuffle-compression property the docstring claims for
+    corpus scale."""
+    plan = executed_plan(registry.QUERIES["l67_substring_dedup"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    seen_gram_exchange = False
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning(g#" in line:
+            seen_gram_exchange = True
+            assert "gram#" not in line and "text#" not in line, (
+                line.strip()[:160]
+            )
+    assert seen_gram_exchange, "expected a hash exchange on the md5 gram key"
