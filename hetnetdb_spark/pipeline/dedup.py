@@ -1411,3 +1411,153 @@ def l67_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cross_doc_fraction"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# L68 — duplicate-span removal accounting (the action pass over L67)
+# --------------------------------------------------------------------------
+
+L68_ORACLE = f"""
+WITH grams AS (
+    SELECT doc_id, source, p, md5(g) AS g
+    FROM (
+        SELECT doc_id, source,
+               UNNEST(CASE WHEN length(text) >= {SUBSTR_K}
+                      THEN range(1, length(text) - {SUBSTR_K} + 2)
+                      ELSE CAST([] AS BIGINT[]) END) AS p,
+               UNNEST(CASE WHEN length(text) >= {SUBSTR_K}
+                      THEN list_transform(
+                               range(1, length(text) - {SUBSTR_K} + 2),
+                               q -> substring(text, q, {SUBSTR_K}))
+                      ELSE CAST([] AS VARCHAR[]) END) AS g
+        FROM documents
+    )
+),
+stats AS (
+    SELECT g FROM grams GROUP BY g HAVING COUNT(*) > 1
+),
+hits AS (
+    SELECT gr.doc_id, gr.source, gr.p
+    FROM grams gr JOIN stats USING (g)
+),
+flagged AS (
+    SELECT doc_id, source, p,
+           CASE WHEN p > COALESCE(MAX(p + {SUBSTR_K} - 1) OVER (
+                    PARTITION BY doc_id ORDER BY p
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    -1) + 1
+                THEN 1 ELSE 0 END AS is_new
+    FROM hits
+),
+islands AS (
+    SELECT doc_id, source, p,
+           SUM(is_new) OVER (PARTITION BY doc_id ORDER BY p
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS island
+    FROM flagged
+),
+spans AS (
+    SELECT doc_id, source,
+           MAX(p) + {SUBSTR_K} - 1 - MIN(p) + 1 AS span_len
+    FROM islands GROUP BY doc_id, source, island
+),
+per_doc AS (
+    SELECT doc_id, source, SUM(span_len) AS removed
+    FROM spans GROUP BY doc_id, source
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN COALESCE(pd.removed, 0) > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS docs_with_dup,
+       CAST(SUM(length(d.text)) AS BIGINT) AS chars_total,
+       CAST(SUM(COALESCE(pd.removed, 0)) AS BIGINT) AS chars_removed,
+       ROUND(SUM(COALESCE(pd.removed, 0)) * 1.0 / SUM(length(d.text)), 6)
+           AS removed_fraction
+FROM documents d
+LEFT JOIN per_doc pd ON d.doc_id = pd.doc_id AND d.source = pd.source
+GROUP BY d.source
+"""
+
+
+@query("l68_dup_span_removal", oracle=L68_ORACLE)
+def l68_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L68 — the ACTION pass over l67's measurement: positions whose
+    K-char gram repeats anywhere in the corpus become [p, p+K-1]
+    char intervals, overlapping-or-adjacent intervals merge into
+    maximal spans per document (the classic island build: running
+    max of prior span ends → new-island flag → running sum), and the
+    per-source accounting reports exactly how many characters a
+    span-cutting rewrite would drop — the number that decides
+    whether substring dedup is worth a corpus rewrite at 100 TB.
+
+    Plan: the gram/stats legs are l67's (hash agg + equi-join on the
+    md5 key, linear in corpus chars); the island build is ONE
+    exchange on doc_id serving both window functions and the span
+    aggregate (the sessionize pattern applied to char intervals);
+    the final join back to `documents` is per-doc (bounded), and the
+    output is |sources| rows. The DuckDB twin replays gram hits,
+    island merging, and the removal fractions end to end."""
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    n = F.char_length("text")
+    grams = documents.select(
+        "doc_id",
+        "source",
+        F.posexplode(
+            F.when(
+                n >= SUBSTR_K,
+                F.expr(
+                    f"transform(sequence(1, char_length(text) - {SUBSTR_K} + 1),"
+                    f" q -> substring(text, q, {SUBSTR_K}))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos0", "gram"),
+    ).select(
+        "doc_id",
+        "source",
+        (F.col("pos0") + 1).cast("long").alias("p"),
+        F.md5("gram").alias("g"),
+    )
+    dup_grams = grams.groupBy("g").agg(F.count(F.lit(1)).alias("cnt")).filter(
+        F.col("cnt") > 1
+    )
+    hits = grams.join(dup_grams.select("g"), "g").select("doc_id", "source", "p")
+
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_end = F.max(F.col("p") + SUBSTR_K - 1).over(w_prev)
+    flagged = hits.withColumn(
+        "is_new",
+        F.when(F.col("p") > F.coalesce(prev_end, F.lit(-1)) + 1, 1).otherwise(0),
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = flagged.withColumn("island", F.sum("is_new").over(w_run))
+    spans = islands.groupBy("doc_id", "source", "island").agg(
+        (F.max("p") + SUBSTR_K - 1 - F.min("p") + 1).alias("span_len")
+    )
+    per_doc = spans.groupBy("doc_id", "source").agg(
+        F.sum("span_len").alias("removed")
+    )
+    base = documents.select("doc_id", "source", n.cast("long").alias("nc"))
+    removed = F.coalesce("removed", F.lit(0))
+    return (
+        base.join(per_doc, ["doc_id", "source"], "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(removed > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("docs_with_dup"),
+            F.sum("nc").alias("chars_total"),
+            F.sum(removed).cast("bigint").alias("chars_removed"),
+            r6(F.sum(removed) * F.lit(1.0) / F.sum("nc")).alias(
+                "removed_fraction"
+            ),
+        )
+    )

@@ -147,6 +147,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         # land so they cannot displace that backlog from the window.
         "l04_simjoin_lsh_tuned",
         "l67_substring_dedup",
+        "l68_dup_span_removal",
     }
 )
 
