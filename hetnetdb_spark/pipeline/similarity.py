@@ -918,6 +918,147 @@ def l03_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# L69 — IVF recall@k contract (approximate vs exact, self-measuring)
+# --------------------------------------------------------------------------
+
+
+def _l69_oracle() -> str:
+    dot_cent_q = " + ".join(
+        f"CAST(q.embedding[{i}] AS DOUBLE) * CAST(c.c{i} AS DOUBLE)"
+        for i in range(1, DIM + 1)
+    )
+    return f"""
+WITH {_ivf_assign_ctes()},
+q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+probe AS (
+    SELECT c.cid
+    FROM cent c CROSS JOIN q
+    ORDER BY ({dot_cent_q}) DESC, c.cid
+    LIMIT {N_PROBE}
+),
+scanned AS (
+    SELECT a.vec_id,
+           ROUND({_chain_dot("a.embedding", "q.embedding")}, 6) AS cosine
+    FROM assigned a CROSS JOIN q
+    WHERE a.cluster IN (SELECT cid FROM probe) AND a.vec_id <> 0
+),
+ivf AS (
+    SELECT vec_id FROM scanned ORDER BY cosine DESC, vec_id LIMIT 10
+),
+exact AS (
+    SELECT e.vec_id
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> 0
+    ORDER BY ROUND({_chain_dot("e.embedding", "q.embedding")}, 6) DESC,
+             e.vec_id
+    LIMIT 10
+),
+n AS (SELECT COUNT(*) - 1 AS n_candidates FROM embeddings)
+SELECT 'ivf-nprobe2' AS strategy,
+       CAST(10 AS BIGINT) AS k,
+       (SELECT n_candidates FROM n) AS n_candidates,
+       (SELECT COUNT(*) FROM scanned) AS n_scanned,
+       ROUND(CAST((SELECT COUNT(*) FROM scanned) AS DOUBLE)
+             / (SELECT n_candidates FROM n), 6) AS scan_fraction,
+       (SELECT COUNT(*) FROM ivf JOIN exact USING (vec_id)) AS n_hits,
+       ROUND((SELECT COUNT(*) FROM ivf JOIN exact USING (vec_id)) / 10.0, 6)
+           AS recall_at_10
+"""
+
+
+@query("l69_ivf_recall", oracle=_l69_oracle())
+def l69_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L69 — the ANN quality contract for the IVF path: recall@10
+    of the nprobe=2 pruned search against the exact full scan, plus
+    the scanned fraction that recall was bought at — the two numbers
+    every IVF deployment tunes against (recall up ⇔ nprobe up ⇔
+    scan fraction up). l03 certifies the IVF *mechanism* matches its
+    replay; this pins the *quality* of the approximation as a
+    checked value, so a centroid-training or probing regression
+    shows up as a recall drop, not a silent result-set drift.
+
+    Fully deterministic (the l03 argument end to end: Lloyd from
+    fixed seeds, 7dp-quantized centroids, left-associative dots,
+    ties cut by vec_id), so the DuckDB twin replays training,
+    probing, the pruned scan, the exact scan, and the overlap —
+    approximate ≠ unverifiable extended to the quality metric
+    itself. Scale posture: the exact leg is one full scan (the
+    brute-force baseline any recall audit pays once); the IVF leg
+    scans ≈ nprobe/K of the corpus; both are single-pass,
+    shuffle-free, broadcast-probe plans."""
+    (emb,) = load_tables(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    cent = _lloyd_refine(emb.select("vec_id", "embedding"), seeds)
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("cscore").desc(), F.col("cid")
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "embedding",
+            "cid",
+            dot(F.col("embedding"), F.col("ce")).alias("cscore"),
+        )
+        .withColumn("arn", F.row_number().over(w_assign))
+        .filter(F.col("arn") == 1)
+        .select("vec_id", "embedding", F.col("cid").alias("cluster"))
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    probe = (
+        cent.crossJoin(F.broadcast(q))
+        .select("cid", dot(F.col("ce"), F.col("qe")).alias("qscore"))
+        .orderBy(F.col("qscore").desc(), "cid")
+        .limit(N_PROBE)
+        .select("cid")
+    )
+    scanned = (
+        assigned.join(
+            F.broadcast(probe), assigned["cluster"] == probe["cid"], "left_semi"
+        )
+        .filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", r6(dot(F.col("embedding"), F.col("qe"))).alias("cosine"))
+    )
+    ivf = scanned.orderBy(F.col("cosine").desc(), "vec_id").limit(10).select(
+        "vec_id"
+    )
+    exact = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id", r6(dot(F.col("embedding"), F.col("qe"))).alias("cosine")
+        )
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(10)
+        .select("vec_id")
+    )
+    n_candidates = emb.filter(F.col("vec_id") != 0).agg(
+        F.count(F.lit(1)).alias("n_candidates")
+    )
+    n_scanned = scanned.agg(F.count(F.lit(1)).alias("n_scanned"))
+    n_hits = ivf.join(exact, "vec_id").agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        n_candidates.crossJoin(F.broadcast(n_scanned))
+        .crossJoin(F.broadcast(n_hits))
+        .select(
+            F.lit("ivf-nprobe2").alias("strategy"),
+            F.lit(10).cast("bigint").alias("k"),
+            "n_candidates",
+            "n_scanned",
+            r6(
+                F.col("n_scanned").cast("double")
+                / F.col("n_candidates").cast("double")
+            ).alias("scan_fraction"),
+            "n_hits",
+            r6(F.col("n_hits") / F.lit(10.0)).alias("recall_at_10"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # L35 — SemDeDup-style semantic dedup (cluster-pruned pair search)
 # --------------------------------------------------------------------------
 

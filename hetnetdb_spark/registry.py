@@ -148,6 +148,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "l04_simjoin_lsh_tuned",
         "l67_substring_dedup",
         "l68_dup_span_removal",
+        "l69_ivf_recall",
     }
 )
 
