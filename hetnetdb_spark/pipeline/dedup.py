@@ -233,7 +233,14 @@ def _banded_signatures(docs: DataFrame) -> DataFrame:
     ).select("doc_id", "band.band_id", "band.bucket")
 
 
-def _l02_minhash_oracle() -> str:
+def _mh_cand_ctes(src: str = "documents") -> str:
+    """The s → mh → banded → cand CTE chain shared by the l02
+    MinHash oracle and the l70 recall-curve oracle — ONE definition
+    so the banding semantics cannot silently diverge between the
+    operator and its quality audit (the lsh_candidate_cte pattern
+    applied to the text side). With the default ``src`` the
+    generated text is byte-identical to the pre-refactor l02
+    oracle; l70 points it at its planted-variant universe."""
     mh_cols = ",\n           ".join(
         f"list_min(list_transform(sh, x -> {_mh_hash_duck(j)})) AS mh{j}"
         for j in range(N_HASHES)
@@ -247,9 +254,8 @@ def _l02_minhash_oracle() -> str:
         + " AS bucket FROM mh"
         for b in range(N_BANDS)
     )
-    return f"""
-WITH s AS (
-    SELECT doc_id, {_SHINGLE_DUCK} AS sh FROM documents
+    return f"""s AS (
+    SELECT doc_id, {_SHINGLE_DUCK} AS sh FROM {src}
 ),
 mh AS (
     SELECT doc_id,
@@ -264,7 +270,12 @@ cand AS (
     FROM banded a JOIN banded b
       ON a.band_id = b.band_id AND a.bucket = b.bucket
      AND a.doc_id < b.doc_id
-),
+)"""
+
+
+def _l02_minhash_oracle() -> str:
+    return f"""
+WITH {_mh_cand_ctes()},
 verified AS (
     SELECT c.a_id, c.b_id
     FROM cand c
@@ -1559,5 +1570,167 @@ def l68_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             r6(F.sum(removed) * F.lit(1.0) / F.sum("nc")).alias(
                 "removed_fraction"
             ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# L70 — MinHash banding recall curve vs exact Jaccard (the S-curve)
+# --------------------------------------------------------------------------
+
+L70_J_MIN = 0.4
+L70_N_PLANT = 64
+L70_PLANT_OFF = 20_000_000
+
+#: Variant text = a prefix of the source doc's words, the kept
+#: fraction varying 0.45..0.75 by doc_id — a prefix variant shares
+#: exactly its own shingles with the source, so J ≈ kept fraction
+#: and the planted pairs populate the S-curve's MIDDLE buckets
+#: (the natural corpus only has pairs at J ≥ 0.8). Spelled once,
+#: spelled identically in both engines.
+_L70_VARIANT_SQL = (
+    "concat_ws(' ', slice(split(text, ' '), 1, "
+    "greatest(CAST(FLOOR(size(split(text, ' ')) "
+    "* (0.45 + (doc_id % 7) * 0.05)) AS INT), 3)))"
+)
+_L70_VARIANT_DUCK = (
+    "array_to_string(list_slice(string_split(text, ' '), 1, "
+    "GREATEST(CAST(FLOOR(len(string_split(text, ' ')) "
+    "* (0.45 + (doc_id % 7) * 0.05)) AS BIGINT), 3)), ' ')"
+)
+
+L70_ORACLE_TAIL = f"""
+posts AS (
+    SELECT doc_id, UNNEST(sh) AS g FROM s
+),
+true_cand AS (
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM posts a JOIN posts b ON a.g = b.g AND a.doc_id < b.doc_id
+),
+jac AS (
+    SELECT tc.a_id, tc.b_id,
+           ROUND(CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))
+                      AS DOUBLE)
+                 / (len(sa.sh) + len(sb.sh)
+                    - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))),
+                 6) AS j
+    FROM true_cand tc
+    JOIN s sa ON sa.doc_id = tc.a_id
+    JOIN s sb ON sb.doc_id = tc.b_id
+),
+truth AS (SELECT * FROM jac WHERE j >= {L70_J_MIN})
+SELECT LEAST(CAST(FLOOR(t.j * 10) AS BIGINT), 9) / 10.0 AS j_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+       CAST(SUM(CASE WHEN c.a_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_recovered,
+       ROUND(SUM(CASE WHEN c.a_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 6) AS recall
+FROM truth t
+LEFT JOIN cand c ON c.a_id = t.a_id AND c.b_id = t.b_id
+GROUP BY j_bucket
+"""
+
+
+def _l70_oracle() -> str:
+    return f"""
+WITH docs_all AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + {L70_PLANT_OFF} AS doc_id,
+           {_L70_VARIANT_DUCK} AS text
+    FROM documents WHERE doc_id < {L70_N_PLANT}
+),
+{_mh_cand_ctes(src="docs_all")},
+{L70_ORACLE_TAIL}
+"""
+
+
+@query("l70_minhash_recall_curve", oracle=_l70_oracle())
+def l70_minhash_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L70 — the measured S-curve of the 8-band × 4-row MinHash
+    banding: per exact-Jaccard bucket, how many true pairs exist
+    and what fraction the banding surfaced as candidates. The
+    theory says P[candidate] = 1-(1-j⁴)⁸ (≈0.40 at j=0.5, ≈0.96 at
+    j=0.7, →1 at j≥0.8); this query turns that curve into a checked
+    contract over the real corpus, so a hash-family or banding
+    regression shows up as a recall drop in a specific bucket —
+    l69's quality-audit posture applied to the text side.
+
+    The natural corpus only holds pairs at J ≥ 0.8, so the curve's
+    MIDDLE buckets are populated by planting: the first 64 docs get
+    a prefix variant keeping 0.45..0.75 of their words (varying by
+    doc_id) — a prefix shares exactly its own shingles with its
+    source, so the planted pair's Jaccard ≈ the kept fraction, and
+    the measured curve spans the transition region where
+    1-(1-j⁴)⁸ actually bends (l04_tuned's planted-ground-truth
+    method on the text side).
+
+    The exact leg is NOT an all-pairs join: any pair with J > 0
+    shares ≥1 shingle, so the shingle inverted index generates a
+    complete candidate set for every bucket ≥ {L70_J_MIN} — pair
+    volume is Σ df(shingle)² (bounded by max df 25 at sf0.1, ≈1.4M
+    postings-pairs), linear-ish in corpus size at bounded df, and
+    exact Jaccard runs only on index candidates. The banding leg
+    reuses `_banded_signatures` verbatim; the DuckDB twin shares
+    the l02 CTE chain (`_mh_cand_ctes`) so operator and audit
+    cannot diverge."""
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    variants = documents.filter(F.col("doc_id") < L70_N_PLANT).select(
+        (F.col("doc_id") + L70_PLANT_OFF).alias("doc_id"),
+        F.expr(_L70_VARIANT_SQL).alias("text"),
+    )
+    docs_all = documents.select("doc_id", "text").unionByName(variants)
+    docs = docs_all.select("doc_id", F.expr(_SHINGLE_SPARK).alias("sh"))
+
+    posts = docs.select("doc_id", F.explode("sh").alias("g"))
+    pa = posts.select("g", F.col("doc_id").alias("a_id"))
+    pb = posts.select("g", F.col("doc_id").alias("b_id"))
+    true_cand = (
+        pa.join(pb, "g")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    sh_a = docs.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh"))
+    sh_b = docs.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh"))
+    inter = F.size(F.array_intersect(F.col("a_sh"), F.col("b_sh")))
+    union = F.size(F.col("a_sh")) + F.size(F.col("b_sh")) - inter
+    truth = (
+        true_cand.join(sh_a, "a_id")
+        .join(sh_b, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            r6(inter.cast("double") / union.cast("double")).alias("j"),
+        )
+        .filter(F.col("j") >= L70_J_MIN)
+    )
+
+    banded = _banded_signatures(docs)
+    ba = banded.select("band_id", "bucket", F.col("doc_id").alias("a_id"))
+    bb = banded.select("band_id", "bucket", F.col("doc_id").alias("b_id"))
+    cand = (
+        ba.join(bb, ["band_id", "bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .dropDuplicates(["a_id", "b_id"])
+        .withColumn("hit", F.lit(1))
+    )
+
+    bucket = (
+        F.least(F.floor(F.col("j") * 10).cast("bigint"), F.lit(9)) / 10.0
+    ).alias("j_bucket")
+    return (
+        truth.join(cand, ["a_id", "b_id"], "left")
+        .groupBy(bucket)
+        .agg(
+            F.count(F.lit(1)).alias("n_true_pairs"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias(
+                "n_recovered"
+            ),
+            r6(
+                F.sum(F.coalesce("hit", F.lit(0))) * F.lit(1.0)
+                / F.count(F.lit(1))
+            ).alias("recall"),
         )
     )

@@ -149,6 +149,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "l67_substring_dedup",
         "l68_dup_span_removal",
         "l69_ivf_recall",
+        "l70_minhash_recall_curve",
     }
 )
 
