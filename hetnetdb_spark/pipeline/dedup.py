@@ -1410,7 +1410,15 @@ def l67_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"),
         F.countDistinct("doc_id").alias("nd"),
     )
-    joined = grams.join(stats, "g")
+    # Explicit sort-merge: Catalyst's size estimate for an explode
+    # is its CHILD's size (the ~MB parquet scan), so the 300×-larger
+    # gram relation looks broadcastable and the planner ships it to
+    # the driver — measured blowing spark.driver.maxResultSize at
+    # the 30× slope scale (PLANS.md round 7). Merge (not
+    # shuffle_hash: the per-partition build map of a corpus-sized
+    # stats side OOMed at 30× — SMJ's sorts spill) repartitions both
+    # sides on g, reusing the stats groupBy's exchange.
+    joined = grams.join(stats.hint("merge"), "g")
     dup = F.when(F.col("cnt") > 1, 1).otherwise(0)
     cross = F.when(F.col("nd") > 1, 1).otherwise(0)
     return joined.groupBy("source").agg(
@@ -1531,7 +1539,11 @@ def l68_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup_grams = grams.groupBy("g").agg(F.count(F.lit(1)).alias("cnt")).filter(
         F.col("cnt") > 1
     )
-    hits = grams.join(dup_grams.select("g"), "g").select("doc_id", "source", "p")
+    # shuffle-hash for the same explode-underestimation reason as
+    # l67 (see that query's comment; measured at the 30× slope).
+    hits = grams.join(dup_grams.select("g").hint("merge"), "g").select(
+        "doc_id", "source", "p"
+    )
 
     w_prev = (
         Window.partitionBy("doc_id")
@@ -1557,8 +1569,10 @@ def l68_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = documents.select("doc_id", "source", n.cast("long").alias("nc"))
     removed = F.coalesce("removed", F.lit(0))
+    # per_doc is one row per dup-carrying document — corpus-sized,
+    # so it must never broadcast; shuffle join on the doc key.
     return (
-        base.join(per_doc, ["doc_id", "source"], "left")
+        base.join(per_doc.hint("merge"), ["doc_id", "source"], "left")
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -1685,8 +1699,12 @@ def l70_minhash_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     posts = docs.select("doc_id", F.explode("sh").alias("g"))
     pa = posts.select("g", F.col("doc_id").alias("a_id"))
     pb = posts.select("g", F.col("doc_id").alias("b_id"))
+    # shuffle-hash: posts is an explode (~100 shingles/doc), so its
+    # size estimate is the parquet scan's — the l67
+    # explode-underestimation trap; a "broadcastable" posts side
+    # would ship the whole posting list to the driver.
     true_cand = (
-        pa.join(pb, "g")
+        pa.join(pb.hint("merge"), "g")
         .filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id")
         .dropDuplicates(["a_id", "b_id"])

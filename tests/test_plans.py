@@ -787,6 +787,13 @@ def test_l67_gram_exchanges_carry_hash_not_text(spark):
     corpus scale."""
     plan = executed_plan(registry.QUERIES["l67_substring_dedup"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
+    # The join-back must be a SHUFFLE-side join: an explode's size
+    # estimate is its child scan's, so without the hint the planner
+    # "broadcasts" the 300×-larger gram relation — measured blowing
+    # spark.driver.maxResultSize at the 30× slope scale. Sort-merge
+    # specifically: a shuffled-hash build map of the corpus-sized
+    # stats side OOMed at 30×, while SMJ's sorts spill.
+    assert "SortMergeJoin" in plan, "gram join-back must not broadcast"
     seen_gram_exchange = False
     for line in plan.splitlines():
         if "Exchange hashpartitioning(g#" in line:
@@ -795,3 +802,30 @@ def test_l67_gram_exchanges_carry_hash_not_text(spark):
                 line.strip()[:160]
             )
     assert seen_gram_exchange, "expected a hash exchange on the md5 gram key"
+
+
+def test_l70_band_exchanges_carry_no_shingles(spark):
+    """l70: both legs' exchanges must stay compact — the banding
+    leg shuffles (band key, doc_id) without shingle arrays (the
+    l02/l59 invariant), and no leg may degenerate to a cartesian
+    product (the inverted-index exact leg is an equi-join on the
+    shingle, never all-pairs)."""
+    plan = executed_plan(
+        registry.QUERIES["l70_minhash_recall_curve"](spark, SF_DIR)
+    )
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning(band_id" in line:
+            assert " sh#" not in line and "text#" not in line, (
+                line.strip()[:160]
+            )
+
+
+def test_l69_ivf_probe_is_broadcast(spark):
+    """l69: the probe-list and query-vector sides must reach the
+    candidate scan as broadcasts (no shuffle of the embedding table
+    against an 8-row centroid side), and nothing may plan as a
+    non-broadcast cartesian."""
+    plan = executed_plan(registry.QUERIES["l69_ivf_recall"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan

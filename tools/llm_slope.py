@@ -179,6 +179,19 @@ def ivf_row(spark, sf_dir: str):
     return {"wall_s": wall, "rows": len(pdf)}
 
 
+def substring_row(spark, sf_dir: str):
+    """l67: corpus-level gram-position counts + wall — positions and
+    dup mass should both track corpus size under mutated-replica
+    growth (per-word prefixes make cross-replica grams distinct)."""
+    fn = registry.QUERIES["l67_substring_dedup"]
+    wall, pdf = timed(lambda: fn(spark, sf_dir).toPandas())
+    return {
+        "wall_s": wall,
+        "n_positions": int(pdf["n_positions"].sum()),
+        "dup_positions": int(pdf["dup_positions"].sum()),
+    }
+
+
 def banding_law_row(spark, sf_dir: str):
     """Band-collision count for the l04/l16 hyperplane banding —
     the measured constant of the quadratic candidate law on
@@ -217,8 +230,16 @@ MEASUREMENTS = {
     "l02_minhash_neardup": minhash_row,
     "cc_minhash_components": cc_row,
     "l03_knn_ivf": ivf_row,
+    "l67_substring_dedup": substring_row,
     "lsh_banding_law": banding_law_row,
 }
+
+#: Comma-separated measurement-name filter for targeted runs.
+ONLY = {
+    s for s in os.environ.get("SPARK_GRAFT_LLM_ONLY", "").split(",") if s
+}
+if ONLY:
+    MEASUREMENTS = {k: v for k, v in MEASUREMENTS.items() if k in ONLY}
 
 #: The banding law is quadratic by design on direction-random data;
 #: cap its factor so the probe stays countable (10× = 20k vectors,
