@@ -767,3 +767,64 @@ def test_corr_covar_family_signed_zero_safe(spark, oracle, seed, nkeys):
             assert not neg0.any(), f"{label}.{col} emitted -0.0"
     # ...and the strict comparator (with its signbit check) must pass.
     assert_frames_match(out, duck, "corr_covar_signed_zero")
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),  # doc
+            st.integers(min_value=1, max_value=400),  # dup position
+        ),
+        min_size=0,
+        max_size=60,
+    )
+)
+def test_l68_island_merge_equals_position_union(spark, data):
+    """l68's running-max island build must account EXACTLY the
+    characters a span cut would remove: for random per-doc dup
+    positions, sum(span_len) per doc equals |union of [p, p+K-1]|
+    computed brute-force — merging adjacent intervals must not
+    change the covered-character count, and overlaps must never
+    double-count."""
+    from pyspark.sql.window import Window
+
+    from hetnetdb_spark.pipeline.dedup import SUBSTR_K
+
+    rows = sorted({(d, p) for d, p in data})
+    expected = {}
+    for d, p in rows:
+        expected.setdefault(d, set()).update(range(p, p + SUBSTR_K))
+
+    if not rows:
+        return
+    hits = spark.createDataFrame(rows, "doc_id int, p long")
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_end = F.max(F.col("p") + SUBSTR_K - 1).over(w_prev)
+    flagged = hits.withColumn(
+        "is_new",
+        F.when(F.col("p") > F.coalesce(prev_end, F.lit(-1)) + 1, 1).otherwise(0),
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    spans = (
+        flagged.withColumn("island", F.sum("is_new").over(w_run))
+        .groupBy("doc_id", "island")
+        .agg((F.max("p") + SUBSTR_K - 1 - F.min("p") + 1).alias("span_len"))
+        .groupBy("doc_id")
+        .agg(F.sum("span_len").alias("removed"))
+        .collect()
+    )
+    got = {r["doc_id"]: r["removed"] for r in spans}
+    assert got == {d: len(s) for d, s in expected.items()}
