@@ -359,7 +359,11 @@ BITS_PER_SIMHASH_BAND = SIMHASH_BITS // SIMHASH_BANDS
 MAX_HAMMING = 8
 
 
-def _l02_simhash_oracle() -> str:
+def _simhash_cand_ctes() -> str:
+    """The toks → h → votes → fps → banded → cand CTE chain shared
+    by the l02 SimHash oracle and the l71 recall-curve oracle — one
+    definition (the `_mh_cand_ctes` pattern), text byte-identical
+    to the pre-refactor l02 oracle."""
     vote_cols = ",\n           ".join(
         f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
         for i in range(SIMHASH_BITS)
@@ -374,8 +378,7 @@ def _l02_simhash_oracle() -> str:
         f"(simhash >> {b * BITS_PER_SIMHASH_BAND}) & {mask} AS band_val FROM fps"
         for b in range(SIMHASH_BANDS)
     )
-    return f"""
-WITH toks AS (
+    return f"""toks AS (
     SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
     FROM documents
 ),
@@ -399,7 +402,12 @@ cand AS (
     FROM banded a JOIN banded b
       ON a.band_id = b.band_id AND a.band_val = b.band_val
      AND a.doc_id < b.doc_id
-),
+)"""
+
+
+def _l02_simhash_oracle() -> str:
+    return f"""
+WITH {_simhash_cand_ctes()},
 near AS (
     SELECT a_id, b_id FROM cand
     WHERE bit_count(xor(a_sig, b_sig)) <= {MAX_HAMMING}
@@ -431,6 +439,21 @@ def l02_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     heuristic), then verify with `bit_count(a XOR b) <= 8`.
     """
     (documents,) = load_tables(spark, sf_dir, "documents")
+    fps, pairs = _simhash_fps_and_pairs(documents)
+    near = pairs.filter(
+        F.bit_count(F.col("a_sig").bitwiseXOR(F.col("b_sig"))) <= MAX_HAMMING
+    )
+    return (
+        pairs.agg(F.count(F.lit(1)).alias("n_candidates"))
+        .crossJoin(near.agg(F.count(F.lit(1)).alias("n_near")))
+        .select(F.lit("simhash").alias("strategy"), "n_candidates", "n_near")
+    )
+
+
+def _simhash_fps_and_pairs(documents: DataFrame):
+    """(fps, candidate-pairs) for the 60-bit SimHash banding — the
+    Spark twin of `_simhash_cand_ctes`, shared by l02 and the l71
+    recall curve so the blocking semantics cannot diverge."""
     toks = documents.select(
         "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("tok")
     ).select("doc_id", _mh_hash_spark(0, F.col("tok")).alias("h"))
@@ -482,13 +505,92 @@ def l02_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("a_id") < F.col("b_id"))
         .dropDuplicates(["a_id", "b_id"])
     )
-    near = pairs.filter(
-        F.bit_count(F.col("a_sig").bitwiseXOR(F.col("b_sig"))) <= MAX_HAMMING
+    return fps, pairs
+
+
+# --------------------------------------------------------------------------
+# L71 — SimHash banding recall curve vs exact hamming (pigeonhole audit)
+# --------------------------------------------------------------------------
+
+L71_ORACLE = f"""
+WITH {{ctes}},
+truth AS (
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           bit_count(xor(a.simhash, b.simhash)) AS hd
+    FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {MAX_HAMMING}
+)
+SELECT CASE WHEN t.hd <= 3 THEN '0-3'
+            WHEN t.hd <= 6 THEN '4-6'
+            ELSE '7-8' END AS hd_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+       CAST(SUM(CASE WHEN c.a_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_recovered,
+       ROUND(SUM(CASE WHEN c.a_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 6) AS recall
+FROM truth t
+LEFT JOIN cand c ON c.a_id = t.a_id AND c.b_id = t.b_id
+GROUP BY hd_bucket
+"""
+
+
+@query(
+    "l71_simhash_recall_curve",
+    oracle=L71_ORACLE.format(ctes=_simhash_cand_ctes()),
+)
+def l71_simhash_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L71 — the pigeonhole audit of SimHash band blocking: per
+    hamming-distance bucket, how many true pairs exist (exact
+    all-pairs popcount over the 60-bit fingerprints) and what
+    fraction the 4×15-bit banding surfaced. The pigeonhole theorem
+    says hamming ≤ 3 CANNOT miss (3 errors can't touch all 4
+    bands — recall exactly 1.0, a hard invariant this query turns
+    into a checked value); 4-8 errors can spread (2,2,2,2)-style
+    across bands, so those buckets measure the heuristic's real
+    loss — the number you consult before trusting banded SimHash
+    as the only blocking at a given radius. Completes the
+    quality-contract family: l70 (MinHash S-curve), l69 (IVF
+    recall@k), l04_tuned (planted hyperplane recall).
+
+    The exact leg is one broadcast popcount pass over N fingerprint
+    LONGS (not documents, not token sets) — 12.5M codegen popcounts
+    at sf0.1, trivially cheap, but still O(N²): fenced to audit
+    scale exactly like l04_simjoin_exact, with the banding as the
+    corpus path. Fingerprints and candidates reuse l02's shared
+    builders on both engines, so operator and audit cannot
+    diverge."""
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    fps, pairs = _simhash_fps_and_pairs(documents)
+
+    fa = fps.select(F.col("doc_id").alias("a_id"), F.col("simhash").alias("sa"))
+    fb = fps.select(F.col("doc_id").alias("b_id"), F.col("simhash").alias("sb"))
+    hd = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    truth = (
+        fa.join(F.broadcast(fb), F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", hd.alias("hd"))
+        .filter(F.col("hd") <= MAX_HAMMING)
+    )
+    cand = pairs.select("a_id", "b_id").withColumn("hit", F.lit(1))
+
+    bucket = (
+        F.when(F.col("hd") <= 3, "0-3")
+        .when(F.col("hd") <= 6, "4-6")
+        .otherwise("7-8")
+        .alias("hd_bucket")
     )
     return (
-        pairs.agg(F.count(F.lit(1)).alias("n_candidates"))
-        .crossJoin(near.agg(F.count(F.lit(1)).alias("n_near")))
-        .select(F.lit("simhash").alias("strategy"), "n_candidates", "n_near")
+        truth.join(cand, ["a_id", "b_id"], "left")
+        .groupBy(bucket)
+        .agg(
+            F.count(F.lit(1)).alias("n_true_pairs"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias(
+                "n_recovered"
+            ),
+            r6(
+                F.sum(F.coalesce("hit", F.lit(0))) * F.lit(1.0)
+                / F.count(F.lit(1))
+            ).alias("recall"),
+        )
     )
 
 

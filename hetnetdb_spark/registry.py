@@ -150,6 +150,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "l68_dup_span_removal",
         "l69_ivf_recall",
         "l70_minhash_recall_curve",
+        "l71_simhash_recall_curve",
     }
 )
 
