@@ -227,3 +227,81 @@ def s22_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# S38 — shuffle-skew audit (per join/agg key: cardinality + skew factors)
+# --------------------------------------------------------------------------
+
+#: (table, key) pairs audited — the shuffle keys the headline and
+#: pipeline plans actually hash-partition on.
+_SKEW_KEYS: tuple[tuple[str, str], ...] = (
+    ("events", "user_id"),
+    ("events", "event_type"),
+    ("lineitem", "l_orderkey"),
+    ("lineitem", "l_partkey"),
+    ("orders", "o_custkey"),
+    ("documents", "source"),
+)
+
+S38_ORACLE = "\nUNION ALL\n".join(
+    f"""
+SELECT '{t}' AS tbl, '{k}' AS key_col,
+       CAST(SUM(cnt) AS BIGINT)  AS n_rows,
+       CAST(COUNT(*) AS BIGINT)  AS n_keys,
+       CAST(MAX(cnt) AS BIGINT)  AS max_key_rows,
+       ROUND(MAX(cnt) / (SUM(cnt) * 1.0 / COUNT(*)), 6) AS skew_ratio,
+       ROUND(MAX(cnt) * 1.0 / SUM(cnt), 6) AS top1_share
+FROM (SELECT {k}, COUNT(*) AS cnt FROM {t} GROUP BY {k})"""
+    for t, k in _SKEW_KEYS
+)
+
+
+@query("s38_shuffle_skew_audit", oracle=S38_ORACLE)
+def s38_shuffle_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S38 — the pre-flight check every 100 TB shuffle plan needs:
+    for each key the engine's joins/aggregates hash-partition on,
+    its cardinality, the heaviest key's row count, the skew ratio
+    (max/mean — how much slower the worst reducer runs than the
+    average), and the top-1 share (the fraction of the whole
+    shuffle that lands on one task no matter how many partitions
+    you provision). skew_ratio ≫ 1 is the signal to reach for
+    salting (`j13`/`a12`) or AQE skew-join before the job, not
+    after it straggles.
+
+    Plan: one two-level aggregate per audited key (key-grain
+    partial-combined hash agg, then a 1-row rollup — the shuffle
+    carries key counts, never rows), unioned. Cost is a scan per
+    distinct table; at 100 TB you run it off table stats or a
+    sample, but the CONTRACT (what the numbers mean) is what this
+    query pins."""
+    from hetnetdb_spark.expr import r6
+
+    parts = []
+    for t, k in _SKEW_KEYS:
+        (df,) = load_tables(spark, sf_dir, t)
+        per_key = df.groupBy(k).agg(F.count(F.lit(1)).alias("cnt"))
+        parts.append(
+            per_key.agg(
+                F.sum("cnt").alias("n_rows"),
+                F.count(F.lit(1)).alias("n_keys"),
+                F.max("cnt").alias("max_key_rows"),
+            ).select(
+                F.lit(t).alias("tbl"),
+                F.lit(k).alias("key_col"),
+                "n_rows",
+                "n_keys",
+                "max_key_rows",
+                r6(
+                    F.col("max_key_rows")
+                    / (F.col("n_rows") * F.lit(1.0) / F.col("n_keys"))
+                ).alias("skew_ratio"),
+                r6(F.col("max_key_rows") * F.lit(1.0) / F.col("n_rows")).alias(
+                    "top1_share"
+                ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -151,6 +151,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "l69_ivf_recall",
         "l70_minhash_recall_curve",
         "l71_simhash_recall_curve",
+        "s38_shuffle_skew_audit",
     }
 )
 
