@@ -1504,3 +1504,79 @@ def w21_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag")
     )
+
+
+# --------------------------------------------------------------------------
+# W22 — day-of-week seasonality profile (the missing time-series piece)
+# --------------------------------------------------------------------------
+
+W22_ORACLE = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS d_date,
+           SUM(CAST(value AS DECIMAL(18,6))) AS d
+    FROM events GROUP BY d_date
+),
+tot AS (
+    SELECT CAST(SUM(d) AS DOUBLE) AS tot_d,
+           CAST(COUNT(*) AS BIGINT) AS tot_n
+    FROM daily
+)
+SELECT CAST(dayofweek(d_date) + 1 AS INT) AS dow,
+       CAST(COUNT(*) AS BIGINT)           AS n_days,
+       ROUND(CAST(SUM(d) AS DOUBLE), 6)   AS dow_total,
+       ROUND(CAST(SUM(d) AS DOUBLE) / COUNT(*), 6) AS dow_mean,
+       ROUND((CAST(SUM(d) AS DOUBLE) / COUNT(*))
+             / ((SELECT tot_d FROM tot) / (SELECT tot_n FROM tot)), 6)
+           AS seasonal_index
+FROM daily
+GROUP BY dow
+"""
+
+
+@query("w22_dow_seasonality", oracle=W22_ORACLE)
+def w22_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W22 — day-of-week seasonal profile of the daily event-value
+    series: per weekday, how many days observed, the total and mean
+    daily value, and the multiplicative seasonal index (dow mean ÷
+    overall daily mean — the factor a seasonal adjustment divides
+    out before trend/anomaly detection). Completes the time-series
+    family: w08 smooths, w09 flags anomalies, w20 detects drift,
+    w21 measures memory — this isolates the calendar component they
+    all need removed first.
+
+    Float discipline (the s14/l45 pattern): daily values accumulate
+    as exact DECIMAL(18,6) sums — never doubles, so partition-order
+    drift cannot exist — and every double is derived from an exact
+    decimal by the same single conversion on both engines before
+    the 6dp rounding. Spark's dayofweek is 1-based Sunday=1;
+    DuckDB's is 0-based, aligned with +1 in the oracle.
+
+    Plan: one date-grain hash agg (map-side combined), a 7-group
+    rollup, and a broadcast 1-row overall mean — shuffles carry
+    date/dow partial sums only."""
+    (events,) = load_tables(spark, sf_dir, "events")
+    daily = events.groupBy(F.to_date("ts").alias("d_date")).agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("d")
+    )
+    tot = daily.agg(
+        F.sum("d").cast("double").alias("tot_d"),
+        F.count(F.lit(1)).alias("tot_n"),
+    )
+    return (
+        daily.groupBy(F.dayofweek("d_date").cast("int").alias("dow"))
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("d").cast("double").alias("sum_d"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "dow",
+            "n_days",
+            r6(F.col("sum_d")).alias("dow_total"),
+            r6(F.col("sum_d") / F.col("n_days")).alias("dow_mean"),
+            r6(
+                (F.col("sum_d") / F.col("n_days"))
+                / (F.col("tot_d") / F.col("tot_n"))
+            ).alias("seasonal_index"),
+        )
+    )

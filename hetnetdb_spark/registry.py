@@ -152,6 +152,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "l70_minhash_recall_curve",
         "l71_simhash_recall_curve",
         "s38_shuffle_skew_audit",
+        "w22_dow_seasonality",
     }
 )
 
