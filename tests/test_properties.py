@@ -828,3 +828,36 @@ def test_l68_island_merge_equals_position_union(spark, data):
     )
     got = {r["doc_id"]: r["removed"] for r in spans}
     assert got == {d: len(s) for d, s in expected.items()}
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    sig=st.integers(min_value=0, max_value=(1 << 60) - 1),
+    flips=st.lists(
+        st.integers(min_value=0, max_value=59),
+        min_size=0,
+        max_size=3,
+        unique=True,
+    ),
+)
+def test_l71_pigeonhole_invariant_pure(sig, flips):
+    """The theorem l71 turns into a checked value, pinned at the
+    bit level without Spark: flip ≤3 of 60 bits and the pair MUST
+    still share at least one of the 4 15-bit bands (3 errors cannot
+    touch all 4 bands), so banded blocking can never miss a
+    hamming ≤ 3 pair."""
+    from hetnetdb_spark.pipeline.dedup import (
+        BITS_PER_SIMHASH_BAND,
+        SIMHASH_BANDS,
+    )
+
+    other = sig
+    for b in flips:
+        other ^= 1 << b
+    mask = (1 << BITS_PER_SIMHASH_BAND) - 1
+    bands_equal = [
+        ((sig >> (b * BITS_PER_SIMHASH_BAND)) & mask)
+        == ((other >> (b * BITS_PER_SIMHASH_BAND)) & mask)
+        for b in range(SIMHASH_BANDS)
+    ]
+    assert any(bands_equal)
