@@ -1,0 +1,152 @@
+"""Plan lint: find broadcast joins fed by explode-amplified inputs.
+
+The round-7 slope program caught a scale-killer the fixtures never
+could: Catalyst estimates an explode (`Generate`) at its CHILD's
+size, so a relation that fans out 100-300× still looks
+broadcastable, and the "broadcast" ships gigabytes to the driver at
+corpus scale (PLANS.md, "explode-underestimation broadcast trap").
+This tool mechanizes the audit that found the other instances: for
+every PURE registered query, walk the executed (post-AQE) physical
+plan and flag every BroadcastExchange whose subtree contains a
+Generate node — i.e. a broadcast whose size estimate the optimizer
+cannot be trusted on.
+
+A flag is not automatically a bug: broadcasting a VOCAB-BOUNDED
+aggregate of an exploded relation (a term-document-frequency table,
+a bounded benchmark gram set) is the right plan. Those cases are
+adjudicated in ALLOWLIST with the reason; anything NOT allowlisted
+exits 1 so the round checklist catches new instances the moment
+they appear.
+
+Usage:
+    python tools/plan_lint.py            # all pure queries at sf0.01
+    python tools/plan_lint.py l67 w12    # name-substring filter
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+from hetnetdb_spark import registry  # noqa: E402
+from hetnetdb_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_LINT_SF_DIR", "/root/testdata/sf0.01")
+
+#: query -> reason a Generate-fed BroadcastExchange is CORRECT there.
+ALLOWLIST: dict[str, str] = {
+    "l06_tfidf_top_terms": "df side is the vocab-bounded term table",
+    "l20_bm25_search": "df side is the vocab-bounded term table",
+    "l19_decontamination": "build side is the bounded benchmark gram set",
+    "l30_contamination_report": "build side is the bounded benchmark gram set",
+    "l43_bigram_logprob": "count tables are vocab-bounded",
+    "l25_unigram_logprob": "unigram LM table is vocab-bounded",
+    "l28_bigram_counts": "bigram vocabulary is bounded",
+    "l44_ngram_diversity": "n-gram distinct tables are vocab-bounded",
+    "l49_pmi_collocations": "marginals are vocab-bounded (plan-pinned)",
+    "l60_vocab_oov_rate": "reference vocabulary is bounded",
+    "l52_entropy_profile": "per-source vocab aggregates are bounded",
+    "l02_minhash_neardup": "band rows are thinner than the doc scan (≤2× bytes)",
+    "l02_simhash_neardup": "band rows are one long per doc-band (thinner than scan)",
+    "l02_ngram_jaccard": "fenced to a 60-doc prefix (oracle scale)",
+    "l04_simjoin_lsh": "band rows are (band key, id) — thinner than the vector scan",
+    "l04_simjoin_lsh_tuned": "same banding thinness argument as l04",
+    "l70_minhash_recall_curve": "band rows thinner than scan; posting join pins merge",
+    "l71_simhash_recall_curve": "fingerprints are one long per doc",
+    "l16_components_lsh": "band rows thinner than the vector scan",
+    "l59_minhash_index_probe": "probe batch is doc_id%10 — a bounded slice",
+    "l34_passage_dedup": "hash-only projection, narrower than the scan",
+    "l33_incremental_dedup": "hash-only projection, narrower than the scan",
+    "l35_semantic_dedup": "cluster centroids are K-bounded",
+    "l23_fuzzy_join": "blocking-key side is bounded",
+    "l63_cross_source_overlap": "band rows thinner than scan; pairs join raw scans",
+    "l41_heavy_hitters": "candidate set is ≤ K×partitions rows by the Misra-Gries bound",
+    "a29_approx_topk_contract": "explode of a 5-element sketch array from a 1-row agg",
+}
+
+
+def _subtree_has(node, fragment: str) -> bool:
+    if fragment in node.nodeName():
+        return True
+    cls = node.getClass().getSimpleName()
+    if "QueryStage" in cls:
+        return _subtree_has(node.plan(), fragment)
+    if "ReusedExchange" in cls:
+        try:
+            return _subtree_has(node.child(), fragment)
+        except Exception:
+            return False
+    for i in range(node.children().size()):
+        if _subtree_has(node.children().apply(i), fragment):
+            return True
+    return False
+
+
+def _find_generate_fed_broadcasts(root) -> int:
+    hits = 0
+
+    def walk(node) -> None:
+        nonlocal hits
+        if "BroadcastExchange" in node.nodeName() and _subtree_has(
+            node, "Generate"
+        ):
+            hits += 1
+        cls = node.getClass().getSimpleName()
+        if "QueryStage" in cls:
+            walk(node.plan())
+            return
+        for i in range(node.children().size()):
+            walk(node.children().apply(i))
+
+    walk(root)
+    return hits
+
+
+def main() -> int:
+    registry.load_all()
+    filters = sys.argv[1:]
+    spark = get_spark("plan-lint")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names = [
+        n
+        for n in registry.QUERIES
+        if n not in registry.IMPURE
+        and (not filters or any(f in n for f in filters))
+    ]
+    flagged, allowed, errs = [], [], []
+    for name in names:
+        try:
+            df = registry.QUERIES[name](spark, SF_DIR)
+            jplan = df._jdf.queryExecution().executedPlan()
+            jplan.executeCollect()
+            try:
+                root = jplan.finalPhysicalPlan()
+            except Exception:
+                root = jplan
+            n_hits = _find_generate_fed_broadcasts(root)
+        except Exception as exc:  # noqa: BLE001 — record, keep linting
+            errs.append((name, str(exc)[:120]))
+            continue
+        if not n_hits:
+            continue
+        if name in ALLOWLIST:
+            allowed.append(name)
+            print(f"allow  {name:40s} ({n_hits}) — {ALLOWLIST[name]}")
+        else:
+            flagged.append(name)
+            print(f"FLAG   {name:40s} ({n_hits}) — generate-fed broadcast, unadjudicated")
+    for name, e in errs:
+        print(f"ERR    {name:40s} {e}")
+    print(
+        f"\n{len(names)} pure queries linted at {SF_DIR}: "
+        f"{len(allowed)} allowlisted, {len(flagged)} FLAGGED, {len(errs)} errors"
+    )
+    return 1 if flagged or errs else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
