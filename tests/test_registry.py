@@ -66,3 +66,19 @@ def test_rotation_lists_name_real_queries():
     assert set(registry.FRONT_OF_LINE) <= names, (
         set(registry.FRONT_OF_LINE) - names
     )
+
+
+def test_plan_lint_allowlist_names_are_registered():
+    """tools/plan_lint.py adjudicates Generate-fed broadcasts per
+    query name; a renamed or deleted query must not leave a stale
+    allowlist entry silently skipping the lint."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "plan_lint", os.path.join(REPO, "tools", "plan_lint.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    registry.load_all()
+    stale = set(mod.ALLOWLIST) - set(registry.QUERIES)
+    assert not stale, f"allowlist names not in the registry: {sorted(stale)}"
