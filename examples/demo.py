@@ -41,6 +41,11 @@ def main() -> None:
     hs.run(spark, sf_dir, "l01_exact_dedup").show(3)
     print("-- the corpus-prep funnel, one DAG --")
     hs.run(spark, sf_dir, "l40_prep_pipeline").show(3)
+    print("-- quality contracts: the approximations audit themselves --")
+    hs.run(spark, sf_dir, "l70_minhash_recall_curve").show()
+    hs.run(spark, sf_dir, "l69_ivf_recall").show()
+    print("-- pre-flight skew audit for the big shuffles --")
+    hs.run(spark, sf_dir, "s38_shuffle_skew_audit").show()
 
     print("== 3. Per-operator runtime metrics ==")
     for rec in hs.profile(spark, sf_dir, "q3_shipping_priority"):
