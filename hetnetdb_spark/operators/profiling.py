@@ -271,10 +271,11 @@ def s38_shuffle_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: one two-level aggregate per audited key (key-grain
     partial-combined hash agg, then a 1-row rollup — the shuffle
-    carries key counts, never rows), unioned. Cost is a scan per
-    distinct table; at 100 TB you run it off table stats or a
-    sample, but the CONTRACT (what the numbers mean) is what this
-    query pins."""
+    carries key counts, never rows), unioned. Cost is one scan per
+    audited (table, key) entry — a table audited on two keys scans
+    twice; at 100 TB you run it off table stats or a sample, but
+    the CONTRACT (what the numbers mean) is what this query
+    pins."""
     from hetnetdb_spark.expr import r6
 
     parts = []

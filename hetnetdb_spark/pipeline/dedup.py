@@ -31,7 +31,7 @@ from pyspark.sql.window import Window
 
 from hetnetdb_spark.catalog import load_tables
 from hetnetdb_spark.expr import r6
-from hetnetdb_spark.pipeline.similarity import duck_dot
+from hetnetdb_spark.pipeline.similarity import band_candidates, duck_dot
 from hetnetdb_spark.registry import query
 
 # --------------------------------------------------------------------------
@@ -321,14 +321,7 @@ def l02_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = documents.select("doc_id", F.expr(_SHINGLE_SPARK).alias("sh"))
     banded = _banded_signatures(docs)
 
-    a = banded.select("band_id", "bucket", F.col("doc_id").alias("a_id"))
-    b = banded.select("band_id", "bucket", F.col("doc_id").alias("b_id"))
-    candidates = (
-        a.join(b, ["band_id", "bucket"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
-        .dropDuplicates(["a_id", "b_id"])
-    )
+    candidates = band_candidates(banded, id_col="doc_id", key="bucket")
     sh_a = docs.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh"))
     sh_b = docs.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh"))
     inter = F.size(F.array_intersect(F.col("a_sh"), F.col("b_sh")))
@@ -888,14 +881,7 @@ def l16_components_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = emb.select(
         "vec_id", F.explode(F.array(*_band_structs())).alias("band")
     ).select("vec_id", "band.band_id", "band.band_val")
-    a = banded.select("band_id", "band_val", F.col("vec_id").alias("a_id"))
-    b = banded.select("band_id", "band_val", F.col("vec_id").alias("b_id"))
-    cand = (
-        a.join(b, ["band_id", "band_val"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
-        .dropDuplicates(["a_id", "b_id"])
-    )
+    cand = band_candidates(banded, id_col="vec_id")
     ea = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"))
     eb = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"))
     pairs = (
@@ -1641,8 +1627,9 @@ def l68_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup_grams = grams.groupBy("g").agg(F.count(F.lit(1)).alias("cnt")).filter(
         F.col("cnt") > 1
     )
-    # shuffle-hash for the same explode-underestimation reason as
-    # l67 (see that query's comment; measured at the 30× slope).
+    # sort-merge for the same explode-underestimation reason as
+    # l67 (see that query's comment; measured at the 30× slope —
+    # and like there, NOT shuffle_hash: its build map OOMed).
     hits = grams.join(dup_grams.select("g").hint("merge"), "g").select(
         "doc_id", "source", "p"
     )
@@ -1801,10 +1788,12 @@ def l70_minhash_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     posts = docs.select("doc_id", F.explode("sh").alias("g"))
     pa = posts.select("g", F.col("doc_id").alias("a_id"))
     pb = posts.select("g", F.col("doc_id").alias("b_id"))
-    # shuffle-hash: posts is an explode (~100 shingles/doc), so its
+    # sort-merge: posts is an explode (~100 shingles/doc), so its
     # size estimate is the parquet scan's — the l67
     # explode-underestimation trap; a "broadcastable" posts side
-    # would ship the whole posting list to the driver.
+    # would ship the whole posting list to the driver (and
+    # shuffle_hash's per-partition build map OOMs at scale — the
+    # l67 30× measurement).
     true_cand = (
         pa.join(pb.hint("merge"), "g")
         .filter(F.col("a_id") < F.col("b_id"))
@@ -1827,14 +1816,8 @@ def l70_minhash_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     banded = _banded_signatures(docs)
-    ba = banded.select("band_id", "bucket", F.col("doc_id").alias("a_id"))
-    bb = banded.select("band_id", "bucket", F.col("doc_id").alias("b_id"))
-    cand = (
-        ba.join(bb, ["band_id", "bucket"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
-        .dropDuplicates(["a_id", "b_id"])
-        .withColumn("hit", F.lit(1))
+    cand = band_candidates(banded, id_col="doc_id", key="bucket").withColumn(
+        "hit", F.lit(1)
     )
 
     bucket = (

@@ -311,6 +311,26 @@ BITS_PER_BAND = N_PLANES // N_BANDS
 LSH_RECALL_TARGET = 0.9
 
 
+def band_candidates(
+    banded: DataFrame, id_col: str, key: str = "band_val"
+) -> DataFrame:
+    """Distinct (a_id < b_id) id pairs sharing any (band_id, key)
+    bucket — the ONE definition of LSH candidate generation, shared
+    by the hyperplane joins (l04/l04_tuned/l16, key='band_val'),
+    the MinHash joins (l02/l70, key='bucket'), and the slope tool,
+    so a change to candidate semantics cannot miss a caller. The
+    join carries only (band keys, id) — the thin-shuffle invariant
+    the family's plan tests pin."""
+    a = banded.select("band_id", key, F.col(id_col).alias("a_id"))
+    b = banded.select("band_id", key, F.col(id_col).alias("b_id"))
+    return (
+        a.join(b, ["band_id", key])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+
+
 def _hyperplanes() -> np.ndarray:
     """Deterministic random hyperplanes (seed 42) — the 'trained'
     LSH model. 64×64 floats ship as plan literals (16 KB)."""
@@ -468,14 +488,7 @@ def l04_simjoin_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.explode(F.array(*_band_structs())).alias("band")
     ).select("vec_id", "band.band_id", "band.band_val")
 
-    a = banded.select("band_id", "band_val", F.col("vec_id").alias("a_id"))
-    b = banded.select("band_id", "band_val", F.col("vec_id").alias("b_id"))
-    candidates = (
-        a.join(b, ["band_id", "band_val"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
-        .dropDuplicates(["a_id", "b_id"])
-    )
+    candidates = band_candidates(banded, id_col="vec_id")
     ea = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"))
     eb = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"))
     verified = (
@@ -668,14 +681,7 @@ def l04_simjoin_lsh_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*_band_structs(n_bands=SEL_BANDS, bits=SEL_BITS, col="e"))
         ).alias("band"),
     ).select("vec_id", "band.band_id", "band.band_val")
-    a = banded.select("band_id", "band_val", F.col("vec_id").alias("a_id"))
-    b = banded.select("band_id", "band_val", F.col("vec_id").alias("b_id"))
-    cand = (
-        a.join(b, ["band_id", "band_val"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
-        .dropDuplicates(["a_id", "b_id"])
-    )
+    cand = band_candidates(banded, id_col="vec_id")
     ea = allv.select(F.col("vec_id").alias("a_id"), F.col("e").alias("a_e"))
     eb = allv.select(F.col("vec_id").alias("b_id"), F.col("e").alias("b_e"))
     ver = (
@@ -768,6 +774,49 @@ def _lloyd_refine(emb: DataFrame, seeds: DataFrame) -> DataFrame:
             ]
         ).alias("ce")
     )
+
+
+def _ivf_assigned(emb: DataFrame):
+    """(cent, assigned) — the deterministic one-pass Lloyd from the
+    first-K seeds plus the broadcast argmax assignment. ONE
+    definition shared by l03 / l35 / l69 (the Spark twin of
+    `_ivf_assign_ctes`, which the oracles already share), so the
+    recall audit can never silently measure a different assignment
+    mechanism than the operator it certifies."""
+    seeds = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    cent = _lloyd_refine(emb.select("vec_id", "embedding"), seeds)
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("cscore").desc(), F.col("cid")
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "embedding",
+            "cid",
+            dot(F.col("embedding"), F.col("ce")).alias("cscore"),
+        )
+        .withColumn("arn", F.row_number().over(w_assign))
+        .filter(F.col("arn") == 1)
+        .select("vec_id", "embedding", F.col("cid").alias("cluster"))
+    )
+    return cent, assigned
+
+
+def _ivf_probe(emb: DataFrame, cent: DataFrame):
+    """(q, probe) — the vec_id=0 query vector and its N_PROBE
+    nearest centroid ids; shared by l03 / l69."""
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    probe = (
+        cent.crossJoin(F.broadcast(q))
+        .select("cid", dot(F.col("ce"), F.col("qe")).alias("qscore"))
+        .orderBy(F.col("qscore").desc(), "cid")
+        .limit(N_PROBE)
+        .select("cid")
+    )
+    return q, probe
 
 
 def _chain_dot(a: str, b: str) -> str:
@@ -876,35 +925,8 @@ def l03_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     key for a bucketed layout, so a probe touches 2/8 of the files.
     """
     (emb,) = load_tables(spark, sf_dir, "embeddings")
-    seeds = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
-    )
-    cent = _lloyd_refine(emb.select("vec_id", "embedding"), seeds)
-    # assign every vector to argmax-dot centroid (one broadcast pass)
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.col("cscore").desc(), F.col("cid")
-    )
-    assigned = (
-        emb.crossJoin(F.broadcast(cent))
-        .select(
-            "vec_id",
-            "embedding",
-            "cid",
-            dot(F.col("embedding"), F.col("ce")).alias("cscore"),
-        )
-        .withColumn("arn", F.row_number().over(w_assign))
-        .filter(F.col("arn") == 1)
-        .select("vec_id", "embedding", F.col("cid").alias("cluster"))
-    )
-    # probe: the query vector's N_PROBE nearest centroids
-    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
-    probe = (
-        cent.crossJoin(F.broadcast(q))
-        .select("cid", dot(F.col("ce"), F.col("qe")).alias("qscore"))
-        .orderBy(F.col("qscore").desc(), "cid")
-        .limit(N_PROBE)
-        .select("cid")
-    )
+    cent, assigned = _ivf_assigned(emb)
+    q, probe = _ivf_probe(emb, cent)
     return (
         assigned.join(
             F.broadcast(probe), assigned["cluster"] == probe["cid"], "left_semi"
@@ -987,33 +1009,8 @@ def l69_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     scans ≈ nprobe/K of the corpus; both are single-pass,
     shuffle-free, broadcast-probe plans."""
     (emb,) = load_tables(spark, sf_dir, "embeddings")
-    seeds = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
-    )
-    cent = _lloyd_refine(emb.select("vec_id", "embedding"), seeds)
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.col("cscore").desc(), F.col("cid")
-    )
-    assigned = (
-        emb.crossJoin(F.broadcast(cent))
-        .select(
-            "vec_id",
-            "embedding",
-            "cid",
-            dot(F.col("embedding"), F.col("ce")).alias("cscore"),
-        )
-        .withColumn("arn", F.row_number().over(w_assign))
-        .filter(F.col("arn") == 1)
-        .select("vec_id", "embedding", F.col("cid").alias("cluster"))
-    )
-    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
-    probe = (
-        cent.crossJoin(F.broadcast(q))
-        .select("cid", dot(F.col("ce"), F.col("qe")).alias("qscore"))
-        .orderBy(F.col("qscore").desc(), "cid")
-        .limit(N_PROBE)
-        .select("cid")
-    )
+    cent, assigned = _ivf_assigned(emb)
+    q, probe = _ivf_probe(emb, cent)
     scanned = (
         assigned.join(
             F.broadcast(probe), assigned["cluster"] == probe["cid"], "left_semi"
@@ -1115,26 +1112,8 @@ def l35_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical left-associative order (the l04 verified-pairs
     discipline)."""
     (emb,) = load_tables(spark, sf_dir, "embeddings")
-    seeds = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
-    )
-    cent = _lloyd_refine(emb.select("vec_id", "embedding"), seeds)
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.col("cscore").desc(), F.col("cid")
-    )
-    assigned = (
-        emb.crossJoin(F.broadcast(cent))
-        .select(
-            "vec_id",
-            "embedding",
-            "cid",
-            dot(F.col("embedding"), F.col("ce")).alias("cscore"),
-        )
-        .withColumn("arn", F.row_number().over(w_assign))
-        .filter(F.col("arn") == 1)
-        .select("vec_id", "embedding", F.col("cid").alias("cluster"))
-        .cache()
-    )
+    _cent, assigned = _ivf_assigned(emb)
+    assigned = assigned.cache()
     a = assigned.select(
         "cluster", F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb")
     )

@@ -1142,23 +1142,28 @@ def t15_listener_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+        if rec.query_id != str(q.id):
+            # First-started-wins can bind a DIFFERENT stream if one
+            # ever starts concurrently in this shared session — then
+            # every progress event of OUR query is silently filtered
+            # out. Check BEFORE the termination poll: a mis-bound
+            # recorder tracks the foreign query's lifecycle, so the
+            # poll below would time out with the opaque
+            # "never saw termination" error instead of naming the
+            # actual cause. The binding is already decidable here
+            # (onQueryStarted is delivered synchronously with
+            # start()).
+            raise RuntimeError(
+                f"t15: listener bound query {rec.query_id}, but this "
+                f"run's query is {q.id} — another stream started "
+                "concurrently in the shared session"
+            )
         deadline = _time.monotonic() + 30
         while not rec.terminated and _time.monotonic() < deadline:
             _time.sleep(0.2)
         if not rec.terminated:
             raise RuntimeError(
                 f"t15: listener never saw termination; events so far: {rec.batches}"
-            )
-        if rec.query_id != str(q.id):
-            # First-started-wins can bind a DIFFERENT stream if one
-            # ever starts concurrently in this shared session — then
-            # every progress event of OUR query is silently filtered
-            # out and the oracle fails as an opaque divergence. Fail
-            # loudly at the point of mis-binding instead.
-            raise RuntimeError(
-                f"t15: listener bound query {rec.query_id}, but this "
-                f"run's query is {q.id} — another stream started "
-                "concurrently in the shared session"
             )
     finally:
         spark.streams.removeListener(rec)

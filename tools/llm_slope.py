@@ -70,14 +70,21 @@ DIM = 64
 ID_STEP = 100_000_000
 
 
+def _complete(dst: str) -> bool:
+    """A parquet dir counts as built only with its _SUCCESS marker —
+    an interrupted prior write must be rebuilt, not silently
+    measured as a truncated corpus."""
+    return os.path.exists(os.path.join(dst, "_SUCCESS"))
+
+
 def build(spark, factor: int) -> str:
     """Materialize the mutated-replica corpus for ``factor`` and
-    return its directory (skips tables that already exist)."""
+    return its directory (skips tables already built to completion)."""
     out = os.path.join(SCRATCH, f"llm_slope_{factor}x")
     os.makedirs(out, exist_ok=True)
 
     dst = os.path.join(out, "documents.parquet")
-    if not os.path.exists(dst):
+    if not _complete(dst):
         docs = spark.read.parquet(os.path.join(BASE, "documents.parquet"))
         copies = []
         for i in range(factor):
@@ -93,7 +100,7 @@ def build(spark, factor: int) -> str:
         u.write.mode("overwrite").parquet(dst)
 
     dst = os.path.join(out, "embeddings.parquet")
-    if not os.path.exists(dst):
+    if not _complete(dst):
         emb = spark.read.parquet(os.path.join(BASE, "embeddings.parquet"))
         copies = []
         for i in range(factor):
@@ -142,18 +149,12 @@ def cc_row(spark, sf_dir: str):
         _banded_signatures,
         _min_label_components,
     )
+    from hetnetdb_spark.pipeline.similarity import band_candidates
 
     docs_full = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     docs = docs_full.select("doc_id", F.expr(_SHINGLE_SPARK).alias("sh"))
     banded = _banded_signatures(docs)
-    a = banded.select("band_id", "bucket", F.col("doc_id").alias("a_id"))
-    b = banded.select("band_id", "bucket", F.col("doc_id").alias("b_id"))
-    cand = (
-        a.join(b, ["band_id", "bucket"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
-        .dropDuplicates(["a_id", "b_id"])
-    )
+    cand = band_candidates(banded, id_col="doc_id", key="bucket")
     sh_a = docs.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh"))
     sh_b = docs.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh"))
     inter = F.size(F.array_intersect(F.col("a_sh"), F.col("b_sh")))
@@ -197,21 +198,14 @@ def banding_law_row(spark, sf_dir: str):
     the measured constant of the quadratic candidate law on
     direction-random data. Count only (never materialized beyond
     the aggregate)."""
-    from hetnetdb_spark.pipeline.similarity import _band_structs
+    from hetnetdb_spark.pipeline.similarity import band_candidates, _band_structs
 
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     n = emb.count()
     banded = emb.select(
         "vec_id", F.explode(F.array(*_band_structs())).alias("band")
     ).select("vec_id", "band.band_id", "band.band_val")
-    a = banded.select("band_id", "band_val", F.col("vec_id").alias("a_id"))
-    b = banded.select("band_id", "band_val", F.col("vec_id").alias("b_id"))
-    cand = (
-        a.join(b, ["band_id", "band_val"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
-        .dropDuplicates(["a_id", "b_id"])
-    )
+    cand = band_candidates(banded, id_col="vec_id")
 
     def run():
         return cand.count()
@@ -235,10 +229,18 @@ MEASUREMENTS = {
 }
 
 #: Comma-separated measurement-name filter for targeted runs.
+#: Unknown names fail loudly — a typo must not turn the tool into
+#: an exit-0 no-op that looks like a completed measurement.
 ONLY = {
     s for s in os.environ.get("SPARK_GRAFT_LLM_ONLY", "").split(",") if s
 }
 if ONLY:
+    unknown = ONLY - set(MEASUREMENTS)
+    if unknown:
+        raise SystemExit(
+            f"SPARK_GRAFT_LLM_ONLY names not in MEASUREMENTS: "
+            f"{sorted(unknown)}; valid: {sorted(MEASUREMENTS)}"
+        )
     MEASUREMENTS = {k: v for k, v in MEASUREMENTS.items() if k in ONLY}
 
 #: The banding law is quadratic by design on direction-random data;
