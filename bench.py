@@ -4,18 +4,22 @@ Prints ONE JSON line:
   {"metric": "headline_total_warm", "value": N, "unit": "sec",
    "queries": {name: sec, ...}, "sf": <sf>}
 
-Per query: three untimed warm-up runs (plan + whole-stage-codegen
-JIT — measured to keep improving past the first run as C2 kicks
-in), then the MIN OF FIVE timed runs is reported — the driver's
-BASELINE is warm DuckDB latency, and warm steady state is also what
-a resident 100 TB deployment sees. Min-of-5 matches the PLANS.md
-action-cost floor table's method; min (not mean) because the
-comparison target is the engine's latency, and single-run GC/
-compilation spikes are scheduler noise, not plan cost (r6's
-sessionize +13% "regression" was exactly such a spike). Timing
-includes the full action (collect to driver) but not session
-startup, which is amortized across all queries exactly as a
-long-lived engine would.
+Three untimed warm-up PASSES over the whole query set (plan +
+whole-stage-codegen JIT — measured to keep improving past the first
+run as C2 kicks in), then NINE timed passes, each a round-robin
+sweep across ALL queries; the per-query MIN across passes is
+reported. Interleaving is deliberate (r7 verdict item 2): per-query
+timing blocks let a transient co-tenant load spike on the driver's
+box inflate whichever queries happened to run during it (BENCH_r07
+showed five queries uniformly +33% vs identical plans in r6), while
+round-robin passes spread any spike across all queries and nine
+temporally-separated samples give each query a high chance of at
+least one quiet run. Min (not mean) because the comparison target —
+BASELINE.md's warm DuckDB latency — is the engine's steady-state
+latency, and single-run GC/compilation/load spikes are scheduler
+noise, not plan cost. Timing includes the full action (Arrow fetch
+to driver) but not session startup, which is amortized across all
+queries exactly as a long-lived resident engine would.
 """
 
 from __future__ import annotations
@@ -76,17 +80,18 @@ def main() -> None:
     # Legacy `collect()` deserializes row-by-row into Row objects
     # and was costing ~0.6 s alone on the 9.5k-row sessionize
     # result — driver-fetch overhead, not query time.
-    timings: dict[str, float] = {}
-    for name in names:
-        fn = registry.QUERIES[name]
-        for _ in range(3):  # warm-up: plan + JIT (C2) + page cache
-            fn(spark, SF_DIR).toPandas()
-        warm = []
-        for _ in range(5):
+    for _ in range(3):  # warm-up passes: plan + JIT (C2) + page cache
+        for name in names:
+            registry.QUERIES[name](spark, SF_DIR).toPandas()
+    best: dict[str, float] = {name: float("inf") for name in names}
+    for _ in range(9):  # timed passes, round-robin across queries
+        for name in names:
+            fn = registry.QUERIES[name]
             t0 = time.perf_counter()
             fn(spark, SF_DIR).toPandas()
-            warm.append(time.perf_counter() - t0)
-        timings[name] = round(min(warm), 4)
+            best[name] = min(best[name], time.perf_counter() - t0)
+    timings = {name: round(best[name], 4) for name in names}
+    for name in names:
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     payload = {

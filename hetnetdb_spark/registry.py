@@ -141,18 +141,11 @@ def _verified_names() -> set[str]:
 #: round and sort into tiers 0/1 via CORRECTNESS_r04.json.)
 NEW_THIS_ROUND: frozenset[str] = frozenset(
     {
-        # Round 7: rotated — round 6 added no queries, so the 69-name
-        # never-sampled backlog (round-5 L/S/T/U/W tail) owns tiers
-        # 0/1 outright. New round-7 queries are appended here as they
-        # land so they cannot displace that backlog from the window.
-        "l04_simjoin_lsh_tuned",
-        "l67_substring_dedup",
-        "l68_dup_span_removal",
-        "l69_ivf_recall",
-        "l70_minhash_recall_curve",
-        "l71_simhash_recall_curve",
-        "s38_shuffle_skew_audit",
-        "w22_dow_seasonality",
+        # Round 8: rotated — round 7's eight additions have now
+        # waited a full round and sort into tiers 0/1 via
+        # CORRECTNESS_r07.json. New round-8 queries are appended here
+        # as they land so they cannot displace the 29-name backlog
+        # (which fits a single 50-slot window with room to spare).
     }
 )
 
@@ -163,32 +156,28 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
 #: the round-5 float-discipline fixes).
 RECHECK_THIS_ROUND: frozenset[str] = frozenset(
     {
-        # Round 7: rotated to empty. CORRECTNESS_r06 certified the
-        # round-6 contracts for every previously-listed name (a19,
-        # s14, s15, t04, t08 all green on their NEW oracles), so
-        # nothing needs a forced re-check and every driver slot goes
-        # to the never-sampled backlog.
-        # l08_frame_sample's oracle was upgraded this round from
-        # rows-only to a full Python-pinned ground truth; its r3 row
-        # is a weaker "no_oracle" record, which _verified_names
-        # already counts as verified — list it here so the driver
-        # checks the new full oracle.
-        "l08_frame_sample",
-        # emb_topk_cosine's only green row is r3 — before the round-6
-        # plan rebuild (query vector bound at plan-build time and
-        # inlined as a literal). The contract is unchanged but the
-        # executed plan has never been driver-sampled; the r6 verdict
-        # asked for a driver-fresh row on the new shape.
-        "emb_topk_cosine",
+        # Round 8: rotated to empty. CORRECTNESS_r07 certified both
+        # previously-listed names (l08_frame_sample's new full oracle
+        # and emb_topk_cosine's rebuilt literal-inlined plan, both
+        # driver-green), so nothing needs a forced re-check and every
+        # driver slot goes to the 29-name never-sampled backlog.
     }
 )
 
 #: Names forced to the very front of the verification window while
-#: they lack a driver-green CORRECTNESS row — for queries whose only
-#: green row certifies a stale contract (oracle upgraded this round).
+#: they lack a driver-green CORRECTNESS row. Round 8: the r7 verdict
+#: asked the window to LEAD with round 7's quality-contract family,
+#: then the older S/T/U tail — all 29 never-driver-sampled names fit
+#: one 50-slot window, so this ordering retires the whole backlog.
 FRONT_OF_LINE: tuple[str, ...] = (
-    "l08_frame_sample",
-    "emb_topk_cosine",
+    "l04_simjoin_lsh_tuned",
+    "l67_substring_dedup",
+    "l68_dup_span_removal",
+    "l69_ivf_recall",
+    "l70_minhash_recall_curve",
+    "l71_simhash_recall_curve",
+    "s38_shuffle_skew_audit",
+    "w22_dow_seasonality",
 )
 
 
