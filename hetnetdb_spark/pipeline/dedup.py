@@ -443,6 +443,13 @@ def l02_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Hard fence for l71's exact O(N²) popcount leg. 100k fingerprints
+#: = 5e9 codegen popcounts (~10 s on 32 cores) and a 0.8 MB
+#: broadcast — the largest corpus where an exact audit is still a
+#: reasonable interactive spend. Fixtures are 500/500/5000 docs.
+L71_AUDIT_MAX_DOCS = 100_000
+
+
 def _simhash_fps_and_pairs(documents: DataFrame):
     """(fps, candidate-pairs) for the 60-bit SimHash banding — the
     Spark twin of `_simhash_cand_ctes`, shared by l02 and the l71
@@ -551,8 +558,19 @@ def l71_simhash_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale exactly like l04_simjoin_exact, with the banding as the
     corpus path. Fingerprints and candidates reuse l02's shared
     builders on both engines, so operator and audit cannot
-    diverge."""
+    diverge. The fence is enforced, not just documented (round-8
+    ADVICE fix): above L71_AUDIT_MAX_DOCS fingerprints the broadcast
+    all-pairs leg would be an O(N²) scale-killer, so the build
+    raises instead of letting the broadcast OOM."""
     (documents,) = load_tables(spark, sf_dir, "documents")
+    n_docs = documents.count()
+    if n_docs > L71_AUDIT_MAX_DOCS:
+        raise ValueError(
+            f"l71 is an audit-scale query: {n_docs} documents exceeds "
+            f"the {L71_AUDIT_MAX_DOCS}-doc fence for the exact O(N^2) "
+            "popcount leg; sample the corpus or trust the banded path "
+            "(l02) certified by this audit at fixture scale"
+        )
     fps, pairs = _simhash_fps_and_pairs(documents)
 
     fa = fps.select(F.col("doc_id").alias("a_id"), F.col("simhash").alias("sa"))

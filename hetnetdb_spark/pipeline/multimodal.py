@@ -143,6 +143,8 @@ _IMAGE_MAGIC: tuple[bytes, ...] = (
     b"GIF89a",
     b"BM",  # BMP
     b"RIFF",  # WebP (RIFF....WEBP; RIFF alone never starts UTF-8 text fixtures)
+    b"II*\x00",  # TIFF little-endian (round-8 ADVICE fix)
+    b"MM\x00*",  # TIFF big-endian
 )
 
 

@@ -350,6 +350,11 @@ def _band_structs(
     7 so the selective 8×8 regime (`l04_simjoin_lsh_tuned`) shares
     the same seed-42 planes and sign arithmetic as the default
     16×4; ``n_bands * bits`` must not exceed N_PLANES."""
+    if n_bands * bits > N_PLANES:
+        raise ValueError(
+            f"banding {n_bands}x{bits} needs {n_bands * bits} planes "
+            f"but only {N_PLANES} exist"
+        )
     planes = _hyperplanes()
     out = []
     for b in range(n_bands):
