@@ -31,10 +31,7 @@ from hetnetdb_spark.registry import query
 
 import os
 
-SCRATCH = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    ".scratch",
-)
+from hetnetdb_spark.scratch import SCRATCH  # per-process; see scratch.py
 
 _MIMES = ["image/png", "audio/wav", "video/mp4"]
 

@@ -27,10 +27,10 @@ from hetnetdb_spark.catalog import load_tables, register_views
 from hetnetdb_spark.expr import r6
 from hetnetdb_spark.registry import query
 
-SCRATCH = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    ".scratch",
-)
+# Per-process scratch root (see hetnetdb_spark/scratch.py for the
+# concurrency contract); re-exported here because tests and tools
+# historically import it from this module.
+from hetnetdb_spark.scratch import SCRATCH  # noqa: F401
 
 # --------------------------------------------------------------------------
 # S2 — CSV ingest (the reference's native upload format)

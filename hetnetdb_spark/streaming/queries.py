@@ -34,8 +34,7 @@ from pyspark.sql.types import (
 from hetnetdb_spark.catalog import load_tables, table_path
 from hetnetdb_spark.registry import query
 
-SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__)))), ".scratch")
+from hetnetdb_spark.scratch import SCRATCH  # per-process; see scratch.py
 
 def _events_physical(ts_type) -> StructType:
     """Requested schema for the events stream (the file stream
