@@ -606,19 +606,99 @@ GROUP BY user_id
 """
 
 
+#: Repo-vendored pure-Python protobuf runtime (vendor/miniproto/
+#: README in its package docstring): used ONLY when the real
+#: `google.protobuf` is absent, which is the case in this container.
+_MINIPROTO_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "vendor",
+    "miniproto",
+)
+
+
 def _protobuf_available() -> bool:
     """The transformWithStateInPandas state-server protocol speaks
-    protobuf between the JVM and the Python worker; without the
+    protobuf between the JVM and the Python worker; without a
     `google.protobuf` package the driver worker crashes at plan
-    validation. Gate registration so environments missing protobuf
-    (like this container) simply don't declare the query instead of
-    failing it."""
+    validation. Prefer a real installation; where none exists, fall
+    back to the repo-vendored miniproto runtime (appended, never
+    prepended, so a real package always shadows it). Only if BOTH
+    are unavailable does t10 stay unregistered."""
+    import sys
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        pass
+    if not os.path.isdir(_MINIPROTO_DIR):
+        return False
+    if _MINIPROTO_DIR not in sys.path:
+        sys.path.append(_MINIPROTO_DIR)
     try:
         from google.protobuf import descriptor  # noqa: F401
 
         return True
     except ImportError:
         return False
+
+
+def _ship_miniproto(spark: SparkSession) -> None:
+    """Make `google.protobuf` importable in the PYTHON WORKERS of an
+    already-running session. The driver-side sys.path append in
+    `_protobuf_available` does not reach workers (they build their
+    sys.path from PYTHONPATH + pyFiles at launch), and the driver
+    harness creates the SparkSession before this package can touch
+    the environment — so ship the vendored runtime as an addPyFile
+    zip, which PythonRunner prepends to every worker's sys.path.
+    No-op when the real protobuf is importable without the vendor
+    dir (workers then resolve the same installation)."""
+    import importlib.util
+    import sys
+    import zipfile
+
+    spec = importlib.util.find_spec("google.protobuf")
+    if spec is None or spec.origin is None:
+        return
+    if not spec.origin.startswith(_MINIPROTO_DIR):
+        return  # real installation: workers can import it themselves
+    from hetnetdb_spark.scratch import SCRATCH
+
+    zip_path = os.path.join(SCRATCH, "miniproto.zip")
+    if not os.path.exists(zip_path):
+        os.makedirs(SCRATCH, exist_ok=True)
+        tmp = zip_path + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for root, _dirs, files in os.walk(_MINIPROTO_DIR):
+                for fname in files:
+                    if not fname.endswith(".py"):
+                        continue
+                    full = os.path.join(root, fname)
+                    zf.write(full, os.path.relpath(full, _MINIPROTO_DIR))
+        os.replace(tmp, zip_path)
+    # addPyFile is idempotent per path; guard per-application anyway
+    # to keep the driver log clean on re-invocation.
+    shipped = getattr(sys.modules[__name__], "_MINIPROTO_SHIPPED", set())
+    app_id = spark.sparkContext.applicationId
+    if app_id not in shipped:
+        spark.sparkContext.addPyFile(zip_path)
+        shipped.add(app_id)
+        sys.modules[__name__]._MINIPROTO_SHIPPED = shipped
+    # transformWithState's DRIVER-side python worker (state-schema
+    # validation) builds its sys.path from PYTHONPATH only — it never
+    # reads the pyFiles list. PythonWorkerFactory merges the udf's
+    # envVars["PYTHONPATH"], and classic-mode udf creation snapshots
+    # `sc.environment` as those envVars — so stamping the vendor dir
+    # here (BEFORE the udf is built) reaches that worker. Local paths
+    # suffice in local mode; on a cluster the addPyFile zip above
+    # covers executor workers.
+    env = spark.sparkContext.environment
+    current = env.get("PYTHONPATH", "")
+    if _MINIPROTO_DIR not in current.split(os.pathsep):
+        env["PYTHONPATH"] = (
+            current + os.pathsep + _MINIPROTO_DIR if current else _MINIPROTO_DIR
+        )
 
 
 def _t10_decorator():
@@ -651,6 +731,8 @@ def t10_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 
+    _ship_miniproto(spark)
+
     class TypeCounter(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._counts = handle.getMapState(
@@ -678,14 +760,32 @@ def t10_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         def close(self) -> None:
             pass
 
-    stream = _events_stream(spark, table_path(sf_dir, "events"))
-    tracked = stream.groupBy("user_id").transformWithStateInPandas(
-        statefulProcessor=TypeCounter(),
-        outputStructType="user_id long, n_types long, n_events long",
-        outputMode="Update",
-        timeMode="None",
+    # transformWithState keeps each state variable in its own column
+    # family, which HDFSBackedStateStoreProvider cannot do — RocksDB
+    # is a hard requirement of the operator, scoped/restored exactly
+    # like t13 so the rest of the suite keeps exercising the default
+    # provider.
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
     )
-    _run_to_memory(tracked, "t10_tws", "update")
+    old = spark.conf.get(provider_key, None)
+    spark.conf.set(provider_key, rocksdb)
+    try:
+        stream = _events_stream(spark, table_path(sf_dir, "events"))
+        tracked = stream.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=TypeCounter(),
+            outputStructType="user_id long, n_types long, n_events long",
+            outputMode="Update",
+            timeMode="None",
+        )
+        _run_to_memory(tracked, "t10_tws", "update")
+    finally:
+        if old is not None:
+            spark.conf.set(provider_key, old)
+        else:
+            spark.conf.unset(provider_key)
     return spark.table("t10_tws")
 
 

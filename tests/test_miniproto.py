@@ -1,0 +1,131 @@
+"""vendor/miniproto — wire-format unit tests + the t10 end-to-end run.
+
+The mini protobuf runtime only exists to back PySpark's generated
+``StateMessage_pb2`` module, so the tests drive exactly that module:
+golden wire bytes (hand-encoded from the public proto3 spec), oneof
+semantics, signed-varint round-trips, repeated fields, unknown-field
+tolerance — then the integration proof: t10's transformWithState
+stream, whose every state interaction crosses this runtime twice
+(Python worker → JVM state server and back).
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import sys
+
+import pytest
+
+VENDOR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "vendor",
+    "miniproto",
+)
+
+# Mirror the production gate: prefer a real protobuf, else vendored.
+if importlib.util.find_spec("google") is None and VENDOR not in sys.path:
+    sys.path.append(VENDOR)
+
+sm = pytest.importorskip("pyspark.sql.streaming.proto.StateMessage_pb2")
+
+
+def test_golden_handshake_bytes():
+    # StateRequest{version=2, statefulProcessorCall{setHandleState{
+    # state=CREATED}}} — hand-encoded: field1 varint 2;
+    # field2 LEN{field1 LEN{field1 varint 1}}.
+    call = sm.StatefulProcessorCall(
+        setHandleState=sm.SetHandleState(state=sm.CREATED)
+    )
+    req = sm.StateRequest(version=2, statefulProcessorCall=call)
+    assert req.SerializeToString() == bytes.fromhex("080212040a020801")
+
+
+def test_default_enum_value_omitted_but_oneof_member_kept():
+    # proto3: state=PRE_INIT(0) serializes to an EMPTY SetHandleState,
+    # but the oneof member itself must still be emitted (tag + len 0)
+    # so the JVM sees which branch was taken.
+    call = sm.StatefulProcessorCall(
+        setHandleState=sm.SetHandleState(state=sm.PRE_INIT)
+    )
+    req = sm.StateRequest(statefulProcessorCall=call)
+    assert req.SerializeToString() == bytes.fromhex("12020a00")
+    back = sm.StateRequest()
+    back.ParseFromString(req.SerializeToString())
+    assert back.statefulProcessorCall.setHandleState.state == sm.PRE_INIT
+
+
+def test_oneof_assignment_clears_siblings():
+    req = sm.StateRequest(
+        statefulProcessorCall=sm.StatefulProcessorCall(
+            setHandleState=sm.SetHandleState(state=sm.CLOSED)
+        )
+    )
+    req.implicitGroupingKeyRequest = sm.ImplicitGroupingKeyRequest(
+        removeImplicitKey=sm.RemoveImplicitKey()
+    )
+    assert not req.HasField("statefulProcessorCall")
+    assert req.HasField("implicitGroupingKeyRequest")
+
+
+def test_signed_int64_round_trip():
+    for v in (0, 1, -1, 123456789012345, -(2**63), 2**63 - 1):
+        msg = sm.TimerInfo(timestampMs=v)
+        back = sm.TimerInfo()
+        back.ParseFromString(msg.SerializeToString())
+        assert back.timestampMs == v
+
+
+def test_repeated_bytes_and_messages():
+    resp = sm.StateResponseWithListGet(
+        statusCode=0, value=[b"a", b"", b"bb"], requireNextFetch=True
+    )
+    back = sm.StateResponseWithListGet()
+    back.ParseFromString(resp.SerializeToString())
+    assert back.value == [b"a", b"", b"bb"]
+    assert back.requireNextFetch is True
+    assert back.errorMessage == ""  # unset → proto3 default
+
+    rt = sm.StateResponseWithTimer(
+        statusCode=1,
+        timer=[sm.TimerInfo(key=b"k", timestampMs=9), sm.TimerInfo(timestampMs=-5)],
+    )
+    back2 = sm.StateResponseWithTimer()
+    back2.ParseFromString(rt.SerializeToString())
+    assert [(t.key, t.timestampMs) for t in back2.timer] == [(b"k", 9), (b"", -5)]
+
+
+def test_unknown_fields_are_skipped():
+    # A newer peer adding field 99 (varint) and field 98 (bytes) must
+    # not desynchronize parsing of the known fields around them.
+    known = sm.StateResponse(statusCode=7, value=b"xy").SerializeToString()
+    unknown = bytes.fromhex("d806") + b"\x2a" + bytes.fromhex("9206") + b"\x02zz"
+    back = sm.StateResponse()
+    back.ParseFromString(unknown + known)
+    assert back.statusCode == 7
+    assert back.value == b"xy"
+
+
+def test_string_fields_utf8():
+    cmd = sm.StateCallCommand(stateName="naïve✓", schema="v int")
+    back = sm.StateCallCommand()
+    back.ParseFromString(cmd.SerializeToString())
+    assert back.stateName == "naïve✓"
+    assert back.schema == "v int"
+
+
+def test_t10_transform_with_state_end_to_end(spark, oracle):
+    """The integration proof: a real transformWithStateInPandas
+    stream with MapState over RocksDB, every get/update/iterator
+    crossing the miniproto wire twice. Oracle: COUNT(DISTINCT) +
+    COUNT(*) per user over the same events."""
+    from hetnetdb_spark import registry
+    from tests.conftest import SF_DIR
+    from tests.oracle_compare import assert_frames_match
+
+    registry.load_all()
+    if "t10_transform_with_state" not in registry.QUERIES:
+        pytest.skip("no protobuf runtime available (real or vendored)")
+    got = registry.QUERIES["t10_transform_with_state"](spark, SF_DIR).toPandas()
+    want = oracle.execute(registry.ORACLE["t10_transform_with_state"]).fetchdf()
+    assert_frames_match(got, want, "t10_transform_with_state")

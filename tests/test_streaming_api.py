@@ -1,13 +1,12 @@
 """Pin the Spark 4 transformWithStateInPandas API that t10 uses.
 
 t10_transform_with_state (streaming/queries.py) is registration-gated
-on `google.protobuf`, absent in this container — so a PySpark API
-mismatch in its StatefulProcessor would otherwise only surface in a
-protobuf-enabled environment. The classes and signatures themselves
-import WITHOUT protobuf (only the state-server wire protocol needs
-it), so every name/signature/kwarg t10 touches is asserted here; if a
-PySpark upgrade changes the contract, this fails locally instead of
-in production.
+on `google.protobuf`. Since round 8 the repo vendors a minimal
+pure-Python runtime (vendor/miniproto) that satisfies the gate, so
+t10 runs for real here (test_miniproto.py covers the wire protocol
+and the end-to-end stream). These API pins stay valuable regardless:
+if a PySpark upgrade changes the StatefulProcessor contract, they
+fail with a named assertion instead of a worker crash.
 """
 
 from __future__ import annotations
