@@ -82,16 +82,21 @@ def query(
     return deco
 
 
-def _verified_names() -> set[str]:
-    """Names with a green row in the LATEST driver CORRECTNESS file
-    that mentions them.
+def _certification_rounds() -> dict[str, int]:
+    """Per-query driver-certification state from CORRECTNESS files.
+
+    Returns ``{name: round}`` where ``round`` is the round number of
+    the LATEST driver CORRECTNESS file that mentions the name — but
+    only for names whose latest mention is GREEN. A name whose latest
+    row is red (or that no file mentions) is absent from the dict.
 
     The driver records per-round ``CORRECTNESS_r{N}.json`` at the repo
     root but verifies only a bounded prefix of the registry (round 2
     stopped at exactly 50 entries). ``_prioritize`` uses this to put
     never-verified and last-failed queries at the front of the
-    registry, so each round's bounded window verifies new work and the
-    rotation needs no hand-maintained list.
+    registry, and — once everything is green — to refresh the STALEST
+    certifications first, so the bounded window rotates through the
+    registry instead of re-checking last round's freshest rows.
 
     "Green" means rows+schema+hash all matched, or — for queries that
     declare no oracle (rows-only contract) — that the driver ran the
@@ -107,8 +112,9 @@ def _verified_names() -> set[str]:
         root.glob("CORRECTNESS_r*.json"),
         key=lambda p: int(re.search(r"r(\d+)", p.stem).group(1)),
     )
-    status: dict[str, bool] = {}
+    rounds: dict[str, int] = {}
     for path in files:
+        rnd = int(re.search(r"r(\d+)", path.stem).group(1))
         try:
             rows = json.loads(path.read_text())
         except (OSError, ValueError):
@@ -127,8 +133,16 @@ def _verified_names() -> set[str]:
                     and bool(row.get("hash_match"))
                     and row.get("err") is None
                 )
-            status[name] = ok
-    return {name for name, ok in status.items() if ok}
+            if ok:
+                rounds[name] = rnd
+            else:
+                rounds.pop(name, None)
+    return rounds
+
+
+def _verified_names() -> set[str]:
+    """Names whose latest driver CORRECTNESS mention is green."""
+    return set(_certification_rounds())
 
 
 #: Queries added in the CURRENT round, i.e. after the newest recorded
@@ -165,20 +179,15 @@ RECHECK_THIS_ROUND: frozenset[str] = frozenset(
 )
 
 #: Names forced to the very front of the verification window while
-#: they lack a driver-green CORRECTNESS row. Round 8: the r7 verdict
-#: asked the window to LEAD with round 7's quality-contract family,
-#: then the older S/T/U tail — all 29 never-driver-sampled names fit
-#: one 50-slot window, so this ordering retires the whole backlog.
-FRONT_OF_LINE: tuple[str, ...] = (
-    "l04_simjoin_lsh_tuned",
-    "l67_substring_dedup",
-    "l68_dup_span_removal",
-    "l69_ivf_recall",
-    "l70_minhash_recall_curve",
-    "l71_simhash_recall_curve",
-    "s38_shuffle_skew_audit",
-    "w22_dow_seasonality",
-)
+#: they lack a driver-green CORRECTNESS row. Round 9: rotated to
+#: empty — CORRECTNESS_r08 certified all eight round-8 names and the
+#: cumulative ledger reached 301/301 green / 0 never-sampled, so
+#: there is no backlog left to pin. With everything green, the
+#: staleness ordering below (verified queries sort oldest-certified
+#: first) is what fills the driver's bounded window: round 9's
+#: 50-slot window re-certifies the r2-era P/J/W/F rows untouched for
+#: six rounds.
+FRONT_OF_LINE: tuple[str, ...] = ()
 
 
 def _prioritize() -> None:
@@ -191,15 +200,22 @@ def _prioritize() -> None:
     1. unverified since a prior round, pure (cheapest to check)
     2. unverified since a prior round, impure (scratch/streaming)
     3. added this round (locally verified only; waited zero rounds)
-    4. verified, pure (already green — re-check last)
-    5. verified, impure
+    4. verified — STALEST certification first (the round of each
+       name's latest green row, ascending), so once the registry is
+       fully green the bounded window becomes a rolling re-audit of
+       the oldest evidence instead of re-checking last round's
+       freshest rows. Registration order breaks ties.
 
-    Pure-before-impure keeps the window cheap in case the driver's
-    cutoff is time-based rather than count-based. Registration order
-    is preserved within each tier, so the ordering is deterministic
-    for a given set of CORRECTNESS files.
+    Pure-before-impure keeps the unverified backlog cheap in case the
+    driver's cutoff is time-based rather than count-based (within the
+    verified tier staleness outranks purity: an impure query whose
+    green row is six rounds old needs refreshing more than a pure one
+    certified yesterday). Registration order is preserved within each
+    tier, so the ordering is deterministic for a given set of
+    CORRECTNESS files.
     """
-    verified = _verified_names() - RECHECK_THIS_ROUND
+    cert_rounds = _certification_rounds()
+    verified = set(cert_rounds) - RECHECK_THIS_ROUND
 
     def tier(name: str) -> tuple[int, int]:
         if name in FRONT_OF_LINE and name not in verified:
@@ -208,7 +224,7 @@ def _prioritize() -> None:
             # registration order for every other tier.
             return (-1, FRONT_OF_LINE.index(name))
         if name in verified:
-            return (3 + (name in IMPURE), 0)
+            return (3, cert_rounds[name])
         if name in NEW_THIS_ROUND:
             return (2, 0)
         return (name in IMPURE, 0)

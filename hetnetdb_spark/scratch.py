@@ -62,5 +62,20 @@ def _reap_stale() -> None:
         shutil.rmtree(os.path.join(SCRATCH_ROOT, name), ignore_errors=True)
 
 
+def _clear_own_dir() -> None:
+    """Remove any leftover dir under the CURRENT pid's key.
+
+    After PID recycling, ``pid<os.getpid()>`` may hold a dead
+    predecessor's checkpoints — the reaper skips it (it matches our
+    own pid), but Spark would then hit the same
+    STATE_STORE_CHECKPOINT_LOCATION_NOT_EMPTY clobber the pid keying
+    exists to prevent. A dir matching our pid at import time cannot
+    belong to another *live* process, and this process has not
+    written anything yet, so deleting it is always safe.
+    """
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+
+
+_clear_own_dir()
 if os.path.isdir("/proc"):
     _reap_stale()

@@ -622,26 +622,42 @@ def _protobuf_available() -> bool:
     `google.protobuf` package the driver worker crashes at plan
     validation. Prefer a real installation; where none exists, fall
     back to the repo-vendored miniproto runtime (appended, never
-    prepended, so a real package always shadows it). Only if BOTH
-    are unavailable does t10 stay unregistered."""
+    prepended, AND shipped as a namespace-package portion — the
+    vendored google/ has no __init__.py — so it can coexist with
+    real `google.*` namespace distributions like google-auth and a
+    real `google.protobuf` anywhere on sys.path always shadows it).
+    The gate is `find_spec("google.protobuf")`, not bare `google`:
+    a host can have google-auth without protobuf, and gating on the
+    namespace root would wrongly skip the fallback there. Only if
+    BOTH runtimes are unavailable does t10 stay unregistered."""
+    import importlib.util
+    import logging
     import sys
 
-    try:
-        from google.protobuf import descriptor  # noqa: F401
+    def _has_protobuf() -> bool:
+        try:
+            # Raises ModuleNotFoundError (not just returns None) when
+            # no `google` package/namespace exists at all.
+            return importlib.util.find_spec("google.protobuf") is not None
+        except ModuleNotFoundError:
+            return False
 
+    if _has_protobuf():
         return True
-    except ImportError:
-        pass
     if not os.path.isdir(_MINIPROTO_DIR):
         return False
     if _MINIPROTO_DIR not in sys.path:
         sys.path.append(_MINIPROTO_DIR)
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-
+    if _has_protobuf():
+        # Breadcrumb for future debugging sessions: google.protobuf
+        # is now the vendored 17-field-subset runtime, not upstream.
+        logging.getLogger(__name__).warning(
+            "miniproto active: no real google.protobuf found; vendored "
+            "subset runtime at %s now serves google.protobuf imports",
+            _MINIPROTO_DIR,
+        )
         return True
-    except ImportError:
-        return False
+    return False
 
 
 def _ship_miniproto(spark: SparkSession) -> None:

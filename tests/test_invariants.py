@@ -116,16 +116,22 @@ def test_verify_first_window_covers_unverified():
     assert unverified[: len(front)] == front
     # Within the rest of the backlog, pure queries come before impure
     # (side-effecting) ones, keeping the window cheap.
-    for group in (
-        [
-            n
-            for n in unverified
-            if n not in registry.NEW_THIS_ROUND and n not in registry.FRONT_OF_LINE
-        ],
-        names[n_unverified:],
-    ):
-        impure_flags = [n in registry.IMPURE for n in group]
-        assert impure_flags == sorted(impure_flags)
+    backlog = [
+        n
+        for n in unverified
+        if n not in registry.NEW_THIS_ROUND and n not in registry.FRONT_OF_LINE
+    ]
+    impure_flags = [n in registry.IMPURE for n in backlog]
+    assert impure_flags == sorted(impure_flags)
+    # The verified tail sorts STALEST-certification-first (round of
+    # each name's latest green row, ascending) so the driver's
+    # bounded window becomes a rolling re-audit once everything is
+    # green, instead of re-checking last round's freshest rows.
+    cert_rounds = registry._certification_rounds()
+    tail_rounds = [cert_rounds[n] for n in names[n_unverified:] if n in cert_rounds]
+    assert tail_rounds == sorted(tail_rounds), (
+        "verified queries are not ordered oldest-certification-first"
+    )
     # oracle dict preserves the same relative order
     assert list(registry.ORACLE) == [n for n in names if n in registry.ORACLE]
 

@@ -24,7 +24,17 @@ VENDOR = os.path.join(
 )
 
 # Mirror the production gate: prefer a real protobuf, else vendored.
-if importlib.util.find_spec("google") is None and VENDOR not in sys.path:
+# Gate on google.protobuf (not the bare `google` namespace root): a
+# host with google-auth but no protobuf must still get the fallback,
+# exactly as hetnetdb_spark/streaming/queries.py does.
+def _has_protobuf():
+    try:
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:  # no `google` package/namespace at all
+        return False
+
+
+if not _has_protobuf() and VENDOR not in sys.path:
     sys.path.append(VENDOR)
 
 sm = pytest.importorskip("pyspark.sql.streaming.proto.StateMessage_pb2")
@@ -104,6 +114,56 @@ def test_unknown_fields_are_skipped():
     back.ParseFromString(unknown + known)
     assert back.statusCode == 7
     assert back.value == b"xy"
+
+
+def test_repeated_field_access_is_live():
+    # Real protobuf returns a live container for unset repeated
+    # fields — appends must stick (round-9 ADVICE fix: the old
+    # runtime returned a fresh list, silently dropping the append).
+    resp = sm.StateResponseWithListGet(statusCode=0)
+    resp.value.append(b"grew")
+    back = sm.StateResponseWithListGet()
+    back.ParseFromString(resp.SerializeToString())
+    assert back.value == [b"grew"]
+
+
+def test_unset_message_default_is_write_protected():
+    # miniproto cannot auto-vivify (`msg.sub.field = y` setting
+    # presence on the parent), so writes into the returned default
+    # must fail loudly rather than vanish.
+    req = sm.StateRequest()
+    sub = req.statefulProcessorCall  # reading the default is fine
+    assert not req.HasField("statefulProcessorCall")
+    with pytest.raises(NotImplementedError):
+        sub.setHandleState = sm.SetHandleState(state=sm.CREATED)
+    # The documented alternative — construct then assign — works.
+    req.statefulProcessorCall = sm.StatefulProcessorCall(
+        setHandleState=sm.SetHandleState(state=sm.CREATED)
+    )
+    assert req.HasField("statefulProcessorCall")
+
+
+def test_singular_message_occurrences_merge():
+    # proto3 wire spec: repeated occurrences of a SINGULAR embedded
+    # message merge field-by-field instead of replacing wholesale.
+    a = sm.StateCallCommand(stateName="s").SerializeToString()
+    b = sm.StateCallCommand(schema="v int").SerializeToString()
+
+    # Hand-frame two occurrences of statefulProcessorCall(field 2 of
+    # StateRequest) → LEN{ getValueState=... } twice; inner uses
+    # StatefulProcessorCall.getValueState (field 2, LEN).
+    def frame(field_number, payload):
+        tag = bytes([(field_number << 3) | 2])
+        return tag + bytes([len(payload)]) + payload
+
+    inner1 = frame(2, a)  # getValueState = StateCallCommand(stateName)
+    inner2 = frame(2, b)  # getValueState = StateCallCommand(schema)
+    wire_msg = frame(2, inner1) + frame(2, inner2)
+    req = sm.StateRequest()
+    req.ParseFromString(wire_msg)
+    merged = req.statefulProcessorCall.getValueState
+    assert merged.stateName == "s"  # survives the second occurrence
+    assert merged.schema == "v int"
 
 
 def test_string_fields_utf8():
