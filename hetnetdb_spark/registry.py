@@ -155,11 +155,11 @@ def _verified_names() -> set[str]:
 #: round and sort into tiers 0/1 via CORRECTNESS_r04.json.)
 NEW_THIS_ROUND: frozenset[str] = frozenset(
     {
-        # Round 8: rotated — round 7's eight additions have now
-        # waited a full round and sort into tiers 0/1 via
-        # CORRECTNESS_r07.json. New round-8 queries are appended here
-        # as they land so they cannot displace the 29-name backlog
-        # (which fits a single 50-slot window with room to spare).
+        # Round 9 additions. With the unverified backlog at zero,
+        # tier 2 places these AHEAD of the stale-recertification
+        # tail (they have no evidence at all yet) but BEHIND any
+        # query that regresses red this round.
+        "t18_session_append",
     }
 )
 

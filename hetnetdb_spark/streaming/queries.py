@@ -1569,3 +1569,114 @@ def t17_union_watermark_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("window_start", "event_type", F.col("n").cast("bigint").alias("n"))
         .orderBy("window_start", "event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# T18 — APPEND-mode session windows: merge across batches + eviction
+# --------------------------------------------------------------------------
+
+T18_N_SPLITS = 4
+
+T18_ORACLE = f"""
+WITH sessions AS ({T3_ORACLE}),
+wm AS (SELECT MAX(ts) - INTERVAL 1 HOUR AS w FROM events)
+SELECT user_id, session_start, session_end, n_events
+FROM sessions, wm
+WHERE session_end < w - INTERVAL 1 MINUTE
+ORDER BY user_id, session_start
+"""
+
+
+@query("t18_session_append", oracle=T18_ORACLE, impure=True)
+def t18_session_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T18 — `session_window` in APPEND mode with a 1-hour
+    watermark: the SCALE PATH of t03 (whose complete-mode state is
+    inherently corpus-sized because its oracle needs every session)
+    registered as its own correctness-gated query. Append mode is
+    what a 100 TB deployment runs: a session is emitted exactly
+    once — when the watermark passes its end — and its state is
+    EVICTED, so the store holds only the open tail of the timeline
+    (tools/stream_state_slope.py measures that eviction at
+    10×/30×; this query pins the emitted SET).
+
+    Mechanics: the fixture is split into {T18_N_SPLITS} time-ordered
+    files (strict ts-quantile cuts) replayed one file per micro-batch
+    (`maxFilesPerTrigger=1`), with each part file's mtime explicitly
+    bumped in split order so the file source's oldest-first ordering
+    replays the timeline deterministically — sessions merge across
+    batch boundaries and close as the watermark advances. Time-ordered
+    replay makes the emitted set EXACTLY SQL-expressible: nothing is
+    late (no watermark drops), and an emitted session can never be
+    re-extended (a session emits only when end < wm ≤ max(seen ts) -
+    1 h, while any future row has ts > max(seen ts), which exceeds
+    end by more than the 30-min gap) — so the availableNow run's
+    final no-data batch leaves emitted = sessions with
+    session_end < max(ts) - 1 h over the WHOLE fixture, and the
+    oracle is t03's lag+cumsum sessionization plus that gate, with
+    the shared 1-minute boundary margin applied on both engines
+    (t12's rule: boundary comparisons belong to neither side)."""
+    import shutil
+
+    (events,) = load_tables(spark, sf_dir, "events")
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    base = os.path.join(SCRATCH, f"t18_splits_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+
+    quantiles = [
+        float(k + 1) / T18_N_SPLITS for k in range(T18_N_SPLITS - 1)
+    ]
+    bounds = events.select(
+        F.expr(
+            "percentile_approx(unix_seconds(ts), "
+            f"array({','.join(str(q) for q in quantiles)}), 10000)"
+        ).alias("b")
+    ).collect()[0]["b"]
+    ts_s = F.unix_seconds(F.col("ts"))
+    lo = None
+    mtime = 1_700_000_000  # fixed epoch base: only the ORDER matters
+    for k in range(T18_N_SPLITS):
+        cond = F.lit(True) if lo is None else ts_s >= F.lit(lo)
+        if k < T18_N_SPLITS - 1:
+            cond = cond & (ts_s < F.lit(bounds[k]))
+            lo = bounds[k]
+        split_dir = os.path.join(base, f"split{k}")
+        events.filter(cond).coalesce(1).write.mode("overwrite").parquet(
+            split_dir
+        )
+        # The file source orders unseen files by modification time;
+        # same-millisecond writes could reorder splits and manufacture
+        # late data, so pin strictly increasing mtimes per split.
+        for fname in os.listdir(split_dir):
+            if fname.endswith(".parquet"):
+                p = os.path.join(split_dir, fname)
+                os.utime(p, (mtime + k, mtime + k))
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(base, "*", "*.parquet"))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    _run_to_memory(agg, f"t18_sessions_{tag}", "append")
+
+    wm_row = events.agg(F.max("ts").alias("m")).collect()[0]
+    gate = (
+        F.lit(wm_row["m"])
+        - F.expr("INTERVAL 1 HOUR")
+        - F.expr("INTERVAL 1 MINUTE")
+    )
+    return (
+        spark.table(f"t18_sessions_{tag}")
+        .filter(F.col("session_end") < gate)
+        .orderBy("user_id", "session_start")
+    )

@@ -25,7 +25,7 @@ def test_coverage_header_totals():
     with open(os.path.join(REPO, "COVERAGE.md")) as fh:
         head = fh.read(2000)
     m = re.search(
-        r"\*\*(\d+) queries, (\d+)\s*\noracle-checked, (\d+) rows-only",
+        r"\*\*(\d+)\s+queries,\s+(\d+)\s+oracle-checked,\s+(\d+)\s+rows-only",
         head,
     )
     assert m, "COVERAGE.md header totals sentence not found/parseable"
@@ -80,5 +80,8 @@ def test_plan_lint_allowlist_names_are_registered():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     registry.load_all()
-    stale = set(mod.ALLOWLIST) - set(registry.QUERIES)
-    assert not stale, f"allowlist names not in the registry: {sorted(stale)}"
+    for allowlist_name in ("ALLOWLIST", "CARTESIAN_ALLOWLIST", "DRIVER_ROWS_ALLOWLIST"):
+        stale = set(getattr(mod, allowlist_name)) - set(registry.QUERIES)
+        assert not stale, (
+            f"{allowlist_name} names not in the registry: {sorted(stale)}"
+        )

@@ -220,12 +220,46 @@ def banding_law_row(spark, sf_dir: str):
     }
 
 
+def tuned_banding_row(spark, sf_dir: str):
+    """Candidate rate of the SELECTIVE 8×8 banding regime
+    (`l04_simjoin_lsh_tuned`'s parameters) under mutated-replica
+    corpus growth — round-9 verdict item: confirm the ~3.6%
+    fixture-scale candidate rate is a property of the REGIME (a
+    constant rate ⇒ quadratic count with a 20× smaller constant
+    than 16×4), not of the fixture. Cross-replica cosines are
+    near-random by construction, so the rate should hold ≈
+    1-(255/256)⁸ ≈ 3% at every factor."""
+    from hetnetdb_spark.pipeline.similarity import (
+        SEL_BANDS,
+        SEL_BITS,
+        _band_structs,
+        band_candidates,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    n = emb.count()
+    banded = emb.select(
+        "vec_id",
+        F.explode(F.array(*_band_structs(SEL_BANDS, SEL_BITS))).alias("band"),
+    ).select("vec_id", "band.band_id", "band.band_val")
+    cand = band_candidates(banded, id_col="vec_id")
+    wall, n_cand = timed(cand.count)
+    all_pairs = n * (n - 1) // 2
+    return {
+        "wall_s": wall,
+        "n_vectors": n,
+        "n_candidates": int(n_cand),
+        "candidate_rate": round(n_cand / all_pairs, 4),
+    }
+
+
 MEASUREMENTS = {
     "l02_minhash_neardup": minhash_row,
     "cc_minhash_components": cc_row,
     "l03_knn_ivf": ivf_row,
     "l67_substring_dedup": substring_row,
     "lsh_banding_law": banding_law_row,
+    "lsh_tuned_8x8": tuned_banding_row,
 }
 
 #: Comma-separated measurement-name filter for targeted runs.

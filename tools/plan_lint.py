@@ -1,22 +1,33 @@
-"""Plan lint: find broadcast joins fed by explode-amplified inputs.
+"""Plan lint: mechanized 100 TB-posture audits of executed plans.
 
-The round-7 slope program caught a scale-killer the fixtures never
-could: Catalyst estimates an explode (`Generate`) at its CHILD's
-size, so a relation that fans out 100-300× still looks
-broadcastable, and the "broadcast" ships gigabytes to the driver at
-corpus scale (PLANS.md, "explode-underestimation broadcast trap").
-This tool mechanizes the audit that found the other instances: for
-every PURE registered query, walk the executed (post-AQE) physical
-plan and flag every BroadcastExchange whose subtree contains a
-Generate node — i.e. a broadcast whose size estimate the optimizer
-cannot be trusted on.
+Three rules, each a scale-killer class the per-round judge audit
+used to check by hand; all run over every PURE registered query's
+executed (post-AQE) physical plan:
+
+1. **Generate-fed broadcast** (round 7). Catalyst estimates an
+   explode (`Generate`) at its CHILD's size, so a relation that fans
+   out 100-300× still looks broadcastable, and the "broadcast" ships
+   gigabytes to the driver at corpus scale (PLANS.md,
+   "explode-underestimation broadcast trap"). Flag every
+   BroadcastExchange whose subtree contains a Generate node.
+
+2. **CartesianProduct** (round 9). An unkeyed join is O(N·M) at any
+   scale; the only acceptable instances pair fixture-bounded dims or
+   ARE the cross-join contract. Flag every CartesianProduct node.
+
+3. **Driver materialization bound** (round 9). CollectLimit ships up
+   to `limit` rows to the driver and LocalTableScan holds its rows
+   IN the driver; either with a row bound above DRIVER_ROWS_K means
+   a driver-side bottleneck no executor count can fix. Flag
+   CollectLimitExec whose limit exceeds DRIVER_ROWS_K and
+   LocalTableScanExec holding more than DRIVER_ROWS_K rows.
 
 A flag is not automatically a bug: broadcasting a VOCAB-BOUNDED
-aggregate of an exploded relation (a term-document-frequency table,
-a bounded benchmark gram set) is the right plan. Those cases are
-adjudicated in ALLOWLIST with the reason; anything NOT allowlisted
-exits 1 so the round checklist catches new instances the moment
-they appear.
+aggregate of an exploded relation is the right plan, and the
+cross-join CONTRACT query necessarily contains a cartesian. Those
+cases are adjudicated in the per-rule allowlists with the reason;
+anything NOT allowlisted exits 1 so the round checklist catches new
+instances the moment they appear.
 
 Usage:
     python tools/plan_lint.py            # all pure queries at sf0.01
@@ -67,6 +78,22 @@ ALLOWLIST: dict[str, str] = {
     "a29_approx_topk_contract": "explode of a 5-element sketch array from a 1-row agg",
 }
 
+#: query -> reason a CartesianProduct is CORRECT there.
+CARTESIAN_ALLOWLIST: dict[str, str] = {
+    "j07_cross_join": "IS the cross-join contract (region×nation, 5×25 bounded dims)",
+}
+
+#: Rows a single plan node may ship to / hold in the driver before
+#: the lint flags it. Headline top-k queries return ≤ a few thousand
+#: rows; anything above this bound means a query's RESULT (not its
+#: inputs) stopped being driver-sized, which breaks the
+#: "collect only scalars and bounded results" posture.
+DRIVER_ROWS_K = 100_000
+
+#: query -> reason a >DRIVER_ROWS_K CollectLimit/LocalTableScan is
+#: CORRECT there.
+DRIVER_ROWS_ALLOWLIST: dict[str, str] = {}
+
 
 def _subtree_has(node, fragment: str) -> bool:
     if fragment in node.nodeName():
@@ -85,16 +112,29 @@ def _subtree_has(node, fragment: str) -> bool:
     return False
 
 
-def _find_generate_fed_broadcasts(root) -> int:
-    hits = 0
+def _lint_plan(root) -> dict[str, int]:
+    """Walk one executed plan; return per-rule hit counts."""
+    hits = {"generate_broadcast": 0, "cartesian": 0, "driver_rows": 0}
 
     def walk(node) -> None:
-        nonlocal hits
-        if "BroadcastExchange" in node.nodeName() and _subtree_has(
-            node, "Generate"
-        ):
-            hits += 1
+        name = node.nodeName()
+        if "BroadcastExchange" in name and _subtree_has(node, "Generate"):
+            hits["generate_broadcast"] += 1
+        if "CartesianProduct" in name:
+            hits["cartesian"] += 1
         cls = node.getClass().getSimpleName()
+        if cls == "CollectLimitExec":
+            try:
+                if node.limit() > DRIVER_ROWS_K:
+                    hits["driver_rows"] += 1
+            except Exception:
+                pass  # limit accessor changed: surface via plan text
+        elif cls == "LocalTableScanExec":
+            try:
+                if node.rows().size() > DRIVER_ROWS_K:
+                    hits["driver_rows"] += 1
+            except Exception:
+                pass
         if "QueryStage" in cls:
             walk(node.plan())
             return
@@ -117,6 +157,15 @@ def main() -> int:
         if n not in registry.IMPURE
         and (not filters or any(f in n for f in filters))
     ]
+    rules = (
+        ("generate_broadcast", "generate-fed broadcast", ALLOWLIST),
+        ("cartesian", "CartesianProduct", CARTESIAN_ALLOWLIST),
+        (
+            "driver_rows",
+            f"driver-side rows > {DRIVER_ROWS_K}",
+            DRIVER_ROWS_ALLOWLIST,
+        ),
+    )
     flagged, allowed, errs = [], [], []
     for name in names:
         try:
@@ -127,22 +176,24 @@ def main() -> int:
                 root = jplan.finalPhysicalPlan()
             except Exception:
                 root = jplan
-            n_hits = _find_generate_fed_broadcasts(root)
+            hits = _lint_plan(root)
         except Exception as exc:  # noqa: BLE001 — record, keep linting
             errs.append((name, str(exc)[:120]))
             continue
-        if not n_hits:
-            continue
-        if name in ALLOWLIST:
-            allowed.append(name)
-            print(f"allow  {name:40s} ({n_hits}) — {ALLOWLIST[name]}")
-        else:
-            flagged.append(name)
-            print(f"FLAG   {name:40s} ({n_hits}) — generate-fed broadcast, unadjudicated")
+        for key, label, allowlist in rules:
+            if not hits[key]:
+                continue
+            if name in allowlist:
+                allowed.append((name, key))
+                print(f"allow  {name:40s} ({hits[key]}) — {label}: {allowlist[name]}")
+            else:
+                flagged.append((name, key))
+                print(f"FLAG   {name:40s} ({hits[key]}) — {label}, unadjudicated")
     for name, e in errs:
         print(f"ERR    {name:40s} {e}")
     print(
-        f"\n{len(names)} pure queries linted at {SF_DIR}: "
+        f"\n{len(names)} pure queries linted at {SF_DIR} "
+        f"(rules: generate-broadcast, cartesian, driver-rows>{DRIVER_ROWS_K}): "
         f"{len(allowed)} allowlisted, {len(flagged)} FLAGGED, {len(errs)} errors"
     )
     return 1 if flagged or errs else 0
