@@ -160,6 +160,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         # tail (they have no evidence at all yet) but BEHIND any
         # query that regresses red this round.
         "t18_session_append",
+        "t19_state_timers",
     }
 )
 

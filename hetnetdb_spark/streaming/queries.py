@@ -1587,6 +1587,43 @@ ORDER BY user_id, session_start
 """
 
 
+def _time_split_events(events: DataFrame, base: str, n_splits: int) -> None:
+    """Write ``events`` as ``n_splits`` strictly time-ordered parquet
+    dirs under ``base`` (ts-quantile cuts at whole-second
+    granularity, so every split's max ts precedes the next split's
+    min ts) with per-split ascending mtimes — the file source orders
+    unseen files by modification time, and same-millisecond writes
+    could otherwise reorder splits and manufacture late data. Shared
+    by t18/t19: time-ordered replay is what makes append-mode
+    emission sets exactly SQL-expressible (see t18's docstring)."""
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
+    quantiles = [float(k + 1) / n_splits for k in range(n_splits - 1)]
+    bounds = events.select(
+        F.expr(
+            "percentile_approx(unix_seconds(ts), "
+            f"array({','.join(str(q) for q in quantiles)}), 10000)"
+        ).alias("b")
+    ).collect()[0]["b"]
+    ts_s = F.unix_seconds(F.col("ts"))
+    lo = None
+    mtime = 1_700_000_000  # fixed epoch base: only the ORDER matters
+    for k in range(n_splits):
+        cond = F.lit(True) if lo is None else ts_s >= F.lit(lo)
+        if k < n_splits - 1:
+            cond = cond & (ts_s < F.lit(bounds[k]))
+            lo = bounds[k]
+        split_dir = os.path.join(base, f"split{k}")
+        events.filter(cond).coalesce(1).write.mode("overwrite").parquet(
+            split_dir
+        )
+        for fname in os.listdir(split_dir):
+            if fname.endswith(".parquet"):
+                p = os.path.join(split_dir, fname)
+                os.utime(p, (mtime + k, mtime + k))
+
+
 @query("t18_session_append", oracle=T18_ORACLE, impure=True)
 def t18_session_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T18 — `session_window` in APPEND mode with a 1-hour
@@ -1615,41 +1652,10 @@ def t18_session_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle is t03's lag+cumsum sessionization plus that gate, with
     the shared 1-minute boundary margin applied on both engines
     (t12's rule: boundary comparisons belong to neither side)."""
-    import shutil
-
     (events,) = load_tables(spark, sf_dir, "events")
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     base = os.path.join(SCRATCH, f"t18_splits_{tag}")
-    shutil.rmtree(base, ignore_errors=True)
-
-    quantiles = [
-        float(k + 1) / T18_N_SPLITS for k in range(T18_N_SPLITS - 1)
-    ]
-    bounds = events.select(
-        F.expr(
-            "percentile_approx(unix_seconds(ts), "
-            f"array({','.join(str(q) for q in quantiles)}), 10000)"
-        ).alias("b")
-    ).collect()[0]["b"]
-    ts_s = F.unix_seconds(F.col("ts"))
-    lo = None
-    mtime = 1_700_000_000  # fixed epoch base: only the ORDER matters
-    for k in range(T18_N_SPLITS):
-        cond = F.lit(True) if lo is None else ts_s >= F.lit(lo)
-        if k < T18_N_SPLITS - 1:
-            cond = cond & (ts_s < F.lit(bounds[k]))
-            lo = bounds[k]
-        split_dir = os.path.join(base, f"split{k}")
-        events.filter(cond).coalesce(1).write.mode("overwrite").parquet(
-            split_dir
-        )
-        # The file source orders unseen files by modification time;
-        # same-millisecond writes could reorder splits and manufacture
-        # late data, so pin strictly increasing mtimes per split.
-        for fname in os.listdir(split_dir):
-            if fname.endswith(".parquet"):
-                p = os.path.join(split_dir, fname)
-                os.utime(p, (mtime + k, mtime + k))
+    _time_split_events(events, base, T18_N_SPLITS)
 
     stream = (
         spark.readStream.schema(events.schema)
@@ -1677,6 +1683,181 @@ def t18_session_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         spark.table(f"t18_sessions_{tag}")
+        .filter(F.col("session_end") < gate)
+        .orderBy("user_id", "session_start")
+    )
+
+
+# --------------------------------------------------------------------------
+# T19 — transformWithState event-time TIMERS (Spark 4 arbitrary state)
+# --------------------------------------------------------------------------
+
+#: Deliberately t18's oracle verbatim: two UNRELATED mechanisms —
+#: the engine's built-in session_window merge state (t18) and this
+#: hand-rolled ValueState + event-time-timer state machine — must
+#: produce the identical emitted set, which cross-validates both
+#: against the one lag+cumsum SQL sessionization.
+T19_ORACLE = T18_ORACLE
+
+_GAP_US = 30 * 60 * 1_000_000  # 30-min session gap, µs
+
+
+def _t19_decorator():
+    if _protobuf_available():
+        return query("t19_state_timers", oracle=T19_ORACLE, impure=True)
+    return lambda fn: fn
+
+
+@_t19_decorator()
+def t19_state_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T19 — event-time TIMERS on `transformWithStateInPandas`
+    (Spark 4 arbitrary-stateful API, timeMode="EventTime"): a
+    per-user session finalizer holding one ValueState
+    (start/last/n, µs longs) and one registered timer at
+    last_ts + gap. When the watermark passes the timer the session
+    is emitted exactly once and its state CLEARED — the
+    register/delete/expire lifecycle t10's timeMode="None" never
+    touches. Emission is exactly t18's set (same time-ordered
+    4-split replay, same watermark gate, same 1-minute margin), so
+    T19_ORACLE is T18_ORACLE verbatim — the engine's session_window
+    operator and this state machine certify each other.
+
+    Correctness details the implementation pins:
+    - session arithmetic stays in MICROSECONDS (timers are ms, but
+      a µs→ms floor on each side of a gap comparison can disagree
+      with the oracle's µs interval arithmetic by 1 ms exactly at
+      the 30-min boundary);
+    - an intra-batch gap closes the session INLINE (timers cannot
+      fire mid-batch); the stale timer is deleted and
+      handleExpiredTimer double-checks the expiry against the live
+      state's own deadline, so an engine that collected the expired
+      timer before the input batch deleted it cannot double-emit;
+    - timers fire under the engine's watermark, which can lag one
+      batch behind max(seen ts) − delay, so emissions may arrive a
+      batch late — the final availableNow no-data batch flushes
+      everything below the terminal watermark, and the shared gate
+      filter makes the compared set exact on both engines.
+
+    Scale posture: state is one fixed-width tuple + one timer per
+    OPEN session key — eviction is the timer itself (fire → clear),
+    so the store holds only the open tail of the timeline, measured
+    at 10×/30× by tools/stream_state_slope.py's session op (same
+    keyed-growth law). RocksDB provider scoped exactly like t10."""
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    _ship_miniproto(spark)
+
+    (events,) = load_tables(spark, sf_dir, "events")
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    base = os.path.join(SCRATCH, f"t19_splits_{tag}")
+    _time_split_events(events, base, T18_N_SPLITS)
+
+    def _timer_ms(last_us: int) -> int:
+        # One canonical µs→ms deadline (ceil) shared by register,
+        # delete, and the expiry guard — mismatched roundings would
+        # orphan timers.
+        return -((-(last_us + _GAP_US)) // 1000)
+
+    class SessionFinalizer(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._sess = handle.getValueState(
+                "sess", "start_us long, last_us long, n long"
+            )
+            self._handle = handle
+
+        def _emit(self, key, closed):
+            return pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(closed),
+                    "session_start": [
+                        pd.to_datetime(c[0], unit="us") for c in closed
+                    ],
+                    "session_end": [
+                        pd.to_datetime(c[1] + _GAP_US, unit="us")
+                        for c in closed
+                    ],
+                    "n_events": [c[2] for c in closed],
+                }
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            epoch = pd.Timestamp(0)
+            us = pd.Timedelta(microseconds=1)
+            ts_all: list[int] = []
+            for pdf in rows:
+                ts_all.extend(
+                    ((pd.to_datetime(pdf["ts"]) - epoch) // us).tolist()
+                )
+            ts_all.sort()
+            st = self._sess.get()
+            cur = list(st) if st is not None else None
+            if cur is not None:
+                self._handle.deleteTimer(_timer_ms(cur[1]))
+            closed = []
+            for t in ts_all:
+                if cur is None:
+                    cur = [t, t, 1]
+                elif t - cur[1] >= _GAP_US:
+                    closed.append(tuple(cur))
+                    cur = [t, t, 1]
+                else:
+                    cur[1] = t
+                    cur[2] += 1
+            self._sess.update(tuple(cur))
+            self._handle.registerTimer(_timer_ms(cur[1]))
+            if closed:
+                yield self._emit(key, closed)
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            st = self._sess.get()
+            if st is not None and _timer_ms(st[1]) == int(
+                expiredTimerInfo.getExpiryTimeInMs()
+            ):
+                self._sess.clear()
+                yield self._emit(key, [tuple(st)])
+
+        def close(self) -> None:
+            pass
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    old = spark.conf.get(provider_key, None)
+    spark.conf.set(provider_key, rocksdb)
+    try:
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(base, "*", "*.parquet"))
+            .withWatermark("ts", "1 hour")
+        )
+        finalized = stream.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=SessionFinalizer(),
+            outputStructType=(
+                "user_id long, session_start timestamp, "
+                "session_end timestamp, n_events long"
+            ),
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+        _run_to_memory(finalized, f"t19_sessions_{tag}", "append")
+    finally:
+        if old is not None:
+            spark.conf.set(provider_key, old)
+        else:
+            spark.conf.unset(provider_key)
+
+    wm_row = events.agg(F.max("ts").alias("m")).collect()[0]
+    gate = (
+        F.lit(wm_row["m"])
+        - F.expr("INTERVAL 1 HOUR")
+        - F.expr("INTERVAL 1 MINUTE")
+    )
+    return (
+        spark.table(f"t19_sessions_{tag}")
         .filter(F.col("session_end") < gate)
         .orderBy("user_id", "session_start")
     )

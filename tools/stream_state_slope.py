@@ -90,7 +90,12 @@ def build(spark, factor: int) -> str:
     the corpus dir. Splits are written SEQUENTIALLY so their file
     modification times ascend with their time ranges and the file
     stream source (oldest-first) replays the timeline in order."""
-    out = os.path.join(SCRATCH_ROOT, f"stream_slope_{factor}x")
+    # Key the cache by BASE as well as factor: a corpus grown from
+    # sf0.01 must never satisfy a request for sf0.1 (the first run
+    # of this tool did exactly that — a smoke test at sf0.01 left a
+    # cached 1x corpus that silently became the sf0.1 baseline).
+    sf_tag = os.path.basename(BASE.rstrip("/")).replace(".", "_")
+    out = os.path.join(SCRATCH_ROOT, f"stream_slope_{sf_tag}_{factor}x")
     if _complete(out):
         return out
     os.makedirs(out, exist_ok=True)
