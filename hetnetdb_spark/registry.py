@@ -161,6 +161,8 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         # query that regresses red this round.
         "t18_session_append",
         "t19_state_timers",
+        "t20_list_state_lastk",
+        "t21_dedup_within_watermark",
     }
 )
 

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
@@ -1860,4 +1860,248 @@ def t19_state_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.table(f"t19_sessions_{tag}")
         .filter(F.col("session_end") < gate)
         .orderBy("user_id", "session_start")
+    )
+
+
+# --------------------------------------------------------------------------
+# T20 — transformWithState ListState: bounded per-key recency buffer
+# --------------------------------------------------------------------------
+
+T20_KEEP = 3
+
+T20_ORACLE = f"""
+WITH ranked AS (
+    SELECT user_id, ts, event_id, COALESCE(value, 0) AS v,
+           ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+           ) AS rn
+    FROM events
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT)  AS lastk_n,
+       ROUND(SUM(v), 6)          AS lastk_sum,
+       MAX(ts)                   AS lastk_last_ts
+FROM ranked
+WHERE rn <= {T20_KEEP}
+GROUP BY user_id
+"""
+
+
+def _t20_decorator():
+    if _protobuf_available():
+        return query("t20_list_state_lastk", oracle=T20_ORACLE, impure=True)
+    return lambda fn: fn
+
+
+@_t20_decorator()
+def t20_list_state_lastk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T20 — `ListState` on `transformWithStateInPandas`: a bounded
+    per-user recency buffer (last T20_KEEP=3 events by event time),
+    completing the Spark-4 state-primitive matrix this suite
+    exercises — MapState (t10), ValueState + event-time timers
+    (t19), ListState here. The shape is the feature-store staple
+    "latest K interactions per user" that a flat tuple can't hold
+    and a corpus-wide window-rank recompute shouldn't: the stream
+    maintains it incrementally in O(K) state per key.
+
+    Mechanics: t18's time-ordered 4-split replay (one file per
+    micro-batch) so the buffer is genuinely carried ACROSS batches;
+    each batch merges the persisted buffer with the batch's rows,
+    re-sorts by (ts, event_id) — the same total order the oracle's
+    ROW_NUMBER uses, so ties cannot diverge — and `put()`s back only
+    the top K: the trim IS the state bound. A ValueState
+    generation counter stamps every Update-mode emission; the final
+    per-user generation (window max) is by construction the state
+    after the whole fixture, which the oracle replays as a
+    rank-over-everything top-K. Timestamps ride as µs longs inside
+    the state tuple (t19's discipline: one integer time base, no
+    per-batch float rounding); values are COALESCE'd to 0 before
+    entering state so the 6-decimal sum matches the oracle's
+    NULL-handling exactly.
+
+    Scale posture: state is EXACTLY K fixed-width tuples + one
+    long per user ever seen — independent of events-per-user, the
+    property that makes the operator safe under 100 TB replay. The
+    state store shards on the same user_id shuffle the grouping
+    pays anyway; Update emission is proportional to keys touched
+    per batch, not to total state. RocksDB provider scoped like
+    t10/t19 (transformWithState requires it)."""
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    _ship_miniproto(spark)
+
+    (events,) = load_tables(spark, sf_dir, "events")
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    base = os.path.join(SCRATCH, f"t20_splits_{tag}")
+    _time_split_events(events, base, T18_N_SPLITS)
+
+    class LastK(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._buf = handle.getListState(
+                "lastk", "ts_us long, event_id long, v double"
+            )
+            self._gen = handle.getValueState("gen", "gen long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            epoch = pd.Timestamp(0)
+            us = pd.Timedelta(microseconds=1)
+            entries = [tuple(t) for t in self._buf.get()]
+            for pdf in rows:
+                ts_us = (pd.to_datetime(pdf["ts"]) - epoch) // us
+                vals = pdf["value"].fillna(0.0)
+                entries.extend(
+                    zip(
+                        ts_us.astype("int64").tolist(),
+                        pdf["event_id"].astype("int64").tolist(),
+                        vals.astype("float64").tolist(),
+                    )
+                )
+            entries.sort(key=lambda e: (e[0], e[1]))
+            entries = entries[-T20_KEEP:]
+            self._buf.put(entries)
+            st = self._gen.get()
+            gen = (st[0] if st is not None else 0) + 1
+            self._gen.update((gen,))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "gen": [gen],
+                    "lastk_n": [len(entries)],
+                    "lastk_sum": [round(sum(e[2] for e in entries), 6)],
+                    "lastk_last_ts": [
+                        pd.to_datetime(entries[-1][0], unit="us")
+                    ],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    old = spark.conf.get(provider_key, None)
+    spark.conf.set(provider_key, rocksdb)
+    try:
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(base, "*", "*.parquet"))
+        )
+        tracked = stream.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=LastK(),
+            outputStructType=(
+                "user_id long, gen long, lastk_n long, "
+                "lastk_sum double, lastk_last_ts timestamp"
+            ),
+            outputMode="Update",
+            timeMode="None",
+        )
+        _run_to_memory(tracked, f"t20_lastk_{tag}", "update")
+    finally:
+        if old is not None:
+            spark.conf.set(provider_key, old)
+        else:
+            spark.conf.unset(provider_key)
+
+    w = Window.partitionBy("user_id").orderBy(F.col("gen").desc())
+    return (
+        spark.table(f"t20_lastk_{tag}")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "lastk_n", "lastk_sum", "lastk_last_ts")
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# T21 — dropDuplicatesWithinWatermark: time-bounded keyed dedup state
+# --------------------------------------------------------------------------
+
+T21_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT)            AS n,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       ROUND(SUM(COALESCE(value, 0)), 6)   AS sum_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("t21_dedup_within_watermark", oracle=T21_ORACLE, impure=True)
+def t21_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T21 — `dropDuplicatesWithinWatermark`: the TIME-BOUNDED
+    variant of T5's stateful dedup. T5's plain `dropDuplicates`
+    keeps every key forever — state grows with distinct keys for
+    the life of the query, the one unbounded-state operator in the
+    §2.8 family. This operator instead evicts each key once the
+    watermark passes its event time + delay, which is the ONLY
+    deployable exactly-once-ingest shape at 100 TB: at-least-once
+    sources (Kafka redeliveries, file-source retries) duplicate
+    within seconds-to-minutes, so a 1-hour retention bound removes
+    them all while holding state proportional to one hour of keys,
+    not to the corpus.
+
+    Mechanics: a duplicate feed is built by re-emitting every 7th
+    event_id 3 minutes later (same payload, later ts — the redelivery
+    shape); original + duplicates are replayed through t18's
+    time-ordered 4-split protocol so duplicates genuinely arrive in
+    later micro-batches with the original's key already in state.
+    With a 1-hour delay and 3-minute redelivery skew, every
+    duplicate lands while its original's state entry is alive, so
+    the emitted set is exactly one row per event_id. Within a batch
+    the engine keeps an arbitrary one of the two copies — the copies
+    differ only in `ts`, and the certified aggregation (per-type
+    count / distinct users / 6-decimal value sum) is
+    ts-independent, so the pick cannot leak into the hash. The
+    emitted-cardinality assertion (sink rows == fixture rows) is
+    what proves the duplicates were dropped at all; the oracle then
+    certifies the surviving payload against the undoctored fixture.
+
+    Scale posture: state is keyed by event_id with watermark-bounded
+    retention (the slope law tools/stream_state_slope.py measures
+    for the dedup op); the dedup shuffles once on the key and
+    emits append-mode rows immediately — no terminal barrier."""
+    (events,) = load_tables(spark, sf_dir, "events")
+    n_expected = events.count()
+    dups = events.filter(F.col("event_id") % 7 == 0).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 3 MINUTES")
+    )
+    feed = events.unionByName(dups)
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    base = os.path.join(SCRATCH, f"t21_splits_{tag}")
+    _time_split_events(feed, base, T18_N_SPLITS)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(base, "*", "*.parquet"))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    sink = f"t21_dedup_{tag}"
+    _run_to_memory(stream, sink, "append")
+
+    got = spark.table(sink).count()
+    if got != n_expected:
+        raise RuntimeError(
+            f"t21: emitted {got} rows, expected {n_expected} — "
+            "duplicates were not dropped (or originals were)"
+        )
+    return (
+        spark.table(sink)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.round(F.sum(F.coalesce(F.col("value"), F.lit(0.0))), 6).alias(
+                "sum_value"
+            ),
+        )
+        .orderBy("event_type")
     )
