@@ -163,6 +163,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "t19_state_timers",
         "t20_list_state_lastk",
         "t21_dedup_within_watermark",
+        "s39_python_datasource_pushdown",
     }
 )
 

@@ -1841,3 +1841,152 @@ def s37_python_datasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --------------------------------------------------------------------------
+# S39 — Python Data Source filter pushdown (pushFilters, Spark 4.1)
+# --------------------------------------------------------------------------
+
+S39_PARTS = 4
+S39_ROWS_PER_PART = 5000
+S39_LO = 3_000   # inclusive lower bound pushed into the reader
+S39_HI = 17_500  # exclusive upper bound pushed into the reader
+
+S39_ORACLE = f"""
+WITH feed AS (
+    SELECT p.p AS part_id,
+           p.p * {S39_ROWS_PER_PART} + i.i AS id,
+           (p.p * {S39_ROWS_PER_PART} + i.i) * 37 % 100000 AS value_cents
+    FROM generate_series(0, {S39_PARTS - 1}) p(p),
+         generate_series(0, {S39_ROWS_PER_PART - 1}) i(i)
+)
+SELECT part_id,
+       CAST(COUNT(*) AS BIGINT)         AS n_rows,
+       CAST(MIN(id) AS BIGINT)          AS min_id,
+       CAST(MAX(id) AS BIGINT)          AS max_id,
+       CAST(SUM(value_cents) AS BIGINT) AS total_cents,
+       CAST(1 AS BIGINT)                AS bounds_pushed
+FROM feed
+WHERE id >= {S39_LO} AND id < {S39_HI}
+GROUP BY part_id
+ORDER BY part_id
+"""
+
+
+@query("s39_python_datasource_pushdown", oracle=S39_ORACLE, impure=True)
+def s39_python_datasource_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S39 — `DataSourceReader.pushFilters` (Spark 4.1): the scan
+    itself, not a post-scan Filter node, enforces the predicate.
+    s35 proved a Python source can FAN OUT; this proves it can
+    SKIP — the property the whole 100 TB posture hangs on: a REST
+    pager that receives `id >= lo AND id < hi` fetches only the
+    matching pages, instead of shipping the full feed and letting
+    Spark discard it.
+
+    The pushdown is certified IN the value hash, not by plan
+    inspection: every emitted row carries `bounds_pushed = 1` iff
+    the reader received BOTH range filters before serialization
+    (pushFilters runs on the driver; the accepted bounds ride into
+    executors inside the pickled reader). If pushdown silently
+    stopped engaging — conf renamed, API regressed, filters
+    re-translated — Spark would still post-filter the ids (results
+    otherwise identical), but `bounds_pushed` would read 0 and the
+    oracle's constant-1 column fails the hash. Filters other than
+    the two recognized range shapes (e.g. the IsNotNull Spark may
+    synthesize) are yielded back as unsupported, per the API
+    contract: a reader must only keep what it fully honors —
+    keeping a filter it half-applies would silently drop rows,
+    yielding one it applied merely double-filters.
+
+    `spark.sql.python.filterPushdown.enabled` is false by default in
+    4.1; it is enabled here scoped (save/restore) like every other
+    session-knob query — and because pushdown engages at PHYSICAL
+    planning, the 4-row aggregate is materialized INSIDE the scope
+    (a lazily-returned plan would be planned only after the finally
+    block re-disabled the conf, and bounds_pushed would read 0).
+    The collect is the emission gate, not a data path: 4 rows, one
+    per source partition. Registered impure: source registration
+    and the conf flip are session state."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        GreaterThanOrEqual,
+        InputPartition,
+        LessThan,
+    )
+
+    class _PushReader(DataSourceReader):
+        def __init__(self, options):
+            self.rows = int(options.get("rows_per_part", "10"))
+            self.parts = int(options.get("parts", "2"))
+            self.lo = None
+            self.hi = None
+
+        def pushFilters(self, filters):
+            for f in filters:
+                if (
+                    isinstance(f, GreaterThanOrEqual)
+                    and tuple(f.attribute) == ("id",)
+                ):
+                    self.lo = int(f.value)
+                elif isinstance(f, LessThan) and tuple(f.attribute) == ("id",):
+                    self.hi = int(f.value)
+                else:
+                    yield f
+
+        def partitions(self):
+            return [InputPartition(p) for p in range(self.parts)]
+
+        def read(self, partition):
+            pushed = 1 if (self.lo is not None and self.hi is not None) else 0
+            base = partition.value * self.rows
+            lo = base if self.lo is None else max(base, self.lo)
+            hi = base + self.rows if self.hi is None else min(base + self.rows, self.hi)
+            for ident in range(lo, hi):
+                yield (partition.value, ident, ident * 37 % 100000, pushed)
+
+    class _PushFeed(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "hetnetdb_push_feed"
+
+        def schema(self) -> str:
+            return "part_id INT, id BIGINT, value_cents BIGINT, bounds_pushed BIGINT"
+
+        def reader(self, schema):
+            return _PushReader(self.options)
+
+    conf_key = "spark.sql.python.filterPushdown.enabled"
+    old = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, "true")
+    try:
+        spark.dataSource.register(_PushFeed)
+        feed = (
+            spark.read.format("hetnetdb_push_feed")
+            .option("rows_per_part", str(S39_ROWS_PER_PART))
+            .option("parts", str(S39_PARTS))
+            .load()
+            .filter((F.col("id") >= S39_LO) & (F.col("id") < S39_HI))
+        )
+        agg_rows = (
+            feed.groupBy("part_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.min("id").cast("bigint").alias("min_id"),
+                F.max("id").cast("bigint").alias("max_id"),
+                F.sum("value_cents").cast("bigint").alias("total_cents"),
+                F.max("bounds_pushed").cast("bigint").alias("bounds_pushed"),
+            )
+            .orderBy("part_id")
+            .collect()
+        )
+        return spark.createDataFrame(
+            agg_rows,
+            "part_id int, n_rows bigint, min_id bigint, max_id bigint, "
+            "total_cents bigint, bounds_pushed bigint",
+        ).orderBy("part_id")
+    finally:
+        if old is not None:
+            spark.conf.set(conf_key, old)
+        else:
+            spark.conf.unset(conf_key)
