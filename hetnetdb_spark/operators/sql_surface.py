@@ -563,3 +563,54 @@ def s34_view_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 25
         """
     )
+
+
+# --------------------------------------------------------------------------
+# S40 — SQL pipe syntax (|>, Spark 4.0): linear dataflow SQL
+# --------------------------------------------------------------------------
+
+S40_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT)                AS n_orders,
+       CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
+       ROUND(CAST(SUM(CAST(o_totalprice * 0.1 AS DECIMAL(18,6)))
+                  AS DOUBLE), 6)               AS total_commission
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderdate >= DATE '1995-01-01'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+S40_PIPE_SQL = """
+FROM orders
+|> WHERE o_orderdate >= DATE '1995-01-01'
+|> JOIN customer ON o_custkey = c_custkey
+|> EXTEND CAST(o_totalprice * 0.1 AS DECIMAL(18,6)) AS commission
+|> AGGREGATE CAST(COUNT(*) AS BIGINT)                    AS n_orders,
+             CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
+             ROUND(CAST(SUM(commission) AS DOUBLE), 6)   AS total_commission
+   GROUP BY o_orderpriority
+|> ORDER BY o_orderpriority
+"""
+
+
+@query("s40_sql_pipe_syntax", oracle=S40_ORACLE, impure=True)
+def s40_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S40 — SQL pipe syntax (``|>``, Spark 4.0): the same relational
+    program as a LINEAR dataflow — scan |> filter |> join |> extend
+    |> aggregate |> order — instead of the inside-out nesting of
+    classic SELECT. The pin is front-end equivalence: the pipe form
+    must parse to the SAME logical plan semantics as the oracle's
+    ANSI spelling (filter-before-join placement included — written
+    BEFORE the join here precisely so a front-end that reordered or
+    dropped a stage changes the result), with the 6-decimal
+    DECIMAL-sum discipline every other revenue query uses, so the
+    hash certifies the surface end to end. Catalyst treats each
+    stage as ordinary operators — predicate pushdown and join
+    planning apply to the piped form identically, which is what
+    makes the syntax free at 100 TB rather than an optimization
+    barrier.
+
+    Registered impure: view DDL at build time."""
+    register_views(spark, sf_dir, "orders", "customer")
+    return spark.sql(S40_PIPE_SQL)

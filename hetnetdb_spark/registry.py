@@ -164,6 +164,8 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "t20_list_state_lastk",
         "t21_dedup_within_watermark",
         "s39_python_datasource_pushdown",
+        "s40_sql_pipe_syntax",
+        "t22_state_ttl",
     }
 )
 

@@ -2105,3 +2105,172 @@ def t21_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# T22 — state TTL: per-variable retention on transformWithState
+# --------------------------------------------------------------------------
+
+T22_ORACLE = """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(*) AS BIGINT) AS n_events_ttl_sum
+FROM events
+GROUP BY user_id
+"""
+
+
+def _t22_decorator():
+    if _protobuf_available():
+        return query("t22_state_ttl", oracle=T22_ORACLE, impure=True)
+    return lambda fn: fn
+
+
+@_t22_decorator()
+def t22_state_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T22 — per-state-variable TTL (`ttlDurationMs`, Spark 4,
+    timeMode="ProcessingTime"): the RETENTION knob that makes
+    arbitrary state deployable without hand-written cleanup. Two
+    ValueStates live side by side under the same key: `total`
+    (no TTL) accumulates across every batch; `recent` carries
+    ttlDurationMs=1, so by the next micro-batch (real seconds
+    later) it has ALWAYS expired and reads back None. Each batch
+    emits (user_id, rows-this-batch-from-`recent`, running-total) —
+    making both lifetimes certifiable from one emission stream:
+
+    - sum of the per-batch `recent` counts == COUNT(*) per user IFF
+      the TTL state really was expired at every read (a TTL that
+      silently stopped expiring double-counts carried rows and
+      inflates the sum);
+    - max of `total` == COUNT(*) per user IFF the non-TTL state
+      really survived every batch (an over-eager TTL sweeper that
+      evicted it undercounts).
+
+    The oracle pins both columns to the same COUNT(*). Determinism:
+    TTL is processing-time by definition — the reason it appears
+    nowhere else in this suite — but a 1 ms bound against
+    micro-batches that are wall-seconds apart is deterministic by
+    construction: expiry-by-next-batch is guaranteed, and the
+    certified quantities depend on nothing finer. t18's time-ordered
+    4-split replay supplies the multi-batch structure.
+
+    Termination: timeMode="ProcessingTime" (which TTL REQUIRES —
+    the engine raises INCORRECT_TIME_MODE_TO_ASSIGN_TTL under
+    "None") keeps scheduling wake-up batches to evaluate
+    processing-time work, so `availableNow` never self-terminates
+    once the run spans multiple batches (measured: ~2 s idle epochs,
+    indefinitely). The runner therefore polls committed progress
+    and stops the query once every input row has been processed —
+    the idle epochs carry no input, `handleInputRows` never fires
+    for them, and the certified emission set is already complete
+    and immutable when the stop lands.
+
+    Scale posture: TTL is enforced inside the state store (RocksDB
+    column-family sweep), not by a user-visible scan — retention
+    cost stays on the store maintenance path, which is exactly why
+    it beats hand-rolled "delete old keys" jobs at 100 TB. State
+    here is two fixed-width longs per user either way."""
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    _ship_miniproto(spark)
+
+    (events,) = load_tables(spark, sf_dir, "events")
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    base = os.path.join(SCRATCH, f"t22_splits_{tag}")
+    _time_split_events(events, base, T18_N_SPLITS)
+
+    class TtlCounter(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._total = handle.getValueState("total", "n long")
+            self._recent = handle.getValueState("recent", "n long", ttlDurationMs=1)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n_batch = 0
+            for pdf in rows:
+                n_batch += len(pdf)
+            st_recent = self._recent.get()  # None unless TTL failed to expire
+            carried = st_recent[0] if st_recent is not None else 0
+            st_total = self._total.get()
+            total = (st_total[0] if st_total is not None else 0) + n_batch
+            self._recent.update((carried + n_batch,))
+            self._total.update((total,))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "batch_recent": [carried + n_batch],
+                    "running_total": [total],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    old = spark.conf.get(provider_key, None)
+    spark.conf.set(provider_key, rocksdb)
+    try:
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(base, "*", "*.parquet"))
+        )
+        tracked = stream.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=TtlCounter(),
+            outputStructType=(
+                "user_id long, batch_recent long, running_total long"
+            ),
+            outputMode="Update",
+            timeMode="ProcessingTime",
+        )
+        import time as _time
+
+        n_expected = events.count()
+        q = (
+            tracked.writeStream.format("memory")
+            .queryName(f"t22_ttl_{tag}")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            # numInputRows appears in progress only after the batch
+            # COMMITS, so reaching n_expected means every emission is
+            # already in the sink. batchId-keyed so re-reads of the
+            # rolling recentProgress window never double-count.
+            seen: dict = {}
+            deadline = _time.monotonic() + 180
+            while _time.monotonic() < deadline:
+                for p in q.recentProgress:
+                    if p is not None:
+                        seen[p["batchId"]] = p["numInputRows"]
+                if sum(seen.values()) >= n_expected or not q.isActive:
+                    break
+                _time.sleep(0.5)
+            if sum(seen.values()) < n_expected:
+                raise RuntimeError(
+                    f"t22: committed {sum(seen.values())} input rows, "
+                    f"expected {n_expected}; "
+                    f"batches: {sorted(seen)}"
+                )
+        finally:
+            q.stop()
+    finally:
+        if old is not None:
+            spark.conf.set(provider_key, old)
+        else:
+            spark.conf.unset(provider_key)
+
+    return (
+        spark.table(f"t22_ttl_{tag}")
+        .groupBy("user_id")
+        .agg(
+            F.max("running_total").cast("bigint").alias("n_events"),
+            F.sum("batch_recent").cast("bigint").alias("n_events_ttl_sum"),
+        )
+        .orderBy("user_id")
+    )

@@ -127,20 +127,56 @@ def test_repeated_field_access_is_live():
     assert back.value == [b"grew"]
 
 
-def test_unset_message_default_is_write_protected():
-    # miniproto cannot auto-vivify (`msg.sub.field = y` setting
-    # presence on the parent), so writes into the returned default
-    # must fail loudly rather than vanish.
+def test_unset_message_default_auto_vivifies_on_write():
+    # Real-protobuf auto-vivification (round-9, required by
+    # PySpark's `state_call_command.ttl.durationMs = n` TTL path):
+    # READING the default of an unset embedded field does not set
+    # presence; the first field WRITE through it attaches the
+    # submessage to the parent.
     req = sm.StateRequest()
     sub = req.statefulProcessorCall  # reading the default is fine
     assert not req.HasField("statefulProcessorCall")
-    with pytest.raises(NotImplementedError):
-        sub.setHandleState = sm.SetHandleState(state=sm.CREATED)
-    # The documented alternative — construct then assign — works.
-    req.statefulProcessorCall = sm.StatefulProcessorCall(
-        setHandleState=sm.SetHandleState(state=sm.CREATED)
-    )
+    sub.setHandleState = sm.SetHandleState(state=sm.CREATED)
     assert req.HasField("statefulProcessorCall")
+    assert req.statefulProcessorCall.setHandleState.state == sm.CREATED
+    # The wire round-trip carries the vivified chain.
+    back = sm.StateRequest()
+    back.ParseFromString(req.SerializeToString())
+    assert back.statefulProcessorCall.setHandleState.state == sm.CREATED
+
+
+def test_auto_vivify_chain_and_oneof_clearing():
+    # Chained vivification (`a.b.c = x`) attaches bottom-up, and the
+    # attachment routes through the parent's __setattr__ so ONEOF
+    # siblings are cleared exactly as a direct assignment would.
+    cmd = sm.StateCallCommand(stateName="s")
+    cmd.ttl.durationMs = 250  # the exact shape PySpark's TTL path writes
+    assert cmd.HasField("ttl") and cmd.ttl.durationMs == 250
+    back = sm.StateCallCommand()
+    back.ParseFromString(cmd.SerializeToString())
+    assert back.ttl.durationMs == 250 and back.stateName == "s"
+    # Vivified writes participate in oneof clearing: setting one
+    # member through the default must evict a previously-set sibling.
+    req = sm.StateRequest(
+        statefulProcessorCall=sm.StatefulProcessorCall(
+            setHandleState=sm.SetHandleState(state=sm.CREATED)
+        )
+    )
+    req.stateVariableRequest.valueStateCall = sm.ValueStateCall(
+        stateName="v"
+    )
+    assert req.HasField("stateVariableRequest")
+    assert not req.HasField("statefulProcessorCall")
+
+
+def test_repeated_on_unset_default_still_fails_loudly():
+    # The one in-place pattern vivification cannot honor: a live
+    # repeated container on a NOT-YET-ATTACHED default (appends
+    # would never trigger attachment). Must raise, not drop.
+    call = sm.ListStateCall(stateName="l")
+    with pytest.raises(NotImplementedError):
+        call.appendList.value.append(b"lost")
+    assert not call.HasField("appendList")
 
 
 def test_singular_message_occurrences_merge():
