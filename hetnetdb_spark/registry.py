@@ -166,6 +166,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "s39_python_datasource_pushdown",
         "s40_sql_pipe_syntax",
         "t22_state_ttl",
+        "t23_initial_state",
     }
 )
 

@@ -2274,3 +2274,160 @@ def t22_state_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# T23 — initialState: bootstrap transformWithState from a batch snapshot
+# --------------------------------------------------------------------------
+
+T23_ORACLE = """
+WITH cut AS (
+    SELECT (CAST(FLOOR(epoch(MIN(ts))) AS BIGINT)
+            + CAST(FLOOR(epoch(MAX(ts))) AS BIGINT)) // 2 AS c
+    FROM events
+),
+streamers AS (
+    SELECT DISTINCT user_id
+    FROM events, cut
+    WHERE CAST(FLOOR(epoch(ts)) AS BIGINT) >= c
+)
+SELECT e.user_id,
+       CAST(COUNT(*) AS BIGINT)           AS n_events,
+       ROUND(SUM(COALESCE(e.value, 0)), 6) AS sum_value
+FROM events e JOIN streamers s USING (user_id)
+GROUP BY e.user_id
+"""
+
+
+def _t23_decorator():
+    if _protobuf_available():
+        return query("t23_initial_state", oracle=T23_ORACLE, impure=True)
+    return lambda fn: fn
+
+
+@_t23_decorator()
+def t23_initial_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T23 — `initialState` + `handleInitialState` on
+    `transformWithStateInPandas`: bootstrap a stateful stream from a
+    BATCH snapshot — the migration shape every long-lived pipeline
+    eventually needs (yesterday's 100 TB batch aggregate becomes
+    today's streaming state; reprocessing history through the stream
+    would cost days and double-count retention windows).
+
+    The fixture is cut at the integer-seconds midpoint of its time
+    span: the FIRST half is aggregated in batch (per-user count +
+    value sum) and handed to the operator as `initialState`; only
+    the SECOND half is streamed (t18's time-ordered 4-split replay).
+    `handleInitialState` seeds a per-user ValueState from the
+    snapshot row; `handleInputRows` accumulates streamed rows on
+    top and emits the running total. The oracle pins the final
+    per-user totals to COUNT(*)/SUM over the WHOLE fixture — an
+    engine that dropped or ignored the initial state reports only
+    second-half counts and fails the hash; one that double-applied
+    it overshoots.
+
+    Scope pin: keys with initial state but NO streamed rows never
+    emit (`handleInitialState` cannot yield output — its return is
+    discarded by the runtime), so the certified set is users with at
+    least one second-half event; the oracle restricts to the same
+    set with a `streamers` semi-join computed by identical
+    integer-seconds arithmetic (FLOOR(epoch) both sides: DuckDB's
+    double→BIGINT cast ROUNDS, Spark's unix_seconds truncates —
+    floor first makes the cut identical).
+
+    Scale posture: the snapshot arrives as a grouped DataFrame on
+    the SAME user_id shuffle as the stream, so seeding is a co-
+    partitioned join, not a broadcast or driver loop; state stays
+    one fixed-width tuple per user. RocksDB scoped like t10."""
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    _ship_miniproto(spark)
+
+    (events,) = load_tables(spark, sf_dir, "events")
+    ts_s = F.unix_seconds(F.col("ts"))
+    lohi = events.agg(
+        F.min(ts_s).alias("lo"), F.max(ts_s).alias("hi")
+    ).collect()[0]
+    cut = (lohi["lo"] + lohi["hi"]) // 2
+
+    first = events.filter(ts_s < F.lit(cut))
+    second = events.filter(ts_s >= F.lit(cut))
+    snapshot = first.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        F.sum(F.coalesce(F.col("value"), F.lit(0.0))).alias("s0"),
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    base = os.path.join(SCRATCH, f"t23_splits_{tag}")
+    _time_split_events(second, base, T18_N_SPLITS)
+
+    class Bootstrapped(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._tot = handle.getValueState("tot", "n long, s double")
+
+        def handleInitialState(self, key, initialState, timerValues) -> None:
+            self._tot.update(
+                (
+                    int(initialState["n0"].sum()),
+                    float(initialState["s0"].sum()),
+                )
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n_batch = 0
+            s_batch = 0.0
+            for pdf in rows:
+                n_batch += len(pdf)
+                s_batch += float(pdf["value"].fillna(0.0).sum())
+            st = self._tot.get()
+            n = (st[0] if st is not None else 0) + n_batch
+            s = (st[1] if st is not None else 0.0) + s_batch
+            self._tot.update((n, s))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_total": [n], "sum_total": [s]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    old = spark.conf.get(provider_key, None)
+    spark.conf.set(provider_key, rocksdb)
+    try:
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(base, "*", "*.parquet"))
+        )
+        tracked = stream.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=Bootstrapped(),
+            outputStructType="user_id long, n_total long, sum_total double",
+            outputMode="Update",
+            timeMode="None",
+            initialState=snapshot.groupBy("user_id"),
+        )
+        _run_to_memory(tracked, f"t23_boot_{tag}", "update")
+    finally:
+        if old is not None:
+            spark.conf.set(provider_key, old)
+        else:
+            spark.conf.unset(provider_key)
+
+    # n_total is strictly increasing per key, so the struct max IS
+    # the final emission; round the float sum exactly once, here.
+    return (
+        spark.table(f"t23_boot_{tag}")
+        .groupBy("user_id")
+        .agg(F.max(F.struct("n_total", "sum_total")).alias("m"))
+        .select(
+            "user_id",
+            F.col("m.n_total").cast("bigint").alias("n_events"),
+            F.round(F.col("m.sum_total"), 6).alias("sum_value"),
+        )
+        .orderBy("user_id")
+    )
