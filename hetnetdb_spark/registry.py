@@ -167,6 +167,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "s40_sql_pipe_syntax",
         "t22_state_ttl",
         "t23_initial_state",
+        "t24_chained_stateful",
     }
 )
 

@@ -2431,3 +2431,95 @@ def t23_initial_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# T24 — chained stateful operators: dedup state feeding window state
+# --------------------------------------------------------------------------
+
+T24_ORACLE = """
+WITH feed_max AS (
+    SELECT GREATEST(
+        (SELECT MAX(ts) FROM events),
+        (SELECT MAX(ts + INTERVAL 3 MINUTE) FROM events
+         WHERE event_id % 7 = 0 AND minute(ts) < 50)
+    ) AS m
+),
+hourly AS (
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY 1, 2
+)
+SELECT h.window_start, h.event_type, h.n
+FROM hourly h, feed_max
+WHERE h.window_start + INTERVAL 1 HOUR
+      < feed_max.m - INTERVAL 1 HOUR - INTERVAL 1 MINUTE
+ORDER BY 1, 2
+"""
+
+
+@query("t24_chained_stateful", oracle=T24_ORACLE, impure=True)
+def t24_chained_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T24 — MULTIPLE stateful operators in one streaming query
+    (Spark 3.5+ pipeline rule): `dropDuplicatesWithinWatermark`
+    keyed on event_id feeding a tumbling 1-hour append-mode window
+    aggregation, each holding its own watermark-bounded state store.
+    This is the canonical exactly-once ingest topology — dedup the
+    at-least-once delivery, THEN aggregate — and it is only correct
+    if the engine plans per-operator watermark propagation (the
+    window operator must see the dedup's OUTPUT watermark, and late
+    filtering must happen per stage, not once globally).
+
+    Duplicate feed: t21's re-emission (every 7th event_id, +3 min)
+    RESTRICTED to events at minute < 50, so an engine keeping the
+    duplicate instead of the original (the legal intra-batch choice)
+    can never flip the event's hour bucket — the kept-copy ambiguity
+    is provably invisible to the certified window counts. The
+    watermark gate replays the feed's own max event time (original
+    vs shifted, GREATEST on both engines) minus the 1-hour delay,
+    with t12's shared 1-minute boundary margin; time-ordered 4-split
+    replay means nothing is late, so the availableNow run's final
+    no-data batch flushes exactly the windows below the terminal
+    watermark and the emitted set is SQL-exact.
+
+    Scale posture: two state stores, both watermark-evicted — dedup
+    state is ~1 hour of event_ids, window state is open windows ×
+    event types; both shard on their own keys and were slope-
+    measured at 10×/30×/100× by tools/stream_state_slope.py. No
+    corpus-sized state anywhere in the chain."""
+    (events,) = load_tables(spark, sf_dir, "events")
+    dups = events.filter(
+        (F.col("event_id") % 7 == 0) & (F.minute("ts") < 50)
+    ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 3 MINUTES"))
+    feed = events.unionByName(dups)
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    base = os.path.join(SCRATCH, f"t24_splits_{tag}")
+    _time_split_events(feed, base, T18_N_SPLITS)
+
+    agg = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(base, "*", "*.parquet"))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    sink = f"t24_chain_{tag}"
+    _run_to_memory(agg, sink, "append")
+
+    wm_row = feed.agg(F.max("ts").alias("m")).collect()[0]
+    gate = (
+        F.lit(wm_row["m"])
+        - F.expr("INTERVAL 1 HOUR")
+        - F.expr("INTERVAL 1 MINUTE")
+    )
+    return (
+        spark.table(sink)
+        .filter(F.col("window_start") + F.expr("INTERVAL 1 HOUR") < gate)
+        .orderBy("window_start", "event_type")
+    )
