@@ -614,3 +614,70 @@ def s40_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
     Registered impure: view DDL at build time."""
     register_views(spark, sf_dir, "orders", "customer")
     return spark.sql(S40_PIPE_SQL)
+
+
+# --------------------------------------------------------------------------
+# S41 — EXECUTE IMMEDIATE: dynamic SQL with safe parameter binding
+# --------------------------------------------------------------------------
+
+S41_ORACLE = """
+WITH thr AS (
+    SELECT ROUND(AVG(o_totalprice), 2) AS t
+    FROM orders
+    WHERE o_orderdate >= DATE '1995-01-01'
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_above,
+       ROUND(t, 6)              AS threshold_used
+FROM orders, thr
+WHERE o_orderdate >= DATE '1995-01-01' AND o_totalprice > t
+GROUP BY o_orderpriority, t
+ORDER BY o_orderpriority
+"""
+
+
+@query("s41_execute_immediate", oracle=S41_ORACLE, impure=True)
+def s41_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S41 — ``EXECUTE IMMEDIATE`` (Spark 4 dynamic SQL): SQL text
+    composed at runtime, executed with BOUND parameters (``?`` /
+    named markers via USING) and scalar results captured INTO
+    session variables — the injection-safe replacement for string-
+    concatenated SQL in orchestration code, and the primitive that
+    lets a SQL-only client express the two-phase "compute a
+    statistic, then query with it" workflow without a driver round
+    trip through Python.
+
+    Two chained dynamic statements: the first computes a date-
+    filtered average order price INTO a DECLAREd variable (rounded
+    to cents on BOTH engines, collapsing summation-order ulps
+    before the value is ever compared); the second binds that
+    variable back as a USING parameter to count above-threshold
+    orders per priority. The threshold itself rides the certified
+    output (``threshold_used``), so a binding that silently
+    delivered NULL or a stale value fails the hash rather than
+    just shifting counts. The oracle replays the same two-phase
+    logic as a CTE — one SQL program, two engines, same result.
+
+    Scale posture: EXECUTE IMMEDIATE is pure front end — the inner
+    statement plans through Catalyst exactly like its static twin
+    (the date filter still reaches the parquet scan), so dynamic
+    SQL costs nothing at 100 TB. Registered impure: session
+    variables are session state."""
+    register_views(spark, sf_dir, "orders")
+    spark.sql("DECLARE OR REPLACE VARIABLE s41_avg DOUBLE")
+    spark.sql(
+        "EXECUTE IMMEDIATE "
+        "'SELECT ROUND(AVG(o_totalprice), 2) FROM orders "
+        "WHERE o_orderdate >= ?' "
+        "INTO s41_avg USING DATE '1995-01-01'"
+    )
+    return spark.sql(
+        "EXECUTE IMMEDIATE "
+        "'SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_above, "
+        "ROUND(:thr, 6) AS threshold_used "
+        "FROM orders "
+        "WHERE o_orderdate >= :cut AND o_totalprice > :thr "
+        "GROUP BY o_orderpriority "
+        "ORDER BY o_orderpriority' "
+        "USING s41_avg AS thr, DATE '1995-01-01' AS cut"
+    )

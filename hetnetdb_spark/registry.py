@@ -168,6 +168,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "t22_state_ttl",
         "t23_initial_state",
         "t24_chained_stateful",
+        "s41_execute_immediate",
     }
 )
 
