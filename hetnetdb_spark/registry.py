@@ -169,6 +169,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "t23_initial_state",
         "t24_chained_stateful",
         "s41_execute_immediate",
+        "t25_state_reader",
     }
 )
 

@@ -2523,3 +2523,84 @@ def t24_chained_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("window_start") + F.expr("INTERVAL 1 HOUR") < gate)
         .orderBy("window_start", "event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# T25 — State Data Source: read a checkpoint's state store in batch
+# --------------------------------------------------------------------------
+
+T25_ORACLE = """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY user_id
+"""
+
+
+@query("t25_state_reader", oracle=T25_ORACLE, impure=True)
+def t25_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T25 — the State Data Source reader (Spark 4,
+    ``spark.read.format("statestore")`` / ``"state-metadata"``): a
+    stopped streaming checkpoint's state store opened as an ordinary
+    batch DataFrame. This is the OPERABILITY half of stateful
+    streaming — debugging a wedged production job, auditing what a
+    dedup or session operator is actually holding, bootstrapping a
+    replacement query from a predecessor's state (t23's
+    initialState is the write side of that migration; this is the
+    read side) — without replaying a byte of input.
+
+    A complete-mode per-user count runs to completion against a
+    checkpoint; the certified result is then read FROM THE
+    CHECKPOINT'S STATE STORE, not from the query's sink — key
+    struct → user_id, value struct → count — and must equal the
+    batch COUNT(*) per user. The `state-metadata` source is probed
+    first and cross-checked (exactly one stateful operator, with
+    the expected store name and partition count): a reader that
+    enumerated the wrong operator or a stale batch would either
+    fail the probe or fail the hash.
+
+    Scale posture: the reader exposes `partition_id` and scans
+    store shards in parallel — inspecting a 1000-partition
+    production checkpoint is itself a distributed job, not a
+    driver-side walk. Nothing here holds state beyond the keys the
+    operator already held."""
+    import shutil
+
+    (events,) = load_tables(spark, sf_dir, "events")
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    base = os.path.join(SCRATCH, f"t25_state_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    src = os.path.join(base, "src")
+    ckpt = os.path.join(base, "ckpt")
+    events.coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    agg = stream.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(f"t25_run_{tag}")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    meta = spark.read.format("state-metadata").load(ckpt).collect()
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    stores = [
+        (r["operatorId"], r["stateStoreName"], r["numPartitions"]) for r in meta
+    ]
+    if stores != [(0, "default", n_shuffle)]:
+        raise RuntimeError(f"t25: unexpected state metadata {stores}")
+
+    return (
+        spark.read.format("statestore")
+        .option("path", ckpt)
+        .load()
+        .select(
+            F.col("key.user_id").alias("user_id"),
+            F.col("value.count").cast("bigint").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
