@@ -829,3 +829,16 @@ def test_l69_ivf_probe_is_broadcast(spark):
     plan = executed_plan(registry.QUERIES["l69_ivf_recall"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastExchange" in plan
+
+
+def test_s40_pipe_syntax_pushes_filter_to_scan(spark):
+    """s40: the |> front end must be an optimization no-op — the
+    WHERE stage written BEFORE the join has to reach the orders
+    parquet scan as a pushed filter, exactly as the ANSI spelling
+    would, or pipe syntax becomes a pushdown barrier at scale."""
+    from hetnetdb_spark.operators.sql_surface import S40_PIPE_SQL
+    from hetnetdb_spark.catalog import register_views
+
+    register_views(spark, SF_DIR, "orders", "customer")
+    plan = executed_plan(spark.sql(S40_PIPE_SQL))
+    assert has_pushed_filter(plan, "o_orderdate"), plan
