@@ -717,13 +717,81 @@ def _ship_miniproto(spark: SparkSession) -> None:
         )
 
 
-def _t10_decorator():
+def _shared_event_splits(spark: SparkSession, events: DataFrame, sf_dir: str) -> str:
+    """Per-process cache of the UNDOCTORED events 4-split corpus.
+
+    t18/t19/t20/t22 all replay the byte-identical time-ordered split
+    of the raw events table; building it once per (process, sf)
+    saves four percentile collects and twelve coalesce(1) writes per
+    registry pass. Queries that split a DOCTORED feed (t21/t24's
+    duplicate injection, t23's second-half cut) keep their own dirs.
+    The _SUCCESS marker makes the cache crash-safe: a write killed
+    mid-split leaves no marker and is rebuilt."""
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    base = os.path.join(SCRATCH, f"events_splits_{tag}")
+    marker = os.path.join(base, "_SUCCESS")
+    if not os.path.exists(marker):
+        _time_split_events(events, base, T18_N_SPLITS)
+        with open(marker, "w", encoding="utf-8"):
+            pass
+    return base
+
+
+def _rocksdb_provider(spark: SparkSession):
+    """Scoped RocksDB state-store provider (context manager).
+
+    transformWithState keeps each state variable in its own column
+    family, which HDFSBackedStateStoreProvider cannot do — RocksDB
+    is a hard requirement of the operator. The conf is read at
+    stream START, so set/restore around one query keeps the rest of
+    the suite on the default provider (both backends stay
+    exercised)."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _scope():
+        key = "spark.sql.streaming.stateStore.providerClass"
+        rocksdb = (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        )
+        old = spark.conf.get(key, None)
+        spark.conf.set(key, rocksdb)
+        try:
+            yield
+        finally:
+            if old is not None:
+                spark.conf.set(key, old)
+            else:
+                spark.conf.unset(key)
+
+    return _scope()
+
+
+def _query_if_protobuf(name: str, oracle: str):
+    """Register a transformWithState query only when a protobuf
+    runtime exists — the state-server wire protocol requires it
+    (`_protobuf_available`, which also activates vendor/miniproto).
+    Without one the function stays unregistered and T9 carries the
+    arbitrary-stateful contract."""
     if _protobuf_available():
-        return query("t10_transform_with_state", oracle=T10_ORACLE, impure=True)
+        return query(name, oracle=oracle, impure=True)
     return lambda fn: fn
 
 
-@_t10_decorator()
+def _append_gate(max_ts):
+    """Terminal-watermark emission gate: max event time seen minus
+    the 1-hour delay, minus t12's shared 1-minute boundary margin
+    (boundary comparisons belong to neither engine). Shared by
+    t18/t19/t24 so the margin can never drift per-query."""
+    return (
+        F.lit(max_ts)
+        - F.expr("INTERVAL 1 HOUR")
+        - F.expr("INTERVAL 1 MINUTE")
+    )
+
+
+@_query_if_protobuf("t10_transform_with_state", T10_ORACLE)
 def t10_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Beyond SURVEY §2.8 — the Spark 4 arbitrary-stateful API
     (`transformWithStateInPandas` + a `StatefulProcessor` holding
@@ -781,14 +849,7 @@ def t10_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is a hard requirement of the operator, scoped/restored exactly
     # like t13 so the rest of the suite keeps exercising the default
     # provider.
-    provider_key = "spark.sql.streaming.stateStore.providerClass"
-    rocksdb = (
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider"
-    )
-    old = spark.conf.get(provider_key, None)
-    spark.conf.set(provider_key, rocksdb)
-    try:
+    with _rocksdb_provider(spark):
         stream = _events_stream(spark, table_path(sf_dir, "events"))
         tracked = stream.groupBy("user_id").transformWithStateInPandas(
             statefulProcessor=TypeCounter(),
@@ -797,11 +858,6 @@ def t10_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeMode="None",
         )
         _run_to_memory(tracked, "t10_tws", "update")
-    finally:
-        if old is not None:
-            spark.conf.set(provider_key, old)
-        else:
-            spark.conf.unset(provider_key)
     return spark.table("t10_tws")
 
 
@@ -1025,14 +1081,7 @@ def t13_rocksdb_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     around this one query; the engine's other streaming queries stay
     on the default provider deliberately — both backends stay
     exercised."""
-    provider_key = "spark.sql.streaming.stateStore.providerClass"
-    rocksdb = (
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider"
-    )
-    old = spark.conf.get(provider_key, None)
-    spark.conf.set(provider_key, rocksdb)
-    try:
+    with _rocksdb_provider(spark):
         stream = _events_stream(spark, table_path(sf_dir, "events"))
         agg = (
             stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -1048,11 +1097,6 @@ def t13_rocksdb_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         _run_to_memory(agg, "t13_rocksdb", "complete")
-    finally:
-        if old is not None:
-            spark.conf.set(provider_key, old)
-        else:
-            spark.conf.unset(provider_key)
     return spark.table("t13_rocksdb")
 
 
@@ -1654,8 +1698,7 @@ def t18_session_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     (t12's rule: boundary comparisons belong to neither side)."""
     (events,) = load_tables(spark, sf_dir, "events")
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    base = os.path.join(SCRATCH, f"t18_splits_{tag}")
-    _time_split_events(events, base, T18_N_SPLITS)
+    base = _shared_event_splits(spark, events, sf_dir)
 
     stream = (
         spark.readStream.schema(events.schema)
@@ -1676,11 +1719,7 @@ def t18_session_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     _run_to_memory(agg, f"t18_sessions_{tag}", "append")
 
     wm_row = events.agg(F.max("ts").alias("m")).collect()[0]
-    gate = (
-        F.lit(wm_row["m"])
-        - F.expr("INTERVAL 1 HOUR")
-        - F.expr("INTERVAL 1 MINUTE")
-    )
+    gate = _append_gate(wm_row["m"])
     return (
         spark.table(f"t18_sessions_{tag}")
         .filter(F.col("session_end") < gate)
@@ -1702,13 +1741,7 @@ T19_ORACLE = T18_ORACLE
 _GAP_US = 30 * 60 * 1_000_000  # 30-min session gap, µs
 
 
-def _t19_decorator():
-    if _protobuf_available():
-        return query("t19_state_timers", oracle=T19_ORACLE, impure=True)
-    return lambda fn: fn
-
-
-@_t19_decorator()
+@_query_if_protobuf("t19_state_timers", T19_ORACLE)
 def t19_state_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T19 — event-time TIMERS on `transformWithStateInPandas`
     (Spark 4 arbitrary-stateful API, timeMode="EventTime"): a
@@ -1750,8 +1783,7 @@ def t19_state_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (events,) = load_tables(spark, sf_dir, "events")
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    base = os.path.join(SCRATCH, f"t19_splits_{tag}")
-    _time_split_events(events, base, T18_N_SPLITS)
+    base = _shared_event_splits(spark, events, sf_dir)
 
     def _timer_ms(last_us: int) -> int:
         # One canonical µs→ms deadline (ceil) shared by register,
@@ -1820,14 +1852,7 @@ def t19_state_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
         def close(self) -> None:
             pass
 
-    provider_key = "spark.sql.streaming.stateStore.providerClass"
-    rocksdb = (
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider"
-    )
-    old = spark.conf.get(provider_key, None)
-    spark.conf.set(provider_key, rocksdb)
-    try:
+    with _rocksdb_provider(spark):
         stream = (
             spark.readStream.schema(events.schema)
             .option("maxFilesPerTrigger", 1)
@@ -1844,18 +1869,9 @@ def t19_state_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeMode="EventTime",
         )
         _run_to_memory(finalized, f"t19_sessions_{tag}", "append")
-    finally:
-        if old is not None:
-            spark.conf.set(provider_key, old)
-        else:
-            spark.conf.unset(provider_key)
 
     wm_row = events.agg(F.max("ts").alias("m")).collect()[0]
-    gate = (
-        F.lit(wm_row["m"])
-        - F.expr("INTERVAL 1 HOUR")
-        - F.expr("INTERVAL 1 MINUTE")
-    )
+    gate = _append_gate(wm_row["m"])
     return (
         spark.table(f"t19_sessions_{tag}")
         .filter(F.col("session_end") < gate)
@@ -1887,13 +1903,7 @@ GROUP BY user_id
 """
 
 
-def _t20_decorator():
-    if _protobuf_available():
-        return query("t20_list_state_lastk", oracle=T20_ORACLE, impure=True)
-    return lambda fn: fn
-
-
-@_t20_decorator()
+@_query_if_protobuf("t20_list_state_lastk", T20_ORACLE)
 def t20_list_state_lastk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T20 — `ListState` on `transformWithStateInPandas`: a bounded
     per-user recency buffer (last T20_KEEP=3 events by event time),
@@ -1933,8 +1943,7 @@ def t20_list_state_lastk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (events,) = load_tables(spark, sf_dir, "events")
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    base = os.path.join(SCRATCH, f"t20_splits_{tag}")
-    _time_split_events(events, base, T18_N_SPLITS)
+    base = _shared_event_splits(spark, events, sf_dir)
 
     class LastK(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
@@ -1978,14 +1987,7 @@ def t20_list_state_lastk(spark: SparkSession, sf_dir: str) -> DataFrame:
         def close(self) -> None:
             pass
 
-    provider_key = "spark.sql.streaming.stateStore.providerClass"
-    rocksdb = (
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider"
-    )
-    old = spark.conf.get(provider_key, None)
-    spark.conf.set(provider_key, rocksdb)
-    try:
+    with _rocksdb_provider(spark):
         stream = (
             spark.readStream.schema(events.schema)
             .option("maxFilesPerTrigger", 1)
@@ -2001,11 +2003,6 @@ def t20_list_state_lastk(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeMode="None",
         )
         _run_to_memory(tracked, f"t20_lastk_{tag}", "update")
-    finally:
-        if old is not None:
-            spark.conf.set(provider_key, old)
-        else:
-            spark.conf.unset(provider_key)
 
     w = Window.partitionBy("user_id").orderBy(F.col("gen").desc())
     return (
@@ -2120,13 +2117,7 @@ GROUP BY user_id
 """
 
 
-def _t22_decorator():
-    if _protobuf_available():
-        return query("t22_state_ttl", oracle=T22_ORACLE, impure=True)
-    return lambda fn: fn
-
-
-@_t22_decorator()
+@_query_if_protobuf("t22_state_ttl", T22_ORACLE)
 def t22_state_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T22 — per-state-variable TTL (`ttlDurationMs`, Spark 4,
     timeMode="ProcessingTime"): the RETENTION knob that makes
@@ -2177,8 +2168,7 @@ def t22_state_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (events,) = load_tables(spark, sf_dir, "events")
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    base = os.path.join(SCRATCH, f"t22_splits_{tag}")
-    _time_split_events(events, base, T18_N_SPLITS)
+    base = _shared_event_splits(spark, events, sf_dir)
 
     class TtlCounter(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
@@ -2206,14 +2196,7 @@ def t22_state_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
         def close(self) -> None:
             pass
 
-    provider_key = "spark.sql.streaming.stateStore.providerClass"
-    rocksdb = (
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider"
-    )
-    old = spark.conf.get(provider_key, None)
-    spark.conf.set(provider_key, rocksdb)
-    try:
+    with _rocksdb_provider(spark):
         stream = (
             spark.readStream.schema(events.schema)
             .option("maxFilesPerTrigger", 1)
@@ -2259,11 +2242,6 @@ def t22_state_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
         finally:
             q.stop()
-    finally:
-        if old is not None:
-            spark.conf.set(provider_key, old)
-        else:
-            spark.conf.unset(provider_key)
 
     return (
         spark.table(f"t22_ttl_{tag}")
@@ -2299,13 +2277,7 @@ GROUP BY e.user_id
 """
 
 
-def _t23_decorator():
-    if _protobuf_available():
-        return query("t23_initial_state", oracle=T23_ORACLE, impure=True)
-    return lambda fn: fn
-
-
-@_t23_decorator()
+@_query_if_protobuf("t23_initial_state", T23_ORACLE)
 def t23_initial_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T23 — `initialState` + `handleInitialState` on
     `transformWithStateInPandas`: bootstrap a stateful stream from a
@@ -2391,14 +2363,7 @@ def t23_initial_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         def close(self) -> None:
             pass
 
-    provider_key = "spark.sql.streaming.stateStore.providerClass"
-    rocksdb = (
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider"
-    )
-    old = spark.conf.get(provider_key, None)
-    spark.conf.set(provider_key, rocksdb)
-    try:
+    with _rocksdb_provider(spark):
         stream = (
             spark.readStream.schema(events.schema)
             .option("maxFilesPerTrigger", 1)
@@ -2412,11 +2377,6 @@ def t23_initial_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             initialState=snapshot.groupBy("user_id"),
         )
         _run_to_memory(tracked, f"t23_boot_{tag}", "update")
-    finally:
-        if old is not None:
-            spark.conf.set(provider_key, old)
-        else:
-            spark.conf.unset(provider_key)
 
     # n_total is strictly increasing per key, so the struct max IS
     # the final emission; round the float sum exactly once, here.
@@ -2513,11 +2473,7 @@ def t24_chained_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     _run_to_memory(agg, sink, "append")
 
     wm_row = feed.agg(F.max("ts").alias("m")).collect()[0]
-    gate = (
-        F.lit(wm_row["m"])
-        - F.expr("INTERVAL 1 HOUR")
-        - F.expr("INTERVAL 1 MINUTE")
-    )
+    gate = _append_gate(wm_row["m"])
     return (
         spark.table(sink)
         .filter(F.col("window_start") + F.expr("INTERVAL 1 HOUR") < gate)

@@ -225,3 +225,26 @@ def test_t10_transform_with_state_end_to_end(spark, oracle):
     got = registry.QUERIES["t10_transform_with_state"](spark, SF_DIR).toPandas()
     want = oracle.execute(registry.ORACLE["t10_transform_with_state"]).fetchdf()
     assert_frames_match(got, want, "t10_transform_with_state")
+
+
+def test_pending_default_is_cached_per_field():
+    # Two reads of the same unset message field must hand back the
+    # SAME pending instance (real protobuf has one live submessage);
+    # writes through either reference land in one place.
+    req = sm.StateRequest()
+    a = req.statefulProcessorCall
+    b = req.statefulProcessorCall
+    assert a is b
+    a.setHandleState = sm.SetHandleState(state=sm.CREATED)
+    assert req.statefulProcessorCall.setHandleState.state == sm.CREATED
+
+
+def test_direct_assignment_detaches_stale_pending_default():
+    # A direct field assignment supersedes a previously handed-out
+    # pending default: a late write through the stale reference must
+    # NOT clobber the directly-assigned value.
+    cmd = sm.StateCallCommand()
+    stale = cmd.ttl  # pending default handed out, never written yet
+    cmd.ttl = sm.TTLConfig(durationMs=500)
+    stale.durationMs = 9  # mutates a disconnected object
+    assert cmd.ttl.durationMs == 500

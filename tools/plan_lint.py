@@ -113,8 +113,18 @@ def _subtree_has(node, fragment: str) -> bool:
 
 
 def _lint_plan(root) -> dict[str, int]:
-    """Walk one executed plan; return per-rule hit counts."""
-    hits = {"generate_broadcast": 0, "cartesian": 0, "driver_rows": 0}
+    """Walk one executed plan; return per-rule hit counts.
+
+    `accessor_error` counts CollectLimitExec/LocalTableScanExec nodes
+    whose size accessors raised (e.g. renamed by a Spark upgrade).
+    It is reported as a FLAG by the caller: a broken accessor must
+    fail the gate loudly, not silently retire rule 3."""
+    hits = {
+        "generate_broadcast": 0,
+        "cartesian": 0,
+        "driver_rows": 0,
+        "accessor_error": 0,
+    }
 
     def walk(node) -> None:
         name = node.nodeName()
@@ -128,13 +138,13 @@ def _lint_plan(root) -> dict[str, int]:
                 if node.limit() > DRIVER_ROWS_K:
                     hits["driver_rows"] += 1
             except Exception:
-                pass  # limit accessor changed: surface via plan text
+                hits["accessor_error"] += 1
         elif cls == "LocalTableScanExec":
             try:
                 if node.rows().size() > DRIVER_ROWS_K:
                     hits["driver_rows"] += 1
             except Exception:
-                pass
+                hits["accessor_error"] += 1
         if "QueryStage" in cls:
             walk(node.plan())
             return
@@ -165,6 +175,10 @@ def main() -> int:
             f"driver-side rows > {DRIVER_ROWS_K}",
             DRIVER_ROWS_ALLOWLIST,
         ),
+        # Never allowlisted: a raised size accessor means rule 3 is
+        # broken (Spark upgrade renamed limit()/rows()), and the gate
+        # must fail loudly rather than go silently green.
+        ("accessor_error", "driver-rows accessor raised", {}),
     )
     flagged, allowed, errs = [], [], []
     for name in names:

@@ -127,9 +127,19 @@ def build(spark, factor: int) -> str:
         if k < N_SPLITS - 1:
             cond = cond & (ts_s < F.lit(bounds[k]))
             lo = bounds[k]
+        split_dir = os.path.join(out, f"split{k}")
         grown.filter(cond).coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(out, f"split{k}")
+            split_dir
         )
+        # Pin replay order explicitly (_time_split_events's rule): the
+        # file source orders unseen files by mtime, and two small
+        # splits finishing within one mtime granule would replay out
+        # of order — the watermark then jumps ahead and drops the
+        # earlier split as late, silently corrupting the slope.
+        mtime = 1_700_000_000 + k
+        for fname in os.listdir(split_dir):
+            if fname.endswith(".parquet"):
+                os.utime(os.path.join(split_dir, fname), (mtime, mtime))
     with open(os.path.join(out, "_SUCCESS"), "w", encoding="utf-8"):
         pass
     return out
