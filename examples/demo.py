@@ -53,6 +53,14 @@ def main() -> None:
         if rows is not None:
             print(f"  {'  ' * rec['depth']}{rec['operator']}: {rows} rows")
 
+    print("== 4. Stateful streaming (round 9: the full state matrix) ==")
+    print("-- pipe-syntax SQL front end (|>) --")
+    hs.run(spark, sf_dir, "s40_sql_pipe_syntax").show(3)
+    print("-- ListState bounded recency buffer (last 3 per user) --")
+    hs.run(spark, sf_dir, "t20_list_state_lastk").show(3)
+    print("-- a checkpoint's state store, read back as a DataFrame --")
+    hs.run(spark, sf_dir, "t25_state_reader").show(3)
+
 
 if __name__ == "__main__":
     main()

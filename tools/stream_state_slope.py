@@ -237,7 +237,75 @@ def join_op(spark, corpus: str) -> dict:
     return _run(pairs, "join")
 
 
-OPS = {"session": session_op, "dedup": dedup_op, "join": join_op}
+def tws_op(spark, corpus: str) -> dict:
+    """transformWithStateInPandas ListState — the round-9 arbitrary-
+    state path under the same growth law: a bounded last-3 recency
+    buffer per user (t20's operator). State must be EXACTLY
+    K_KEEP + 1 rows per user (3 list entries + 1 generation counter
+    in RocksDB terms the engine reports as numRowsTotal per column
+    family; what matters for the slope is linearity in users, with
+    eviction not applicable — the bound IS the trim). Registered
+    only when a protobuf runtime exists (miniproto qualifies)."""
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor
+
+    from hetnetdb_spark.streaming.queries import (
+        _protobuf_available,
+        _rocksdb_provider,
+        _ship_miniproto,
+    )
+
+    if not _protobuf_available():
+        return {"skipped": "no protobuf runtime"}
+    _ship_miniproto(spark)
+
+    K_KEEP = 3
+
+    class LastK(StatefulProcessor):
+        def init(self, handle):
+            self._buf = handle.getListState(
+                "lastk", "ts_us long, event_id long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            epoch = pd.Timestamp(0)
+            us = pd.Timedelta(microseconds=1)
+            entries = [tuple(t) for t in self._buf.get()]
+            for pdf in rows:
+                ts_us = (pd.to_datetime(pdf["ts"]) - epoch) // us
+                entries.extend(
+                    zip(
+                        ts_us.astype("int64").tolist(),
+                        pdf["event_id"].astype("int64").tolist(),
+                    )
+                )
+            entries.sort()
+            entries = entries[-K_KEEP:]
+            self._buf.put(entries)
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n": [len(entries)]}
+            )
+
+        def close(self):
+            pass
+
+    stream = _stream(spark, corpus)
+    with _rocksdb_provider(spark):
+        tracked = stream.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=LastK(),
+            outputStructType="user_id long, n long",
+            outputMode="Update",
+            timeMode="None",
+        )
+        return _run(tracked, "tws")
+
+
+OPS = {
+    "session": session_op,
+    "dedup": dedup_op,
+    "join": join_op,
+    "tws": tws_op,
+}
 
 
 def main() -> None:
