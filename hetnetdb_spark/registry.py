@@ -170,6 +170,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "t24_chained_stateful",
         "s41_execute_immediate",
         "t25_state_reader",
+        "u16_map_in_arrow",
     }
 )
 

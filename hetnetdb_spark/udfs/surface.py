@@ -790,3 +790,77 @@ def u17_struct_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+# --------------------------------------------------------------------------
+# U16 — mapInArrow (pyarrow-native ungrouped per-batch map)
+# --------------------------------------------------------------------------
+
+U16_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue
+FROM lineitem
+WHERE l_quantity >= 10
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@query("u16_map_in_arrow", oracle=U16_ORACLE)
+def u16_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U16 — ``DataFrame.mapInArrow``: the UNGROUPED half of the
+    Spark 4 Arrow-native surface (u11 is the grouped
+    ``applyInArrow``). Each partition arrives as an iterator of
+    ``pyarrow.RecordBatch``es and leaves the same way — no pandas
+    materialization, no shuffle, no Python-object row crossing: the
+    shape for columnar feature extraction where per-batch vectorized
+    kernels (here ``pyarrow.compute``) are the whole computation.
+
+    The batch fn filters qty >= 10 and computes the revenue
+    expression with pc.multiply/pc.subtract INSIDE Arrow, emitting
+    only the two columns the downstream agg needs — batch-level
+    predicate + projection pushdown done by hand, which is exactly
+    what the operator is for (a JVM filter would also work; the
+    point pinned is that ARROW-SIDE selection round-trips
+    correctly, including empty batches from fully-filtered
+    partitions). Revenue is rounded to 6 dp per ROW on both engines
+    (the q1 DECIMAL discipline) before the sum, so summation order
+    cannot leak into the hash.
+
+    Scale posture: mapInArrow is a narrow transformation — it
+    pipelines inside the scan stage, preserves partitioning, and
+    its cost is pure per-batch compute; the only Python/JVM
+    boundary is Arrow IPC, the cheapest crossing that exists."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    (lineitem,) = load_tables(spark, sf_dir, "lineitem")
+
+    def rev_batches(batches):
+        for batch in batches:
+            keep = pc.greater_equal(batch.column("l_quantity"), pa.scalar(10.0))
+            kept = batch.filter(keep)
+            rev = pc.multiply(
+                kept.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), kept.column("l_discount")),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [kept.column("l_returnflag"), pc.round(rev, 6)],
+                names=["l_returnflag", "revenue"],
+            )
+
+    mapped = lineitem.select(
+        "l_returnflag", "l_quantity", "l_extendedprice", "l_discount"
+    ).mapInArrow(rev_batches, "l_returnflag string, revenue double")
+    return (
+        mapped.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(
+                F.sum(F.col("revenue").cast("decimal(18,6)")).cast("double"), 6
+            ).alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
