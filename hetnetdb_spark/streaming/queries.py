@@ -717,7 +717,7 @@ def _ship_miniproto(spark: SparkSession) -> None:
         )
 
 
-def _shared_event_splits(spark: SparkSession, events: DataFrame, sf_dir: str) -> str:
+def _shared_event_splits(events: DataFrame, sf_dir: str) -> str:
     """Per-process cache of the UNDOCTORED events 4-split corpus.
 
     t18/t19/t20/t22 all replay the byte-identical time-ordered split
@@ -726,9 +726,17 @@ def _shared_event_splits(spark: SparkSession, events: DataFrame, sf_dir: str) ->
     registry pass. Queries that split a DOCTORED feed (t21/t24's
     duplicate injection, t23's second-half cut) keep their own dirs.
     The _SUCCESS marker makes the cache crash-safe: a write killed
-    mid-split leaves no marker and is rebuilt."""
-    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    base = os.path.join(SCRATCH, f"events_splits_{tag}")
+    mid-split leaves no marker and is rebuilt. Keyed by the FULL
+    resolved fixture path, not its basename — two fixtures named
+    sf0.01 under different parents must never share a cache entry
+    (per-query dirs used to rebuild from scratch every call, which
+    made a basename collision harmless; the cache would not be)."""
+    import hashlib
+
+    resolved = os.path.realpath(sf_dir)
+    tag = os.path.basename(resolved).replace(".", "_")
+    fp = hashlib.md5(resolved.encode()).hexdigest()[:8]
+    base = os.path.join(SCRATCH, f"events_splits_{tag}_{fp}")
     marker = os.path.join(base, "_SUCCESS")
     if not os.path.exists(marker):
         _time_split_events(events, base, T18_N_SPLITS)
@@ -1698,7 +1706,7 @@ def t18_session_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     (t12's rule: boundary comparisons belong to neither side)."""
     (events,) = load_tables(spark, sf_dir, "events")
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    base = _shared_event_splits(spark, events, sf_dir)
+    base = _shared_event_splits(events, sf_dir)
 
     stream = (
         spark.readStream.schema(events.schema)
@@ -1783,7 +1791,7 @@ def t19_state_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (events,) = load_tables(spark, sf_dir, "events")
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    base = _shared_event_splits(spark, events, sf_dir)
+    base = _shared_event_splits(events, sf_dir)
 
     def _timer_ms(last_us: int) -> int:
         # One canonical µs→ms deadline (ceil) shared by register,
@@ -1943,7 +1951,7 @@ def t20_list_state_lastk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (events,) = load_tables(spark, sf_dir, "events")
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    base = _shared_event_splits(spark, events, sf_dir)
+    base = _shared_event_splits(events, sf_dir)
 
     class LastK(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
@@ -2168,7 +2176,7 @@ def t22_state_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (events,) = load_tables(spark, sf_dir, "events")
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    base = _shared_event_splits(spark, events, sf_dir)
+    base = _shared_event_splits(events, sf_dir)
 
     class TtlCounter(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:

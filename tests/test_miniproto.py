@@ -248,3 +248,26 @@ def test_direct_assignment_detaches_stale_pending_default():
     cmd.ttl = sm.TTLConfig(durationMs=500)
     stale.durationMs = 9  # mutates a disconnected object
     assert cmd.ttl.durationMs == 500
+
+
+def test_oneof_direct_assignment_immune_to_stale_sibling_pending():
+    # Direct assignment to one oneof member must also detach the
+    # PENDING defaults of its siblings: a late write through a stale
+    # sibling reference may not evict the directly-assigned value.
+    req = sm.StateRequest()
+    stale = req.statefulProcessorCall  # pending sibling, never written
+    req.timerRequest = sm.TimerRequest()
+    stale.setHandleState = sm.SetHandleState(state=sm.CREATED)
+    assert req.HasField("timerRequest")
+    assert not req.HasField("statefulProcessorCall")
+
+
+def test_parse_detaches_outstanding_pendings():
+    # Replace semantics: ParseFromString severs lazy children handed
+    # out earlier, so a late write cannot clobber parsed content.
+    wire = sm.StateCallCommand(ttl=sm.TTLConfig(durationMs=500)).SerializeToString()
+    cmd = sm.StateCallCommand()
+    stale = cmd.ttl
+    cmd.ParseFromString(wire)
+    stale.durationMs = 9  # mutates a disconnected object
+    assert cmd.ttl.durationMs == 500

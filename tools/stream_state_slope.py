@@ -83,6 +83,23 @@ def _complete(dst: str) -> bool:
     return os.path.exists(os.path.join(dst, "_SUCCESS"))
 
 
+def _pin_split_mtimes(corpus: str) -> None:
+    """Re-assert ascending per-split mtimes (idempotent). The file
+    source orders unseen files by mtime; two small splits finishing
+    within one mtime granule would replay out of order, jump the
+    watermark, and silently drop the earlier split as late. Applied
+    on the cache-hit path too, so corpora built before this fix are
+    repaired instead of staying silently hazardous."""
+    for k in range(N_SPLITS):
+        split_dir = os.path.join(corpus, f"split{k}")
+        if not os.path.isdir(split_dir):
+            continue
+        mtime = 1_700_000_000 + k
+        for fname in os.listdir(split_dir):
+            if fname.endswith(".parquet"):
+                os.utime(os.path.join(split_dir, fname), (mtime, mtime))
+
+
 def build(spark, factor: int) -> str:
     """Materialize the shifted-replica events corpus for ``factor``:
     N_SPLITS time-ordered dirs of one parquet file each, every event
@@ -97,6 +114,7 @@ def build(spark, factor: int) -> str:
     sf_tag = os.path.basename(BASE.rstrip("/")).replace(".", "_")
     out = os.path.join(SCRATCH_ROOT, f"stream_slope_{sf_tag}_{factor}x")
     if _complete(out):
+        _pin_split_mtimes(out)  # pre-fix caches carry unpinned mtimes
         return out
     os.makedirs(out, exist_ok=True)
     events = spark.read.parquet(os.path.join(BASE, "events.parquet"))
@@ -127,19 +145,10 @@ def build(spark, factor: int) -> str:
         if k < N_SPLITS - 1:
             cond = cond & (ts_s < F.lit(bounds[k]))
             lo = bounds[k]
-        split_dir = os.path.join(out, f"split{k}")
         grown.filter(cond).coalesce(1).write.mode("overwrite").parquet(
-            split_dir
+            os.path.join(out, f"split{k}")
         )
-        # Pin replay order explicitly (_time_split_events's rule): the
-        # file source orders unseen files by mtime, and two small
-        # splits finishing within one mtime granule would replay out
-        # of order — the watermark then jumps ahead and drops the
-        # earlier split as late, silently corrupting the slope.
-        mtime = 1_700_000_000 + k
-        for fname in os.listdir(split_dir):
-            if fname.endswith(".parquet"):
-                os.utime(os.path.join(split_dir, fname), (mtime, mtime))
+    _pin_split_mtimes(out)
     with open(os.path.join(out, "_SUCCESS"), "w", encoding="utf-8"):
         pass
     return out
@@ -324,8 +333,16 @@ def main() -> None:
     if len(FACTORS) > 1:
         f_lo, f_hi = min(FACTORS), max(FACTORS)
         for op in OPS:
-            lo = next(r for r in rows if r["op"] == op and r["factor"] == f_lo)
-            hi = next(r for r in rows if r["op"] == op and r["factor"] == f_hi)
+            lo = next(
+                (r for r in rows if r["op"] == op and r["factor"] == f_lo),
+                None,
+            )
+            hi = next(
+                (r for r in rows if r["op"] == op and r["factor"] == f_hi),
+                None,
+            )
+            if not lo or not hi or "wall_s" not in lo or "wall_s" not in hi:
+                continue  # op skipped (e.g. tws without a protobuf runtime)
             fr = f_hi / f_lo
             print(
                 json.dumps(
