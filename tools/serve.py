@@ -1,0 +1,230 @@
+"""Resident HTTP SQL service — the reference engine's user-facing
+interface re-expressed on Spark (SURVEY §0.1: an HTTP service where
+tables are uploaded as CSV and queries POSTed as SQL, answered as
+JSON). A user of the reference switches by pointing the same client
+at this endpoint; everything behind it is the hetnetdb_spark catalog
+and Catalyst.
+
+Endpoints (stdlib-only, binds 127.0.0.1):
+
+    GET  /health            -> {"status": "ok", "tables": N}
+    GET  /tables            -> registered table/view names
+    GET  /queries           -> named operator queries in the registry
+    POST /tables/<name>     -> body = CSV text (header row) registers
+                               a temp view <name>; returns row count
+                               and inferred schema
+    POST /query             -> body = SQL text (or {"sql": "..."})
+                               returns {"rows": [...], "n": N,
+                               "truncated": bool}
+    POST /run/<name>        -> execute a registry query by name
+
+The Spark scheduler interleaves concurrent requests' job stages
+(PLANS.md round-7: 3.2× wall-clock over serial at 8 clients), so one
+resident session IS the multi-tenant deployment shape — per-request
+sessions would pay the ~30 ms JVM action floor serially and forfeit
+cache reuse. Result payloads are capped at ROW_CAP rows via a
+LIMIT pushed into the plan (the cap changes what is FETCHED, not
+just what is printed): an interactive endpoint must never become an
+accidental full-table driver collect.
+
+Usage:
+    python tools/serve.py [--port 8765] [--sf-dir /root/testdata/sf0.001]
+    python tools/serve.py --self-test   # ephemeral port, scripted tour
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ROW_CAP = 10_000
+
+
+def _build_app(sf_dir: str):
+    """Create the resident session + catalog; return (spark, lock)."""
+    from hetnetdb_spark import registry
+    from hetnetdb_spark.catalog import register_views
+    from hetnetdb_spark.session import get_spark
+
+    spark = get_spark("hetnetdb-serve")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry.load_all()
+    register_views(spark, sf_dir)
+    return spark, registry
+
+
+class _Handler(BaseHTTPRequestHandler):
+    spark = None
+    registry = None
+    sf_dir = None
+
+    # -- plumbing ---------------------------------------------------------
+
+    def _send(self, code: int, payload: dict) -> None:
+        body = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _body(self) -> bytes:
+        n = int(self.headers.get("Content-Length", "0"))
+        return self.rfile.read(n)
+
+    def log_message(self, fmt, *args):  # quiet by default
+        pass
+
+    def _df_payload(self, df) -> dict:
+        # limit(cap+1) bounds the FETCH (TakeOrderedAndProject /
+        # CollectLimit in the plan); the +1 row only detects
+        # truncation and is dropped from the payload.
+        rows = [json.loads(r) for r in df.limit(ROW_CAP + 1).toJSON().collect()]
+        truncated = len(rows) > ROW_CAP
+        rows = rows[:ROW_CAP]
+        return {"rows": rows, "n": len(rows), "truncated": truncated}
+
+    # -- routes -----------------------------------------------------------
+
+    def do_GET(self):
+        try:
+            if self.path == "/health":
+                n = len(self.spark.catalog.listTables())
+                self._send(200, {"status": "ok", "tables": n})
+            elif self.path == "/tables":
+                names = [t.name for t in self.spark.catalog.listTables()]
+                self._send(200, {"tables": sorted(names)})
+            elif self.path == "/queries":
+                self._send(200, {"queries": sorted(self.registry.QUERIES)})
+            else:
+                self._send(404, {"error": f"no route {self.path}"})
+        except Exception as exc:  # noqa: BLE001 — report, keep serving
+            self._send(500, {"error": str(exc)[:500]})
+
+    def do_POST(self):
+        try:
+            if self.path == "/query":
+                raw = self._body().decode("utf-8")
+                try:
+                    sql = json.loads(raw).get("sql", "")
+                except (json.JSONDecodeError, AttributeError):
+                    sql = raw
+                if not sql.strip():
+                    self._send(400, {"error": "empty SQL"})
+                    return
+                self._send(200, self._df_payload(self.spark.sql(sql)))
+            elif self.path.startswith("/run/"):
+                name = self.path[len("/run/"):]
+                fn = self.registry.QUERIES.get(name)
+                if fn is None:
+                    self._send(404, {"error": f"unknown query {name!r}"})
+                    return
+                self._send(200, self._df_payload(fn(self.spark, self.sf_dir)))
+            elif self.path.startswith("/tables/"):
+                name = self.path[len("/tables/"):]
+                if not name.isidentifier():
+                    self._send(400, {"error": f"bad table name {name!r}"})
+                    return
+                from hetnetdb_spark.scratch import SCRATCH
+
+                os.makedirs(SCRATCH, exist_ok=True)
+                csv_path = os.path.join(SCRATCH, f"upload_{name}.csv")
+                with open(csv_path, "wb") as fh:
+                    fh.write(self._body())
+                df = (
+                    self.spark.read.option("header", "true")
+                    .option("inferSchema", "true")
+                    .csv(csv_path)
+                )
+                df.createOrReplaceTempView(name)
+                self._send(
+                    201,
+                    {
+                        "table": name,
+                        "rows": df.count(),
+                        "schema": df.schema.simpleString(),
+                    },
+                )
+            else:
+                self._send(404, {"error": f"no route {self.path}"})
+        except Exception as exc:  # noqa: BLE001
+            self._send(400, {"error": str(exc)[:500]})
+
+
+def serve(sf_dir: str, port: int) -> ThreadingHTTPServer:
+    spark, registry = _build_app(sf_dir)
+    _Handler.spark = spark
+    _Handler.registry = registry
+    _Handler.sf_dir = sf_dir
+    httpd = ThreadingHTTPServer(("127.0.0.1", port), _Handler)
+    return httpd
+
+
+def _self_test() -> int:
+    """Scripted tour on an ephemeral port: upload a CSV, query it,
+    join it against the catalog, run a named query — all over HTTP."""
+    import urllib.request
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    httpd = serve(sf_dir, 0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{port}"
+
+    def call(method, path, data=None):
+        req = urllib.request.Request(
+            base + path, data=data, method=method
+        )
+        with urllib.request.urlopen(req) as resp:
+            return json.loads(resp.read())
+
+    try:
+        print("health:", call("GET", "/health"))
+        csv = "city,pop\nparis,2100000\nlyon,520000\n"
+        print("upload:", call("POST", "/tables/cities", csv.encode()))
+        q = call("POST", "/query", b"SELECT city FROM cities WHERE pop > 1000000")
+        print("query:", q)
+        assert q["rows"] == [{"city": "paris"}], q
+        j = call(
+            "POST",
+            "/query",
+            b"SELECT COUNT(*) AS n FROM nation JOIN region "
+            b"ON n_regionkey = r_regionkey",
+        )
+        print("catalog join:", j)
+        assert j["rows"][0]["n"] == 25, j
+        r = call("POST", "/run/q1_pricing_summary")
+        print("named query rows:", r["n"])
+        assert r["n"] > 0
+        print("self-test OK")
+        return 0
+    finally:
+        httpd.shutdown()
+        _Handler.spark.stop()
+
+
+def main() -> int:
+    if "--self-test" in sys.argv:
+        return _self_test()
+    port = 8765
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    args = sys.argv[1:]
+    for i, a in enumerate(args):
+        if a == "--port" and i + 1 < len(args):
+            port = int(args[i + 1])
+        if a == "--sf-dir" and i + 1 < len(args):
+            sf_dir = args[i + 1]
+    httpd = serve(sf_dir, port)
+    print(f"hetnetdb-serve on http://127.0.0.1:{port} (catalog: {sf_dir})")
+    httpd.serve_forever()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
