@@ -45,8 +45,58 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 ROW_CAP = 10_000
 
 
+class _RWLock:
+    """Shared/exclusive lock for the resident session.
+
+    Pure queries only ever READ global session state, so they hold the
+    shared side and the Spark scheduler interleaves their job stages
+    exactly as before (PLANS.md round-7: 3.2× over serial at 8
+    clients). Impure registry queries save/flip/restore global session
+    confs (RocksDB provider, filter-pushdown flags) and streaming
+    memory-sink names — two of those interleaving, or one running
+    beside a pure query that silently reads the flipped conf, corrupts
+    results. Those take the exclusive side, as do CSV uploads (temp-
+    view replace is a global-catalog write). Writer-preference keeps an
+    impure run from starving behind a stream of pure readers.
+    """
+
+    def __init__(self) -> None:
+        self._cond = threading.Condition()
+        self._readers = 0
+        self._writer = False
+        self._writers_waiting = 0
+
+    def acquire_shared(self) -> None:
+        with self._cond:
+            while self._writer or self._writers_waiting:
+                self._cond.wait()
+            self._readers += 1
+
+    def release_shared(self) -> None:
+        with self._cond:
+            self._readers -= 1
+            if self._readers == 0:
+                self._cond.notify_all()
+
+    def acquire_exclusive(self) -> None:
+        with self._cond:
+            self._writers_waiting += 1
+            try:
+                while self._writer or self._readers:
+                    self._cond.wait()
+            finally:
+                self._writers_waiting -= 1
+            self._writer = True
+
+    def release_exclusive(self) -> None:
+        with self._cond:
+            self._writer = False
+            self._cond.notify_all()
+
+
 def _build_app(sf_dir: str):
-    """Create the resident session + catalog; return (spark, lock)."""
+    """Create the resident session + catalog; return
+    (spark, registry, lock) where lock is the session _RWLock."""
     from hetnetdb_spark import registry
     from hetnetdb_spark.catalog import register_views
     from hetnetdb_spark.session import get_spark
@@ -55,13 +105,14 @@ def _build_app(sf_dir: str):
     spark.sparkContext.setLogLevel("ERROR")
     registry.load_all()
     register_views(spark, sf_dir)
-    return spark, registry
+    return spark, registry, _RWLock()
 
 
 class _Handler(BaseHTTPRequestHandler):
     spark = None
     registry = None
     sf_dir = None
+    lock: _RWLock = None
 
     # -- plumbing ---------------------------------------------------------
 
@@ -94,10 +145,18 @@ class _Handler(BaseHTTPRequestHandler):
     def do_GET(self):
         try:
             if self.path == "/health":
-                n = len(self.spark.catalog.listTables())
+                self.lock.acquire_shared()
+                try:
+                    n = len(self.spark.catalog.listTables())
+                finally:
+                    self.lock.release_shared()
                 self._send(200, {"status": "ok", "tables": n})
             elif self.path == "/tables":
-                names = [t.name for t in self.spark.catalog.listTables()]
+                self.lock.acquire_shared()
+                try:
+                    names = [t.name for t in self.spark.catalog.listTables()]
+                finally:
+                    self.lock.release_shared()
                 self._send(200, {"tables": sorted(names)})
             elif self.path == "/queries":
                 self._send(200, {"queries": sorted(self.registry.QUERIES)})
@@ -117,14 +176,33 @@ class _Handler(BaseHTTPRequestHandler):
                 if not sql.strip():
                     self._send(400, {"error": "empty SQL"})
                     return
-                self._send(200, self._df_payload(self.spark.sql(sql)))
+                # Ad-hoc SQL reads global state (views + confs) but
+                # never flips it — shared side, full interleaving.
+                self.lock.acquire_shared()
+                try:
+                    payload = self._df_payload(self.spark.sql(sql))
+                finally:
+                    self.lock.release_shared()
+                self._send(200, payload)
             elif self.path.startswith("/run/"):
                 name = self.path[len("/run/"):]
                 fn = self.registry.QUERIES.get(name)
                 if fn is None:
                     self._send(404, {"error": f"unknown query {name!r}"})
                     return
-                self._send(200, self._df_payload(fn(self.spark, self.sf_dir)))
+                impure = name in self.registry.IMPURE
+                if impure:
+                    self.lock.acquire_exclusive()
+                else:
+                    self.lock.acquire_shared()
+                try:
+                    payload = self._df_payload(fn(self.spark, self.sf_dir))
+                finally:
+                    if impure:
+                        self.lock.release_exclusive()
+                    else:
+                        self.lock.release_shared()
+                self._send(200, payload)
             elif self.path.startswith("/tables/"):
                 name = self.path[len("/tables/"):]
                 if not name.isidentifier():
@@ -134,22 +212,26 @@ class _Handler(BaseHTTPRequestHandler):
 
                 os.makedirs(SCRATCH, exist_ok=True)
                 csv_path = os.path.join(SCRATCH, f"upload_{name}.csv")
-                with open(csv_path, "wb") as fh:
-                    fh.write(self._body())
-                df = (
-                    self.spark.read.option("header", "true")
-                    .option("inferSchema", "true")
-                    .csv(csv_path)
-                )
-                df.createOrReplaceTempView(name)
-                self._send(
-                    201,
-                    {
+                body = self._body()
+                # Temp-view replace is a global-catalog write: exclusive.
+                self.lock.acquire_exclusive()
+                try:
+                    with open(csv_path, "wb") as fh:
+                        fh.write(body)
+                    df = (
+                        self.spark.read.option("header", "true")
+                        .option("inferSchema", "true")
+                        .csv(csv_path)
+                    )
+                    df.createOrReplaceTempView(name)
+                    payload = {
                         "table": name,
                         "rows": df.count(),
                         "schema": df.schema.simpleString(),
-                    },
-                )
+                    }
+                finally:
+                    self.lock.release_exclusive()
+                self._send(201, payload)
             else:
                 self._send(404, {"error": f"no route {self.path}"})
         except Exception as exc:  # noqa: BLE001
@@ -157,10 +239,11 @@ class _Handler(BaseHTTPRequestHandler):
 
 
 def serve(sf_dir: str, port: int) -> ThreadingHTTPServer:
-    spark, registry = _build_app(sf_dir)
+    spark, registry, lock = _build_app(sf_dir)
     _Handler.spark = spark
     _Handler.registry = registry
     _Handler.sf_dir = sf_dir
+    _Handler.lock = lock
     httpd = ThreadingHTTPServer(("127.0.0.1", port), _Handler)
     return httpd
 
