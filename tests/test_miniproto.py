@@ -105,15 +105,44 @@ def test_repeated_bytes_and_messages():
     assert [(t.key, t.timestampMs) for t in back2.timer] == [(b"k", 9), (b"", -5)]
 
 
-def test_unknown_fields_are_skipped():
-    # A newer peer adding field 99 (varint) and field 98 (bytes) must
-    # not desynchronize parsing of the known fields around them.
+def test_unknown_fields_are_retained_and_round_tripped():
+    # A newer peer adding field 99 (varint 42) and field 98 (bytes
+    # "zz") must not desynchronize parsing of the known fields around
+    # them — and (round-10, proto3 3.5+ semantics) must SURVIVE a
+    # decode/re-encode round-trip: known fields first in ascending
+    # field order, then the unknowns byte-identically in arrival
+    # order. Silent dropping would corrupt state for a PySpark
+    # upgrade that relies on unknown-field preservation.
     known = sm.StateResponse(statusCode=7, value=b"xy").SerializeToString()
     unknown = bytes.fromhex("d806") + b"\x2a" + bytes.fromhex("9206") + b"\x02zz"
     back = sm.StateResponse()
     back.ParseFromString(unknown + known)
     assert back.statusCode == 7
     assert back.value == b"xy"
+    assert back.SerializeToString() == known + unknown
+
+
+def test_parse_replaces_prior_unknowns():
+    # ParseFromString is replace semantics for unknown fields too: a
+    # second clean parse must not leak the first parse's unknowns.
+    unknown = bytes.fromhex("d806") + b"\x2a"
+    msg = sm.StateResponse()
+    msg.ParseFromString(unknown)
+    clean = sm.StateResponse(statusCode=3).SerializeToString()
+    msg.ParseFromString(clean)
+    assert msg.SerializeToString() == clean
+
+
+def test_wire_type_mismatch_retained_as_unknown():
+    # A KNOWN field number arriving on the wrong wire type is an
+    # unknown field per the wire spec (retained, re-emitted), never a
+    # value for that field. statusCode is field 1 varint; send field 1
+    # as LEN instead.
+    mismatch = b"\x0a\x03abc"  # tag(1, LEN), len 3, "abc"
+    msg = sm.StateResponse()
+    msg.ParseFromString(mismatch)
+    assert msg.statusCode == 0  # untouched default
+    assert msg.SerializeToString() == mismatch
 
 
 def test_repeated_field_access_is_live():
@@ -260,6 +289,42 @@ def test_oneof_direct_assignment_immune_to_stale_sibling_pending():
     stale.setHandleState = sm.SetHandleState(state=sm.CREATED)
     assert req.HasField("timerRequest")
     assert not req.HasField("statefulProcessorCall")
+
+
+def test_parse_into_pending_default_attaches_to_parent():
+    # ADVICE r9: cmd.ttl.ParseFromString(wire) on the not-yet-attached
+    # default child must attach it (real protobuf notifies the parent
+    # listener on any modification) — presence flips and the decoded
+    # data serializes with the parent, consistent with the
+    # __setattr__ auto-vivification path.
+    wire = sm.TTLConfig(durationMs=750).SerializeToString()
+    cmd = sm.StateCallCommand()
+    cmd.ttl.ParseFromString(wire)
+    assert cmd.HasField("ttl")
+    assert cmd.ttl.durationMs == 750
+    back = sm.StateCallCommand()
+    back.ParseFromString(cmd.SerializeToString())
+    assert back.ttl.durationMs == 750
+
+
+def test_empty_parse_into_pending_default_stays_unset():
+    # An empty payload decodes no fields: nothing to materialize, so
+    # presence on the parent stays false (reading a default never
+    # sets presence).
+    cmd = sm.StateCallCommand()
+    cmd.ttl.ParseFromString(b"")
+    assert not cmd.HasField("ttl")
+
+
+def test_merge_into_pending_default_attaches_unknowns_too():
+    # Even a payload made ONLY of unknown fields is a modification:
+    # the child attaches and the unknown bytes survive through the
+    # parent's serialization.
+    unknown = bytes.fromhex("d806") + b"\x2a"
+    cmd = sm.StateCallCommand()
+    cmd.ttl.MergeFromString(unknown)
+    assert cmd.HasField("ttl")
+    assert cmd.ttl.SerializeToString() == unknown
 
 
 def test_parse_detaches_outstanding_pendings():
