@@ -730,8 +730,20 @@ def _shared_event_splits(events: DataFrame, sf_dir: str) -> str:
     resolved fixture path, not its basename — two fixtures named
     sf0.01 under different parents must never share a cache entry
     (per-query dirs used to rebuild from scratch every call, which
-    made a basename collision harmless; the cache would not be)."""
+    made a basename collision harmless; the cache would not be).
+
+    Publication is ATOMIC (ADVICE r9): the split corpus is built in a
+    unique temp dir and os.rename'd into place, so two concurrent
+    builders — HTTP-server threads, or any future same-pid
+    concurrency (cross-process is already impossible: SCRATCH is
+    pid-keyed) — can never interleave writes inside a half-published
+    dir. The loser of the rename race discards its temp and reuses
+    the winner's corpus; both corpora are byte-equal by construction
+    (deterministic split of the same fixture), so either outcome is
+    correct."""
     import hashlib
+    import shutil
+    import uuid
 
     resolved = os.path.realpath(sf_dir)
     tag = os.path.basename(resolved).replace(".", "_")
@@ -739,9 +751,22 @@ def _shared_event_splits(events: DataFrame, sf_dir: str) -> str:
     base = os.path.join(SCRATCH, f"events_splits_{tag}_{fp}")
     marker = os.path.join(base, "_SUCCESS")
     if not os.path.exists(marker):
-        _time_split_events(events, base, T18_N_SPLITS)
-        with open(marker, "w", encoding="utf-8"):
+        tmp = f"{base}.build-{uuid.uuid4().hex[:12]}"
+        _time_split_events(events, tmp, T18_N_SPLITS)
+        with open(os.path.join(tmp, "_SUCCESS"), "w", encoding="utf-8"):
             pass
+        try:
+            os.rename(tmp, base)
+        except OSError:
+            # A concurrent builder published first (rename onto an
+            # existing dir fails). Their corpus is complete iff the
+            # marker is visible; otherwise it's a half-dead leftover
+            # from a kill — replace it with ours.
+            if os.path.exists(marker):
+                shutil.rmtree(tmp, ignore_errors=True)
+            else:
+                shutil.rmtree(base, ignore_errors=True)
+                os.rename(tmp, base)
     return base
 
 
@@ -1463,6 +1488,12 @@ def t16_stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             _time.sleep(0.3)
         got = spark.table(sink).count()
         if got != want:
+            exc = q.exception()
+            if exc is not None:
+                raise RuntimeError(
+                    f"t16: stream failed with sink at {got}/{want} "
+                    f"rows: {exc}"
+                ) from exc
             raise RuntimeError(
                 f"t16: sink has {got} rows, expected {want}; "
                 f"progress: {[p and p['batchId'] for p in q.recentProgress]}"
@@ -2243,6 +2274,16 @@ def t22_state_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
                     break
                 _time.sleep(0.5)
             if sum(seen.values()) < n_expected:
+                # If the query DIED (state-server/protobuf failure),
+                # the real cause is q.exception(), not the row-count
+                # shortfall it produced — surface it first (ADVICE r9).
+                exc = q.exception()
+                if exc is not None:
+                    raise RuntimeError(
+                        f"t22: stream failed after committing "
+                        f"{sum(seen.values())}/{n_expected} input rows: "
+                        f"{exc}"
+                    ) from exc
                 raise RuntimeError(
                     f"t22: committed {sum(seen.values())} input rows, "
                     f"expected {n_expected}; "

@@ -390,3 +390,36 @@ def test_l08_decode_real_path_with_pil():  # pragma: no cover — needs PIL
     assert feats[4] == 32.0
     # determinism: same bytes, same features
     assert feats == _decode_bytes(png, 32, 32)
+
+
+def test_shared_event_splits_atomic_publish(spark):
+    """The split-corpus cache publishes atomically (ADVICE r9): a
+    half-dead leftover dir WITHOUT the _SUCCESS marker is replaced,
+    a marked dir is reused as-is, and no `.build-*` temp survives."""
+    import glob
+    import os
+    import shutil
+
+    from hetnetdb_spark.catalog import load_tables
+    from hetnetdb_spark.streaming.queries import _shared_event_splits
+
+    from tests.conftest import SF_DIR
+
+    (events,) = load_tables(spark, SF_DIR, "events")
+    base = _shared_event_splits(events, SF_DIR)
+    marker = os.path.join(base, "_SUCCESS")
+    assert os.path.exists(marker)
+    mtime = os.path.getmtime(marker)
+
+    # marked → reused, not rebuilt
+    assert _shared_event_splits(events, SF_DIR) == base
+    assert os.path.getmtime(marker) == mtime
+
+    # unmarked leftover (simulated kill mid-build) → fully rebuilt
+    os.remove(marker)
+    assert _shared_event_splits(events, SF_DIR) == base
+    assert os.path.exists(marker)
+
+    # the publish never leaves temp dirs behind
+    assert glob.glob(base + ".build-*") == []
+    shutil.rmtree(base, ignore_errors=True)  # leave cache cold for others
