@@ -155,22 +155,12 @@ def _verified_names() -> set[str]:
 #: round and sort into tiers 0/1 via CORRECTNESS_r04.json.)
 NEW_THIS_ROUND: frozenset[str] = frozenset(
     {
-        # Round 9 additions. With the unverified backlog at zero,
-        # tier 2 places these AHEAD of the stale-recertification
-        # tail (they have no evidence at all yet) but BEHIND any
-        # query that regresses red this round.
-        "t18_session_append",
-        "t19_state_timers",
-        "t20_list_state_lastk",
-        "t21_dedup_within_watermark",
-        "s39_python_datasource_pushdown",
-        "s40_sql_pipe_syntax",
-        "t22_state_ttl",
-        "t23_initial_state",
-        "t24_chained_stateful",
-        "s41_execute_immediate",
-        "t25_state_reader",
-        "u16_map_in_arrow",
+        # Round 10: rotated — CORRECTNESS_r09 certified all twelve
+        # round-9 additions (driver-green), so they sort into the
+        # verified tier by staleness like everything else and the
+        # 50-slot window falls through to the r03/r04-certified tail
+        # (the stalest evidence in the ledger, per the r9 verdict's
+        # rotation ask). Add round-10 newcomers here as they land.
     }
 )
 

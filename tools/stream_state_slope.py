@@ -181,6 +181,7 @@ def _run(df, tag: str) -> dict:
     q.awaitTermination()
     wall = round(time.perf_counter() - t0, 3)
     peak_rows = final_rows = peak_bytes = dropped = inputs = batches = 0
+    per_op_peak: dict = {}
     for p in q.recentProgress:
         if isinstance(p, str):
             p = json.loads(p)
@@ -195,7 +196,12 @@ def _run(df, tag: str) -> dict:
             peak_bytes, sum(int(o.get("memoryUsedBytes", 0)) for o in ops)
         )
         dropped += sum(int(o.get("numRowsDroppedByWatermark", 0)) for o in ops)
-    return {
+        for idx, o in enumerate(ops):
+            oname = o.get("operatorName") or f"op{idx}"
+            per_op_peak[oname] = max(
+                per_op_peak.get(oname, 0), int(o.get("numRowsTotal", 0))
+            )
+    out = {
         "wall_s": wall,
         "input_rows": inputs,
         "batches": batches,
@@ -204,6 +210,13 @@ def _run(df, tag: str) -> dict:
         "peak_state_bytes": peak_bytes,
         "dropped_by_watermark": dropped,
     }
+    if len(per_op_peak) > 1:
+        # Multi-operator (chained) queries: the stores grow on
+        # DIFFERENT keys (dedup ∝ users×rate, window ∝ open windows ×
+        # event types — constant in F), so the per-operator split is
+        # the evidence that no stage is corpus-sized.
+        out["per_operator_peak_rows"] = per_op_peak
+    return out
 
 
 def session_op(spark, corpus: str) -> dict:
@@ -309,21 +322,49 @@ def tws_op(spark, corpus: str) -> dict:
         return _run(tracked, "tws")
 
 
+def chained_op(spark, corpus: str) -> dict:
+    """t24_chained_stateful's exact topology under the growth law:
+    `dropDuplicatesWithinWatermark` on event_id feeding a tumbling
+    1-hour append-mode window agg — TWO state stores in one query,
+    growing on DIFFERENT keys. Expected shape: dedup state ∝ F (the
+    corpus carries every event twice, ids disjoint per replica);
+    window state ∝ open windows × event types, CONSTANT in F (the
+    timeline is identical at every factor). The summed slope is
+    therefore dedup-dominated ≈ linear, and per_operator_peak_rows
+    shows the window store flat — the direct evidence behind t24's
+    'no corpus-sized state anywhere in the chain' claim."""
+    stream = _stream(spark, corpus)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return _run(agg, "chained")
+
+
 OPS = {
     "session": session_op,
     "dedup": dedup_op,
     "join": join_op,
     "tws": tws_op,
+    "chained": chained_op,
 }
 
 
 def main() -> None:
     spark = get_spark("stream-state-slope")
     spark.sparkContext.setLogLevel("ERROR")
+    only = {
+        s
+        for s in os.environ.get("SPARK_GRAFT_STATE_OPS", "").split(",")
+        if s
+    }
+    ops = {k: v for k, v in OPS.items() if not only or k in only}
     rows = []
     for factor in FACTORS:
         corpus = build(spark, factor)
-        for op, fn in OPS.items():
+        for op, fn in ops.items():
             r = {"op": op, "factor": factor, **fn(spark, corpus)}
             rows.append(r)
             print(json.dumps(r), flush=True)
@@ -332,7 +373,7 @@ def main() -> None:
     # (1.0 = exactly linear; <1 sublinear).
     if len(FACTORS) > 1:
         f_lo, f_hi = min(FACTORS), max(FACTORS)
-        for op in OPS:
+        for op in ops:
             lo = next(
                 (r for r in rows if r["op"] == op and r["factor"] == f_lo),
                 None,
