@@ -20,6 +20,19 @@ latency, and single-run GC/compilation/load spikes are scheduler
 noise, not plan cost. Timing includes the full action (Arrow fetch
 to driver) but not session startup, which is amortized across all
 queries exactly as a long-lived resident engine would.
+
+Every pass executes IN FULL: the registry hands out a fresh
+QueryExecution per invocation (registry._PLAN_CACHE note). From the
+plan cache's introduction (round 2, commit eb405fb — the "3.5s ->
+1.3s headline total" step) through round 9, repeated invocations
+returned the SAME DataFrame object, and Spark re-serves a
+materialized AdaptiveSparkPlan's query stages on re-collect — so
+"warm" passes timed only the final stage while the DuckDB baseline
+re-executed fully. EVERY recorded BENCH_r02–r09 total carries that
+inflation; the honest pre-cache anchor is the ~3.5 s round-2
+headline total, and round 10 re-recorded everything under the
+fixed semantics (see PLANS.md "Round 10: the stage-reuse
+discovery" for the audit trail and the per-query floor analysis).
 """
 
 from __future__ import annotations

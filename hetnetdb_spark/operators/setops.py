@@ -324,3 +324,78 @@ def o13_group_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, "lineitem")
     return spark.sql(O13_SQL)
+
+
+# --------------------------------------------------------------------------
+# O11 — unionByName with allowMissingColumns (schema-evolution union)
+# --------------------------------------------------------------------------
+
+O11_ORACLE = """
+WITH u AS (
+    SELECT 'customer' AS origin, c_nationkey AS nationkey,
+           c_acctbal  AS acctbal
+    FROM customer
+  UNION ALL
+    SELECT 'supplier' AS origin, s_nationkey AS nationkey,
+           NULL       AS acctbal
+    FROM supplier
+)
+SELECT origin, nationkey,
+       CAST(COUNT(*) AS BIGINT)                              AS n,
+       CAST(COUNT(CASE WHEN acctbal IS NULL THEN 1 END)
+            AS BIGINT)                                       AS n_missing,
+       ROUND(CAST(SUM(COALESCE(CAST(acctbal AS DECIMAL(18,6)),
+                               CAST(0 AS DECIMAL(18,6))))
+                  AS DOUBLE), 6)                             AS bal
+FROM u
+GROUP BY origin, nationkey
+ORDER BY origin, nationkey
+"""
+
+
+@query("o11_union_by_name", oracle=O11_ORACLE)
+def o11_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O11 — ``unionByName(allowMissingColumns=True)``: the
+    schema-evolution union. The two inputs deliberately disagree in
+    BOTH ways a long-lived catalog's branches drift apart: column
+    ORDER differs (supplier leads with ``origin``, customer ends
+    with it) and a column is MISSING entirely (supplier has no
+    ``acctbal``). By-name resolution must land ``nationkey`` on
+    ``nationkey`` regardless of position — a positional union would
+    put supplier nation keys in the ``acctbal`` slot and fail the
+    hash — and the missing column must be NULL-filled, which the
+    ``n_missing`` count pins exactly (every supplier row, no
+    customer row). Balances ride the decimal-sum discipline so the
+    fill lands in the right column with the right values.
+
+    Scale posture: union is a zero-shuffle plan glue node — each
+    side keeps its own partitioning and the NULL fill is a literal
+    projection, so schema-evolution unions cost nothing at 100 TB;
+    the single exchange here belongs to the certifying GROUP BY,
+    keyed on (origin, nationkey)."""
+    customer, supplier = load_tables(spark, sf_dir, "customer", "supplier")
+    c = customer.select(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.lit("customer").alias("origin"),
+    )
+    s = supplier.select(
+        F.lit("supplier").alias("origin"),
+        F.col("s_nationkey").alias("nationkey"),
+    )
+    u = c.unionByName(s, allowMissingColumns=True)
+    zero = F.lit(0).cast("decimal(18,6)")
+    return (
+        u.groupBy("origin", "nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("acctbal").isNull(), 1)).alias("n_missing"),
+            F.round(
+                F.sum(
+                    F.coalesce(F.col("acctbal").cast("decimal(18,6)"), zero)
+                ).cast("double"),
+                6,
+            ).alias("bal"),
+        )
+        .orderBy("origin", "nationkey")
+    )

@@ -36,9 +36,20 @@ IMPURE: set[str] = set()
 #: Prepared-plan cache for PURE queries, keyed by (applicationId,
 #: sf_dir, name). Building a DataFrame costs ~250-300 ms of Py4J
 #: round trips; a resident engine prepares a statement once and
-#: re-executes it, which is exactly what re-invoking a cached
-#: DataFrame does (plans are immutable; execution is still lazy and
-#: re-runs from the source files every action).
+#: re-executes it. CRITICAL SEMANTICS (round-10 discovery): a
+#: DataFrame re-collected through the SAME QueryExecution re-serves
+#: its materialized AQE query stages — the shuffle map outputs of
+#: the first run — so a second `.toPandas()` on the cached object
+#: executes ONLY the final stage (measured: q1 over a 60M-row
+#: corpus, 24.5 s cold, 0.08 s "re-executed"; a plan-identical but
+#: object-distinct query re-runs in full). That is result caching,
+#: not prepared-statement reuse, and it silently inflated every
+#: warm benchmark between the cache's introduction and round 10.
+#: `registered` therefore hands out `df.select("*")` — a fresh
+#: Dataset/QueryExecution over the same analyzed plan (~20 ms, one
+#: Py4J call, schema-identical, no stage reuse) — so every
+#: invocation EXECUTES from the source files while the analysis
+#: work stays amortized.
 _PLAN_CACHE: dict[tuple[str, str, str], "DataFrame"] = {}
 
 
@@ -72,7 +83,12 @@ def query(
                 if df is None:
                     df = fn(spark, sf_dir)
                     _PLAN_CACHE[key] = df
-                return df
+                # Fresh QueryExecution per invocation — see the
+                # _PLAN_CACHE note: returning `df` itself re-serves
+                # materialized AQE stages (cached results, stale
+                # under data change, and not a legitimate "warm
+                # latency" vs a baseline that re-executes fully).
+                return df.select("*")
 
         QUERIES[name] = registered
         if oracle is not None:

@@ -423,3 +423,38 @@ def test_shared_event_splits_atomic_publish(spark):
     # the publish never leaves temp dirs behind
     assert glob.glob(base + ".build-*") == []
     shutil.rmtree(base, ignore_errors=True)  # leave cache cold for others
+
+
+def test_pure_query_reinvocation_executes_fresh(spark):
+    """Re-invoking a cached pure query must hand out a FRESH
+    QueryExecution, not the cached DataFrame object itself.
+
+    Round-10 discovery: collecting twice through the same
+    QueryExecution re-serves its materialized AQE query stages (the
+    first run's shuffle map outputs) — the second run executes only
+    the final stage. Measured at 4 cores on a 60M-row corpus: 24.5 s
+    cold vs 0.08 s re-collected, while a plan-identical but
+    object-distinct query re-ran in full. That is result caching:
+    wrong as "warm latency" against a DuckDB baseline that
+    re-executes fully, and stale under data change. The registry
+    wrapper therefore returns ``cached.select("*")`` per invocation;
+    this test pins the mechanism (distinct Python wrapper AND
+    distinct underlying java DataFrame/QueryExecution) plus schema
+    and value equality with the cached plan.
+    """
+    from tests.conftest import SF_DIR
+
+    name = "q1_pricing_summary"
+    fn = registry.QUERIES[name]
+    a = fn(spark, SF_DIR)
+    b = fn(spark, SF_DIR)
+    assert a is not b, "re-invocation returned the same DataFrame object"
+    assert a._jdf.equals(a._jdf) and not a._jdf.equals(b._jdf), (
+        "re-invocation returned the same java DataFrame — materialized "
+        "AQE stages would be re-served instead of re-executed"
+    )
+    key = (spark.sparkContext.applicationId, SF_DIR, name)
+    cached = registry._PLAN_CACHE.get(key)
+    assert cached is not None, "pure query did not populate the plan cache"
+    assert a.schema == cached.schema == b.schema
+    assert a.toPandas().equals(b.toPandas())
