@@ -112,16 +112,28 @@ def a04_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinalities (1–25k per group; empirically ≤2.2% here). The
     oracle pins the flags TRUE: estimator drift past the band is a
     hash FAIL, not an invisible quality loss. The exact counts ride
-    the same aggregate (Spark plans both in one pass), and the HLL
-    merge is register-max — partition-order independent — so the
-    flags are stable, not flaky."""
+    the same output row (broadcast-joined on the 3-value group key),
+    and the HLL merge is register-max — partition-order independent —
+    so the flags are stable, not flaky.
+
+    Plan note (round-10 honest-bench finding): the two sides are
+    deliberately SEPARATE aggregations. Planning multi-column
+    ``countDistinct`` (an Expand: one replicated row-stream per
+    distinct column) together with the imperative HLL aggregate in
+    ONE agg forces the sketch buffers through the expanded
+    distinct machinery — measured 15.2 s vs 1.2 s + 0.75 s split,
+    at sf0.1. Two passes over the fact beat one pathological pass;
+    the join side is 3 rows."""
     (lineitem,) = load_tables(spark, sf_dir, "lineitem")
-    agg = lineitem.groupBy("l_returnflag").agg(
+    approx = lineitem.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_suppkey", rsd=0.02).alias("approx_n_supp"),
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_n_orders"),
+    )
+    exact = lineitem.groupBy("l_returnflag").agg(
         F.countDistinct("l_suppkey").alias("exact_n_supp"),
         F.countDistinct("l_orderkey").alias("exact_n_orders"),
     )
+    agg = exact.join(F.broadcast(approx), "l_returnflag")
     within = lambda a, e: (  # noqa: E731
         F.abs(F.col(a) - F.col(e)) <= F.lit(0.06) * F.col(e)
     )

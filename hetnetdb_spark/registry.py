@@ -177,6 +177,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         # 50-slot window falls through to the r03/r04-certified tail
         # (the stalest evidence in the ledger, per the r9 verdict's
         # rotation ask). Add round-10 newcomers here as they land.
+        "o11_union_by_name",
     }
 )
 
@@ -192,6 +193,15 @@ RECHECK_THIS_ROUND: frozenset[str] = frozenset(
         # and emb_topk_cosine's rebuilt literal-inlined plan, both
         # driver-green), so nothing needs a forced re-check and every
         # driver slot goes to the 29-name never-sampled backlog.
+        #
+        # Round 10: two implementations changed under standing green
+        # rows — q1's money sums moved from DECIMAL containers to
+        # exact int64 micros and the batch tumbling bucket moved from
+        # F.window to integer division (both pinned value-identical
+        # locally; see PLANS.md round 10) — so both re-enter the
+        # driver window as if unverified.
+        "q1_pricing_summary",
+        "events_tumbling_1h",
     }
 )
 

@@ -33,11 +33,16 @@ SESSION_CONF: dict[str, str] = {
     # you want anyway — parallelism comes from the data volume.
     "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
     "spark.sql.adaptive.skewJoin.enabled": "true",
-    # 64 MB build sides broadcast without waiting for an AQE
-    # runtime conversion (one fewer shuffle stage for dim joins).
-    # A threshold, not a pin: planner estimates beyond it (e.g. a
-    # TB-scale customer table) still shuffle-join safely.
-    "spark.sql.autoBroadcastJoinThreshold": "64MB",
+    # Broadcast threshold 16 MB (Spark ships 10 MB). The round-2
+    # setting was 64 MB, tuned against warm numbers later shown to
+    # re-serve materialized stages (PLANS.md round 10) — which hid
+    # the real cost of a big broadcast: a driver-side collect and a
+    # single-threaded hash build, re-paid on every fresh execution.
+    # Measured honestly (q3 at the 10× corpus: 3.1 s at 64 MB vs
+    # 1.5 s at 8–16 MB), mid-size build sides are cheaper to shuffle.
+    # A threshold, not a pin: bounded dims still broadcast; planner
+    # estimates beyond it (a TB-scale customer) shuffle-join safely.
+    "spark.sql.autoBroadcastJoinThreshold": "16MB",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # events.ts is TIMESTAMP(NANOS) parquet. Spark 4.0 honors this
     # legacy conf (epoch-ns LongType); Spark 4.1 ignores it and

@@ -31,7 +31,7 @@ from pyspark.sql.types import (
     TimestampNTZType,
 )
 
-from hetnetdb_spark.catalog import load_tables, table_path
+from hetnetdb_spark.catalog import load_events_raw, load_tables, table_path
 from hetnetdb_spark.registry import query
 
 from hetnetdb_spark.scratch import SCRATCH  # per-process; see scratch.py
@@ -106,20 +106,43 @@ GROUP BY window_start, event_type
 """
 
 
+#: 1 hour in epoch-nanos / epoch-micros — the batch tumbling bucket.
+_HOUR_NS = 3_600_000_000_000
+_HOUR_US = 3_600_000_000
+
+
 @query("events_tumbling_1h", oracle=TUMBLING_ORACLE)
 def events_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Headline T1 (batch form) — 1-hour tumbling count/sum by
-    event_type. `F.window` is a projection (bucket arithmetic), so
-    the plan is scan → partial agg → one shuffle on (window,
-    event_type) — cardinality = hours × 5, independent of row
-    count."""
-    (events,) = load_tables(spark, sf_dir, "events")
+    event_type. The plan is scan → partial agg → one shuffle on
+    (bucket, event_type) — cardinality = hours × 5, independent of
+    row count.
+
+    The bucket is ONE integer division over the raw epoch-ns column
+    (`ts div 1h`), with the window-start timestamp reconstructed
+    from the bucket AFTER aggregation — identical semantics to
+    ``F.window(ts, "1 hour")`` for positive epochs (both floor to
+    the hour from epoch 0), but ~10× cheaper per input row:
+    ``F.window`` expands to four ``precisetimestampconversion``
+    calls plus a two-timestamp struct built per ROW (round-10
+    crossover profile: 20× DuckDB at every corpus factor, flat —
+    per-row expression cost, not shuffle), while this form defers
+    all timestamp materialization to the few hundred surviving
+    groups. The streaming twin t01 keeps ``F.window`` — the
+    streaming state manager requires the window column.
+    """
+    events = load_events_raw(spark, sf_dir)
     return (
         events.groupBy(
-            F.window("ts", "1 hour").alias("w"), "event_type"
+            F.expr(f"ts div {_HOUR_NS}").alias("hb"), "event_type"
         )
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
-        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+        .select(
+            F.timestamp_micros(F.col("hb") * F.lit(_HOUR_US)).alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
     )
 
 
