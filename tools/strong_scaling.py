@@ -79,11 +79,16 @@ LADDER = [
 #: scan-bound plans once fixed per-stage costs are paid; anything
 #: below 1.5x on a query with real work means a serial stage.
 MIN_SPEEDUP = float(os.environ.get("SPARK_GRAFT_MIN_SPEEDUP", "1.5"))
-#: Queries faster than this at the LO rung are fixed-cost-dominated
-#: (task launch + codegen + Arrow result transfer ~ 30-60 ms on this
-#: box); they are exempt from MIN_SPEEDUP but still gated on
-#: NO_DEGRADE.
-GATE_FLOOR_S = float(os.environ.get("SPARK_GRAFT_GATE_FLOOR_S", "0.15"))
+#: Queries faster than this at the LO rung are fixed-cost-dominated;
+#: they are exempt from MIN_SPEEDUP but still gated on NO_DEGRADE.
+#: Calibration (honest fresh-execution runs, round 10): a fresh
+#: QueryExecution costs ~0.15 s flat (plan + optimize + schedule +
+#: Arrow fetch) and ~0.3-0.45 s for 2-3 stage shapes — a 4-core wall
+#: under ~0.8 s is majority floor, and a speedup ratio there measures
+#: scheduling overhead, not plan scalability (events_tumbling_1h at
+#: the 30x corpus: 0.60 s at c4 of which ~0.45 s is floor; its
+#: parallelizable work is real but too small to move the ratio).
+GATE_FLOOR_S = float(os.environ.get("SPARK_GRAFT_GATE_FLOOR_S", "0.8"))
 #: Hard floor for every query: walls this short are ~20% noisy
 #: (min-of-5), so a "speedup" down to 0.75x is indistinguishable
 #: from flat; below that is a real degradation and fails the run.
