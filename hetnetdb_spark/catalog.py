@@ -186,3 +186,29 @@ def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
             cols = ", ".join(atomic)
             spark.sql(f"ANALYZE TABLE {n} COMPUTE STATISTICS FOR COLUMNS {cols}")
         _BOUND_SF[key] = sf_dir
+
+
+def spread(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Re-split a small, CPU-heavy input across every core.
+
+    The fixture tables are single-row-group parquet files, so their
+    scans are ONE input split no matter the conf — and a projection
+    that burns real CPU per row (the MinHash/SimHash families run
+    dozens of md5s per shingle) serializes on one core while 31 sit
+    idle (round-10 honest bench: l02_minhash_neardup 17.6 s with 1
+    partition). For those operators a hash repartition on the stable
+    key is a ~20 k-row shuffle that buys core-count parallelism for
+    the expensive stage — deterministic (key-hash, not round-robin),
+    and value-invisible since every caller aggregates or joins
+    afterward.
+
+    Deliberately OPT-IN per operator, not applied in `load`: at the
+    100 TB posture scans arrive in thousands of splits and an
+    unconditional repartition would be a full-data shuffle for
+    nothing. The no-op guard below makes the call safe to leave in
+    at any scale: already-parallel inputs pass through untouched.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, F.col(key))

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hetnetdb_spark.catalog import load_tables
+from hetnetdb_spark.catalog import load_tables, spread
 from hetnetdb_spark.registry import query
 
 #: (column, kind) pairs profiled on orders; kind picks the min/max slot.
@@ -107,6 +107,9 @@ def s17_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly.
     """
     (orders,) = load_tables(spark, sf_dir, "orders")
+    # multi-column countDistinct expands rows x columns on a
+    # single-split scan; see catalog.spread
+    orders = spread(orders, key="o_orderkey")
     aggs: list[Column] = []
     for c, kind in _PROFILE_COLS:
         mn, mx, smn, smx = _spark_minmax(c, kind)

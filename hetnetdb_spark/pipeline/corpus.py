@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from hetnetdb_spark.catalog import load_tables
+from hetnetdb_spark.catalog import load_tables, spread
 from hetnetdb_spark.expr import r6
 from hetnetdb_spark.pipeline.similarity import duck_dot
 from hetnetdb_spark.registry import query
@@ -351,6 +351,7 @@ def l30_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject, not a global sort.
     """
     (documents,) = load_tables(spark, sf_dir, "documents")
+    documents = spread(documents)  # CPU-bound hash family: see catalog.spread
     toks = F.split(F.col("text"), " ")
     grams = F.array_distinct(
         F.transform(

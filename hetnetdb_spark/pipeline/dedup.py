@@ -29,7 +29,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from hetnetdb_spark.catalog import load_tables
+from hetnetdb_spark.catalog import load_tables, spread
 from hetnetdb_spark.expr import r6
 from hetnetdb_spark.pipeline.similarity import band_candidates, duck_dot
 from hetnetdb_spark.registry import query
@@ -318,6 +318,7 @@ def l02_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified counts.
     """
     (documents,) = load_tables(spark, sf_dir, "documents")
+    documents = spread(documents)  # CPU-bound hash family: see catalog.spread
     docs = documents.select("doc_id", F.expr(_SHINGLE_SPARK).alias("sh"))
     banded = _banded_signatures(docs)
 
@@ -432,6 +433,7 @@ def l02_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     heuristic), then verify with `bit_count(a XOR b) <= 8`.
     """
     (documents,) = load_tables(spark, sf_dir, "documents")
+    documents = spread(documents)  # CPU-bound hash family: see catalog.spread
     fps, pairs = _simhash_fps_and_pairs(documents)
     near = pairs.filter(
         F.bit_count(F.col("a_sig").bitwiseXOR(F.col("b_sig"))) <= MAX_HAMMING
@@ -965,6 +967,7 @@ def l23_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     more candidates) without touching the verify stage.
     """
     (documents,) = load_tables(spark, sf_dir, "documents")
+    documents = spread(documents)  # CPU-bound hash family: see catalog.spread
     corrupted = documents.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 300000).alias("doc_id"),
         F.concat(F.lit("Z"), F.expr("substr(text, 2)")).alias("text"),
@@ -1394,6 +1397,7 @@ def l59_minhash_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries (band key, id) pairs only, and with a bucketed index
     only the batch side moves. Never N², never a corpus re-scan."""
     (documents,) = load_tables(spark, sf_dir, "documents")
+    documents = spread(documents)  # CPU-bound hash family: see catalog.spread
     docs = documents.select("doc_id", F.expr(_SHINGLE_SPARK).alias("sh"))
     banded = _banded_signatures(docs)
 
@@ -1498,6 +1502,7 @@ def l67_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     window must be *maximal* spans, not fixed-K detection.
     """
     (documents,) = load_tables(spark, sf_dir, "documents")
+    documents = spread(documents)  # CPU-bound hash family: see catalog.spread
     n = F.char_length("text")
     grams = documents.select(
         "doc_id",
@@ -1623,6 +1628,7 @@ def l68_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     output is |sources| rows. The DuckDB twin replays gram hits,
     island merging, and the removal fractions end to end."""
     (documents,) = load_tables(spark, sf_dir, "documents")
+    documents = spread(documents)  # CPU-bound hash family: see catalog.spread
     n = F.char_length("text")
     grams = documents.select(
         "doc_id",
@@ -1796,6 +1802,7 @@ def l70_minhash_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     the l02 CTE chain (`_mh_cand_ctes`) so operator and audit
     cannot diverge."""
     (documents,) = load_tables(spark, sf_dir, "documents")
+    documents = spread(documents)  # CPU-bound hash family: see catalog.spread
     variants = documents.filter(F.col("doc_id") < L70_N_PLANT).select(
         (F.col("doc_id") + L70_PLANT_OFF).alias("doc_id"),
         F.expr(_L70_VARIANT_SQL).alias("text"),
@@ -1812,23 +1819,37 @@ def l70_minhash_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would ship the whole posting list to the driver (and
     # shuffle_hash's per-partition build map OOMs at scale — the
     # l67 30× measurement).
-    true_cand = (
+    # Exact Jaccard WITHOUT re-joining the shingle arrays onto the
+    # pairs: shingles are array_distinct (set semantics), so the
+    # posting join's per-pair row count IS |A ∩ B| — aggregate it
+    # instead of dropDuplicates, then join two scalar set sizes.
+    # (Round-10 honest-bench rewrite: the previous form shipped two
+    # ~100-element arrays per candidate pair through the joins and
+    # ran array_intersect per pair — the arrays never need to leave
+    # the posting index.)
+    inter_counts = (
         pa.join(pb.hint("merge"), "g")
         .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
-        .dropDuplicates(["a_id", "b_id"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    sh_a = docs.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh"))
-    sh_b = docs.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh"))
-    inter = F.size(F.array_intersect(F.col("a_sh"), F.col("b_sh")))
-    union = F.size(F.col("a_sh")) + F.size(F.col("b_sh")) - inter
+    sizes = docs.select("doc_id", F.size("sh").alias("n_sh"))
     truth = (
-        true_cand.join(sh_a, "a_id")
-        .join(sh_b, "b_id")
+        inter_counts.join(
+            sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("a_n")),
+            "a_id",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("b_n")),
+            "b_id",
+        )
         .select(
             "a_id",
             "b_id",
-            r6(inter.cast("double") / union.cast("double")).alias("j"),
+            r6(
+                F.col("n_inter").cast("double")
+                / (F.col("a_n") + F.col("b_n") - F.col("n_inter")).cast("double")
+            ).alias("j"),
         )
         .filter(F.col("j") >= L70_J_MIN)
     )

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from hetnetdb_spark.catalog import load_tables
+from hetnetdb_spark.catalog import load_tables, spread
 from hetnetdb_spark.expr import dot, r6
 from hetnetdb_spark.registry import query
 
@@ -489,6 +489,7 @@ def l04_simjoin_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`l03_knn_ivf`) instead.
     """
     (emb,) = load_tables(spark, sf_dir, "embeddings")
+    emb = spread(emb, key="vec_id")  # CPU-bound hyperplane dots: see catalog.spread
     banded = emb.select(
         "vec_id", F.explode(F.array(*_band_structs())).alias("band")
     ).select("vec_id", "band.band_id", "band.band_val")
@@ -648,6 +649,7 @@ def l04_simjoin_lsh_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
     (band_id, band_val, vec_id) only; vectors re-join onto the
     candidate pairs."""
     (emb,) = load_tables(spark, sf_dir, "embeddings")
+    emb = spread(emb, key="vec_id")  # CPU-bound hyperplane dots: see catalog.spread
     base = emb.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("e"),

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from hetnetdb_spark.catalog import load_tables
+from hetnetdb_spark.catalog import load_tables, spread
 from hetnetdb_spark.expr import r6, zround
 from hetnetdb_spark.registry import query
 
@@ -403,6 +403,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     embarrassingly parallel; the aggregate shuffles only 16-byte
     hashes, never text."""
     (documents,) = load_tables(spark, sf_dir, "documents")
+    documents = spread(documents)  # CPU-bound hash family: see catalog.spread
     low = F.lower(F.col("text"))
     shingle_fp = F.array_min(
         F.transform(
