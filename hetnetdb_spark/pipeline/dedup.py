@@ -573,6 +573,7 @@ def l71_simhash_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "popcount leg; sample the corpus or trust the banded path "
             "(l02) certified by this audit at fixture scale"
         )
+    documents = spread(documents)  # CPU-bound hash family: see catalog.spread
     fps, pairs = _simhash_fps_and_pairs(documents)
 
     fa = fps.select(F.col("doc_id").alias("a_id"), F.col("simhash").alias("sa"))
