@@ -233,6 +233,26 @@ def _banded_signatures(docs: DataFrame) -> DataFrame:
     ).select("doc_id", "band.band_id", "band.bucket")
 
 
+def _mh_sig_ctes(src: str = "documents") -> str:
+    """The s → mh signature CTE prefix: shingle sets and the
+    32-hash MinHash signature per doc. Split out of
+    ``_mh_cand_ctes`` so the l72 estimator-accuracy oracle can
+    reuse the EXACT signature definition without the banding legs
+    (one spelling of the hash family, everywhere)."""
+    mh_cols = ",\n           ".join(
+        f"list_min(list_transform(sh, x -> {_mh_hash_duck(j)})) AS mh{j}"
+        for j in range(N_HASHES)
+    )
+    return f"""s AS (
+    SELECT doc_id, {_SHINGLE_DUCK} AS sh FROM {src}
+),
+mh AS (
+    SELECT doc_id,
+           {mh_cols}
+    FROM s
+)"""
+
+
 def _mh_cand_ctes(src: str = "documents") -> str:
     """The s → mh → banded → cand CTE chain shared by the l02
     MinHash oracle and the l70 recall-curve oracle — ONE definition
@@ -241,10 +261,6 @@ def _mh_cand_ctes(src: str = "documents") -> str:
     applied to the text side). With the default ``src`` the
     generated text is byte-identical to the pre-refactor l02
     oracle; l70 points it at its planted-variant universe."""
-    mh_cols = ",\n           ".join(
-        f"list_min(list_transform(sh, x -> {_mh_hash_duck(j)})) AS mh{j}"
-        for j in range(N_HASHES)
-    )
     band_rows = "\n    UNION ALL ".join(
         f"SELECT doc_id, {b} AS band_id, "
         + " || ',' || ".join(
@@ -254,14 +270,7 @@ def _mh_cand_ctes(src: str = "documents") -> str:
         + " AS bucket FROM mh"
         for b in range(N_BANDS)
     )
-    return f"""s AS (
-    SELECT doc_id, {_SHINGLE_DUCK} AS sh FROM {src}
-),
-mh AS (
-    SELECT doc_id,
-           {mh_cols}
-    FROM s
-),
+    return f"""{_mh_sig_ctes(src)},
 banded AS (
     {band_rows}
 ),
@@ -1876,4 +1885,145 @@ def l70_minhash_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.count(F.lit(1))
             ).alias("recall"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# L72 — MinHash Jaccard-ESTIMATOR accuracy on planted pairs (l70's twin)
+# --------------------------------------------------------------------------
+
+#: |estimate − exact| ceiling for the 32-hash estimator. E[est] = J
+#: with σ = sqrt(J(1−J)/32) ≤ 0.0885; the bound is ~3.2σ at the
+#: worst-case J = 0.5. Measured maxima on the deterministic planted
+#: pairs: 0.186 (sf0.001), 0.193 (sf0.01), 0.227 (sf0.1) — the flag
+#: rides the certified output, so estimator drift past the band is
+#: a hash FAIL (the a04/a16 "approximate ≠ unverifiable" posture).
+L72_ERR_BOUND = 0.28
+
+
+def _l72_oracle() -> str:
+    agree = " + ".join(
+        f"CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END"
+        for j in range(N_HASHES)
+    )
+    return f"""
+WITH docs_all AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + {L70_PLANT_OFF} AS doc_id,
+           {_L70_VARIANT_DUCK} AS text
+    FROM documents WHERE doc_id < {L70_N_PLANT}
+),
+{_mh_sig_ctes(src="docs_all")},
+pairs AS (
+    SELECT a.doc_id AS a_id, ({agree}) / {N_HASHES}.0 AS est
+    FROM mh a JOIN mh b ON b.doc_id = a.doc_id + {L70_PLANT_OFF}
+    WHERE a.doc_id < {L70_N_PLANT}
+),
+scored AS (
+    SELECT p.a_id, p.est,
+           CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))
+                AS DOUBLE)
+           / (len(sa.sh) + len(sb.sh)
+              - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))) AS j
+    FROM pairs p
+    JOIN s sa ON sa.doc_id = p.a_id
+    JOIN s sb ON sb.doc_id = p.a_id + {L70_PLANT_OFF}
+)
+SELECT LEAST(CAST(FLOOR(j * 10) AS BIGINT), 9) / 10.0 AS j_bucket,
+       CAST(COUNT(*) AS BIGINT)    AS n_pairs,
+       ROUND(AVG(j), 6)            AS mean_exact_j,
+       ROUND(AVG(est), 6)          AS mean_est_j,
+       ROUND(AVG(ABS(est - j)), 6) AS mean_abs_err,
+       MAX(ABS(est - j)) <= {L72_ERR_BOUND} AS within_bound
+FROM scored
+GROUP BY j_bucket
+ORDER BY j_bucket
+"""
+
+
+@query("l72_minhash_estimate_error", oracle=_l72_oracle())
+def l72_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L72 — the ACCURACY half of the MinHash quality contract:
+    l70 pins what fraction of true pairs the banding SURFACES
+    (recall); this pins how well the signature ESTIMATES Jaccard —
+    per exact-J bucket, the mean estimate must track the mean exact
+    value and the worst |estimate − exact| must stay inside
+    L72_ERR_BOUND (~3.2σ for 32 hashes). A hash-family regression
+    that collapses permutation diversity (e.g. the round-5 arity
+    bug l70's docstring records — 32 ACCIDENTAL families still
+    banded plausibly) moves the estimator's error band immediately,
+    even when banding recall survives by coincidence.
+
+    Ground truth is PLANTED, not mined: the same prefix-variant
+    corpus as l70 (the first 64 docs keep 0.45..0.75 of their words by
+    doc_id), so the pair set is deterministic, spans the estimator's
+    hard middle range, and needs no O(N²) leg — 64 known pairs, an
+    equi-join on doc_id+offset. The exact-J side runs set ops on 64
+    pairs' shingle arrays (bounded, never corpus-scale); the
+    signature side reuses `_mh_hash_spark`/`_mh_sig_ctes`, ONE
+    spelling of the hash family across operator, recall audit, and
+    this accuracy audit.
+
+    Scale posture: signatures are the l02 linear pass (spread +
+    map-side array_min per hash); the pair join carries 32 longs ×
+    64 rows. At corpus scale the planted set stays fixed-size — the
+    audit costs one signature pass regardless of N."""
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    documents = spread(documents)  # CPU-bound hash family: see catalog.spread
+    variants = documents.filter(F.col("doc_id") < L70_N_PLANT).select(
+        (F.col("doc_id") + L70_PLANT_OFF).alias("doc_id"),
+        F.expr(_L70_VARIANT_SQL).alias("text"),
+    )
+    docs_all = documents.select("doc_id", "text").unionByName(variants)
+    shingled = docs_all.select("doc_id", F.expr(_SHINGLE_SPARK).alias("sh"))
+
+    def _h_j(j: int):
+        return lambda s: _mh_hash_spark(j, s)
+
+    sigs = shingled.select(
+        "doc_id",
+        "sh",
+        *[
+            F.array_min(F.transform(F.col("sh"), _h_j(j))).alias(f"mh{j}")
+            for j in range(N_HASHES)
+        ],
+    )
+    a = sigs.filter(F.col("doc_id") < L70_N_PLANT).select(
+        "doc_id",
+        F.col("sh").alias("a_sh"),
+        *[F.col(f"mh{j}").alias(f"amh{j}") for j in range(N_HASHES)],
+    )
+    b = sigs.filter(F.col("doc_id") >= L70_PLANT_OFF).select(
+        (F.col("doc_id") - L70_PLANT_OFF).alias("doc_id"),
+        F.col("sh").alias("b_sh"),
+        *[F.col(f"mh{j}").alias(f"bmh{j}") for j in range(N_HASHES)],
+    )
+    agree = sum(
+        F.when(F.col(f"amh{j}") == F.col(f"bmh{j}"), 1).otherwise(0)
+        for j in range(N_HASHES)
+    )
+    inter = F.size(F.array_intersect(F.col("a_sh"), F.col("b_sh")))
+    union = F.size(F.col("a_sh")) + F.size(F.col("b_sh")) - inter
+    scored = (
+        a.join(F.broadcast(b), "doc_id")
+        .select(
+            (agree / F.lit(float(N_HASHES))).alias("est"),
+            (inter.cast("double") / union.cast("double")).alias("j"),
+        )
+    )
+    bucket = (
+        F.least(F.floor(F.col("j") * 10).cast("bigint"), F.lit(9)) / 10.0
+    ).alias("j_bucket")
+    err = F.abs(F.col("est") - F.col("j"))
+    return (
+        scored.groupBy(bucket)
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            r6(F.avg("j")).alias("mean_exact_j"),
+            r6(F.avg("est")).alias("mean_est_j"),
+            r6(F.avg(err)).alias("mean_abs_err"),
+            (F.max(err) <= F.lit(L72_ERR_BOUND)).alias("within_bound"),
+        )
+        .orderBy("j_bucket")
     )

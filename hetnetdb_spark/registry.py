@@ -178,6 +178,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         # (the stalest evidence in the ledger, per the r9 verdict's
         # rotation ask). Add round-10 newcomers here as they land.
         "o11_union_by_name",
+        "l72_minhash_estimate_error",
     }
 )
 
