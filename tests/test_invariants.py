@@ -458,3 +458,22 @@ def test_pure_query_reinvocation_executes_fresh(spark):
     assert cached is not None, "pure query did not populate the plan cache"
     assert a.schema == cached.schema == b.schema
     assert a.toPandas().equals(b.toPandas())
+
+
+def test_spread_parallelizes_and_noops_when_wide(spark):
+    """catalog.spread: single-split inputs fan out to the core
+    count (deterministic key-hash, not round-robin); inputs already
+    at or above the core count pass through untouched (the guard
+    that makes the call safe to leave in at 100 TB, where scans
+    arrive in thousands of splits)."""
+    from hetnetdb_spark.catalog import load, spread
+    from tests.conftest import SF_DIR
+
+    docs = load(spark, SF_DIR, "documents")
+    assert docs.rdd.getNumPartitions() == 1, "fixture assumption changed"
+    wide = spread(docs)
+    target = spark.sparkContext.defaultParallelism
+    assert wide.rdd.getNumPartitions() == target
+    assert wide.count() == docs.count()
+    again = spread(wide)
+    assert again is wide, "already-parallel input must pass through"
