@@ -61,6 +61,12 @@ def main() -> None:
     print("-- a checkpoint's state store, read back as a DataFrame --")
     hs.run(spark, sf_dir, "t25_state_reader").show(3)
 
+    print("== 5. Round 10: honest-measurement additions ==")
+    print("-- schema-evolution union: by-name landing + NULL fill pinned --")
+    hs.run(spark, sf_dir, "o11_union_by_name").show(3)
+    print("-- MinHash estimator accuracy per Jaccard bucket (l70's twin) --")
+    hs.run(spark, sf_dir, "l72_minhash_estimate_error").show()
+
 
 if __name__ == "__main__":
     main()
