@@ -179,6 +179,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         # rotation ask). Add round-10 newcomers here as they land.
         "o11_union_by_name",
         "l72_minhash_estimate_error",
+        "s42_targeted_delete",
     }
 )
 

@@ -1990,3 +1990,151 @@ def s39_python_datasource_pushdown(spark: SparkSession, sf_dir: str) -> DataFram
             spark.conf.set(conf_key, old)
         else:
             spark.conf.unset(conf_key)
+
+
+# --------------------------------------------------------------------------
+# S42 — targeted delete (GDPR erasure): manifest-pruned copy-on-write
+# --------------------------------------------------------------------------
+
+S42_N_SHARDS = 8
+
+S42_ORACLE = f"""
+WITH bounds AS (
+    SELECT CAST(FLOOR((MAX(doc_id) + {S42_N_SHARDS}) / {S42_N_SHARDS}.0)
+                AS BIGINT) AS span
+    FROM documents
+),
+d AS (
+    SELECT doc_id, text,
+           CAST(FLOOR(doc_id / span) AS BIGINT) AS shard,
+           (doc_id BETWEEN span * 2 AND span * 2 + CAST(FLOOR(span / 4.0) AS BIGINT))
+           OR (doc_id BETWEEN span * 5 AND span * 5 + CAST(FLOOR(span / 4.0) AS BIGINT))
+               AS is_target
+    FROM documents, bounds
+)
+SELECT shard,
+       CAST(COUNT(*) AS BIGINT)                                   AS n_before,
+       CAST(COUNT(*) FILTER (WHERE NOT is_target) AS BIGINT)      AS n_after,
+       CAST(COUNT(*) FILTER (WHERE is_target) AS BIGINT)          AS n_deleted,
+       shard IN (2, 5)                                            AS rewritten,
+       CAST(COALESCE(SUM(LENGTH(text)) FILTER (WHERE NOT is_target), 0)
+            AS BIGINT)                                            AS chars_after
+FROM d
+GROUP BY shard
+ORDER BY shard
+"""
+
+
+@query("s42_targeted_delete", oracle=S42_ORACLE, impure=True)
+def s42_targeted_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S42 — targeted row deletion (the GDPR/right-to-be-forgotten
+    write path) as manifest-pruned copy-on-write: the store is
+    range-sharded on doc_id (8 shards, span = ceil((max+1)/8), one
+    file per shard), the delete set is two id RANGES that land
+    entirely inside shards 2 and 5 by construction, and the rewrite
+    touches ONLY the shards whose [lo, hi) range intersects a target
+    range — pruning decided from the MANIFEST's range stats, no scan
+    of the six untouched shards. The v2 manifest (s24's mechanism)
+    lists the two new files plus v1's six originals verbatim, so the
+    certified output is read back THROUGH the post-delete manifest:
+    per shard, rows before/after, rows deleted, whether the shard
+    was rewritten, and the surviving text mass in exact characters —
+    a silently-undeleted target, an over-deleted survivor, or a
+    rewrite that touched the wrong shard all fail the hash.
+
+    At 100 TB this is the only shape an erasure job can take: the
+    fleet-wide cost is proportional to the files that CONTAIN
+    targets (located by range/bloom stats), not to the table; the
+    untouched 99.9% of files transfer to the new snapshot as
+    manifest lines. The one driver materialization is MAX(doc_id)
+    (a 1-row collect to size the shard span at build time; the
+    oracle derives the same span relationally).
+
+    Registered impure: scratch-dir store build + rewrite."""
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    base = os.path.join(SCRATCH, f"s42_store_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+
+    max_id = documents.agg(F.max("doc_id")).collect()[0][0]
+    span = (max_id + S42_N_SHARDS) // S42_N_SHARDS  # == ceil((max+1)/8)
+    quarter = span // 4
+
+    table = documents.select(
+        "doc_id",
+        "text",
+        F.expr(f"doc_id div {span}").alias("shard"),
+        F.expr(f"doc_id div {span}").alias("shard_id"),  # survives partitionBy
+    )
+    v1_dir = os.path.join(base, "v1")
+    table.repartition("shard").write.partitionBy("shard").parquet(v1_dir)
+
+    def shard_files(root: str) -> dict[int, list[str]]:
+        out: dict[int, list[str]] = {}
+        for d in os.listdir(root):
+            if d.startswith("shard="):
+                s = int(d.split("=", 1)[1])
+                out[s] = sorted(
+                    os.path.join(root, d, f)
+                    for f in os.listdir(os.path.join(root, d))
+                    if f.endswith(".parquet")
+                )
+        return out
+
+    manifest_v1 = shard_files(v1_dir)
+
+    # Target ranges sit inside shards 2 and 5 by construction; the
+    # prune intersects each shard's [s*span, (s+1)*span) against
+    # them — manifest range stats, not data.
+    target_ranges = [
+        (span * 2, span * 2 + quarter),
+        (span * 5, span * 5 + quarter),
+    ]
+    tgt = F.lit(False)
+    for lo, hi in target_ranges:
+        tgt = tgt | F.col("doc_id").between(lo, hi)
+    rewritten = sorted(
+        s
+        for s in manifest_v1
+        if any(lo < (s + 1) * span and hi >= s * span for lo, hi in target_ranges)
+    )
+
+    v2_dir = os.path.join(base, "v2")
+    (
+        table.filter(F.col("shard").isin(rewritten) & ~tgt)
+        .repartition("shard")
+        .write.partitionBy("shard")
+        .parquet(v2_dir)
+    )
+    manifest_v2 = dict(manifest_v1)
+    manifest_v2.update(
+        {s: fs for s, fs in shard_files(v2_dir).items()}
+    )
+    # A rewritten shard whose survivors are zero rows writes no
+    # files; the delete then removes it from the manifest entirely.
+    for s in rewritten:
+        if s not in shard_files(v2_dir):
+            manifest_v2.pop(s, None)
+
+    before = spark.read.parquet(*[f for fs in manifest_v1.values() for f in fs])
+    after = spark.read.parquet(*[f for fs in manifest_v2.values() for f in fs])
+
+    agg_before = before.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_before")
+    )
+    agg_after = after.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_after"),
+        F.sum(F.length("text").cast("long")).alias("chars_after"),
+    )
+    return (
+        agg_before.join(agg_after, "shard_id", "left")
+        .select(
+            F.col("shard_id").alias("shard"),
+            "n_before",
+            F.coalesce("n_after", F.lit(0)).alias("n_after"),
+            (F.col("n_before") - F.coalesce("n_after", F.lit(0))).alias("n_deleted"),
+            F.col("shard_id").isin([2, 5]).alias("rewritten"),
+            F.coalesce("chars_after", F.lit(0)).alias("chars_after"),
+        )
+        .orderBy("shard")
+    )

@@ -477,3 +477,31 @@ def test_spread_parallelizes_and_noops_when_wide(spark):
     assert wide.count() == docs.count()
     again = spread(wide)
     assert again is wide, "already-parallel input must pass through"
+
+
+def test_s42_delete_rewrites_only_target_shards(spark):
+    """s42: the erasure rewrite must be manifest-pruned — the v2
+    directory contains files for EXACTLY the shards whose range
+    intersects a target range (2 and 5), and the other six shards'
+    v1 files survive untouched (copy-on-write: erasure cost tracks
+    files-with-targets, not table size)."""
+    import os
+
+    from tests.conftest import SF_DIR
+    from hetnetdb_spark.scratch import SCRATCH
+
+    registry.QUERIES["s42_targeted_delete"](spark, SF_DIR).collect()
+    tag = SF_DIR.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    base = os.path.join(SCRATCH, f"s42_store_{tag}")
+    v2_shards = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(os.path.join(base, "v2"))
+        if d.startswith("shard=")
+    )
+    assert v2_shards == [2, 5], v2_shards
+    v1_shards = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(os.path.join(base, "v1"))
+        if d.startswith("shard=")
+    )
+    assert set(v1_shards) >= {0, 1, 3, 4, 6, 7}, v1_shards
