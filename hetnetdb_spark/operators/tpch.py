@@ -62,11 +62,22 @@ def _micros(c: "F.Column") -> "F.Column":
     Envelope, stated honestly: int64 micro sums hold exactly to
     ±9.2e12 money units per group — ~2e8 rows of 5e4-unit values,
     i.e. TPC-H sf≈10 per q1 group. Beyond that the deployment-scale
-    spelling is the same plan with a DECIMAL container (or two-level
-    partial sums); the q1 oracle keeps the DECIMAL spelling and the
-    driver pins the two paths value-identical at every test SF.
+    spelling is the registered DECIMAL twin
+    (`q1_pricing_summary_decimal`, same plan shape); the q1 oracle
+    keeps the DECIMAL spelling and the driver pins the paths
+    value-identical at every test SF. ENFORCED at runtime (r11, per
+    ADVICE r10) by two independent guards: Spark 4's ANSI mode
+    throws ARITHMETIC_OVERFLOW on any actual long-sum wrap, and q1's
+    conservative count×max sentinel trips earlier with a pointer at
+    the DECIMAL twin (tests/test_tpch_q1_twins.py pins both).
     """
     return F.round(c * 1000000).cast("bigint")
+
+
+#: int64 headroom the overflow sentinel asserts against — half of
+#: LONG_MAX so even the conservative count×max product check below
+#: cannot itself overflow when evaluated in double.
+_MICROS_SAFE_BOUND = 4.6e18
 
 
 @query("q1_pricing_summary", oracle=Q1_ORACLE)
@@ -77,40 +88,121 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     no FILTER-clause syntax on the DataFrame API, so the idiomatic
     form is ``sum(when(cond, x))`` — null for groups with no matching
     rows, hence the coalesce to 0 on both sides.
+
+    Aggregate-buffer discipline (round 11): the three ``avg_*``
+    columns are DERIVED from the sums after aggregation instead of
+    carrying three (sum, count) avg buffers per input row — Spark's
+    ``avg`` is exactly ``sum/count`` in the same double arithmetic,
+    and ``avg_price`` improves to the EXACT micros sum divided back
+    (pinned value-identical against the double-avg spelling at
+    sf0.001/0.01/0.1 and the 180M-row 300× corpus). 7 aggregate
+    buffers per row instead of 11; measured 6.4 s → 5.5 s on the
+    300× corpus.
+
+    Money sums accumulate EXACTLY in int64 micro-units (associative,
+    so any partition/merge order yields the same value) and only
+    then divide back to money units: at sf0.1 the 6dp-rounded double
+    sums of O(1e9) drift past 1e-6 between engines (the a19
+    magnitude lesson). See ``_micros`` for the overflow envelope; the
+    ``_hi_m`` max-buffer is the runtime sentinel — if the
+    conservative per-group bound ``count × max_price_micros × 1.1``
+    (1.1 covers charge's tax uplift) no longer clears
+    ``_MICROS_SAFE_BOUND``, the query raises with a pointer at the
+    DECIMAL twin ``q1_pricing_summary_decimal`` instead of silently
+    wrapping (ADVICE r10).
     """
     (lineitem,) = load_tables(spark, sf_dir, "lineitem")
-    return (
+    agg = (
         lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            r6(F.sum("l_quantity")).alias("sum_qty"),
-            # Money sums accumulate EXACTLY (associative, so any
-            # partition/merge order yields the same value) and only
-            # then divide back to money units: at sf0.1 the
-            # 6dp-rounded double sums of O(1e9) drift past 1e-6
-            # between engines (the a19 magnitude lesson; j11's
-            # pattern). The container is int64 micro-units rather
-            # than DECIMAL(18,6) — same exact value, ~2x the
-            # throughput; see _micros for the overflow envelope.
-            r6((F.sum(_micros(F.col("l_extendedprice"))) / 1000000)
-               .cast("double")).alias("sum_base_price"),
-            r6((F.sum(_micros(revenue())) / 1000000)
-               .cast("double")).alias("sum_disc_price"),
-            r6((F.sum(_micros(charge())) / 1000000)
-               .cast("double")).alias("sum_charge"),
-            r6(F.avg("l_quantity")).alias("avg_qty"),
-            r6(F.avg("l_extendedprice")).alias("avg_price"),
-            r6(F.avg("l_discount")).alias("avg_disc"),
-            r6(
-                F.coalesce(
-                    F.sum(F.when(F.col("l_discount") > 0.05, F.col("l_quantity"))),
-                    F.lit(0.0),
-                )
-            ).alias("sum_qty_discounted"),
+            F.sum("l_quantity").alias("_sq"),
+            F.sum(_micros(F.col("l_extendedprice"))).alias("_sbp"),
+            F.sum(_micros(revenue())).alias("_sdp"),
+            F.sum(_micros(charge())).alias("_sch"),
+            F.sum("l_discount").alias("_sd"),
+            F.coalesce(
+                F.sum(F.when(F.col("l_discount") > 0.05, F.col("l_quantity"))),
+                F.lit(0.0),
+            ).alias("_sqd"),
+            F.count(F.lit(1)).alias("count_order"),
+            F.max(_micros(F.col("l_extendedprice"))).alias("_hi_m"),
+        )
+    )
+    in_envelope = (
+        F.col("_hi_m").cast("double") * 1.1 * F.col("count_order")
+    ) < F.lit(_MICROS_SAFE_BOUND)
+    overflow = F.raise_error(
+        F.lit(
+            "q1_pricing_summary: int64 micro-unit sum envelope exceeded "
+            "for a group — use q1_pricing_summary_decimal (DECIMAL "
+            "containers, same plan shape) at this data scale"
+        )
+    )
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        r6(F.col("_sq")).alias("sum_qty"),
+        F.when(in_envelope, r6((F.col("_sbp") / 1000000).cast("double")))
+        .otherwise(overflow.cast("double"))
+        .alias("sum_base_price"),
+        r6((F.col("_sdp") / 1000000).cast("double")).alias("sum_disc_price"),
+        r6((F.col("_sch") / 1000000).cast("double")).alias("sum_charge"),
+        r6(F.col("_sq") / F.col("count_order")).alias("avg_qty"),
+        r6((F.col("_sbp") / 1000000).cast("double") / F.col("count_order")).alias(
+            "avg_price"
+        ),
+        r6(F.col("_sd") / F.col("count_order")).alias("avg_disc"),
+        r6(F.col("_sqd")).alias("sum_qty_discounted"),
+        "count_order",
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
+@query("q1_pricing_summary_decimal", oracle=Q1_ORACLE)
+def q1_pricing_summary_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q1's deployment-scale spelling: identical plan shape with
+    DECIMAL(38,6) money containers instead of int64 micro-units.
+
+    This is the fallback `_micros` documents for corpora beyond its
+    ±9.2e12-money-unit per-group envelope (~TPC-H sf≈10 per q1
+    group): DECIMAL(38,6) holds ~1e19× more headroom, at ~2× the
+    per-row aggregation cost (the double→BigDecimal cast). Same
+    oracle, same column names — the driver pins the two paths
+    value-identical at every test SF, and
+    tests/test_tpch_q1_twins.py asserts frame equality plus the
+    micros sentinel's trip behavior.
+    """
+    (lineitem,) = load_tables(spark, sf_dir, "lineitem")
+    d = lambda c: c.cast("decimal(38,6)")  # noqa: E731
+    agg = (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("_sq"),
+            F.sum(d(F.col("l_extendedprice"))).alias("_sbp"),
+            F.sum(d(revenue())).alias("_sdp"),
+            F.sum(d(charge())).alias("_sch"),
+            F.sum("l_discount").alias("_sd"),
+            F.coalesce(
+                F.sum(F.when(F.col("l_discount") > 0.05, F.col("l_quantity"))),
+                F.lit(0.0),
+            ).alias("_sqd"),
             F.count(F.lit(1)).alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
     )
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        r6(F.col("_sq")).alias("sum_qty"),
+        r6(F.col("_sbp").cast("double")).alias("sum_base_price"),
+        r6(F.col("_sdp").cast("double")).alias("sum_disc_price"),
+        r6(F.col("_sch").cast("double")).alias("sum_charge"),
+        r6(F.col("_sq") / F.col("count_order")).alias("avg_qty"),
+        r6(F.col("_sbp").cast("double") / F.col("count_order")).alias("avg_price"),
+        r6(F.col("_sd") / F.col("count_order")).alias("avg_disc"),
+        r6(F.col("_sqd")).alias("sum_qty_discounted"),
+        "count_order",
+    ).orderBy("l_returnflag", "l_linestatus")
 
 
 Q3_ORACLE = """

@@ -118,11 +118,15 @@ def events_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bucket, event_type) — cardinality = hours × 5, independent of
     row count.
 
-    The bucket is ONE integer division over the raw epoch-ns column
-    (`ts div 1h`), with the window-start timestamp reconstructed
-    from the bucket AFTER aggregation — identical semantics to
-    ``F.window(ts, "1 hour")`` for positive epochs (both floor to
-    the hour from epoch 0), but ~10× cheaper per input row:
+    The bucket is ONE integer FLOOR-division over the raw epoch-ns
+    column, with the window-start timestamp reconstructed from the
+    bucket AFTER aggregation — identical semantics to
+    ``F.window(ts, "1 hour")`` for ALL epochs (``div`` truncates
+    toward zero, so the r10 spelling silently diverged from
+    F.window's floor for pre-1970 timestamps — ADVICE r10; the
+    correction term below subtracts 1 exactly when the remainder is
+    negative, restoring floor semantics for one extra modulo per
+    row), but still ~10× cheaper per input row than ``F.window``:
     ``F.window`` expands to four ``precisetimestampconversion``
     calls plus a two-timestamp struct built per ROW (round-10
     crossover profile: 20× DuckDB at every corpus factor, flat —
@@ -132,9 +136,10 @@ def events_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming state manager requires the window column.
     """
     events = load_events_raw(spark, sf_dir)
+    floor_hb = f"(ts div {_HOUR_NS}) - (case when ts % {_HOUR_NS} < 0 then 1 else 0 end)"
     return (
         events.groupBy(
-            F.expr(f"ts div {_HOUR_NS}").alias("hb"), "event_type"
+            F.expr(floor_hb).alias("hb"), "event_type"
         )
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
         .select(
