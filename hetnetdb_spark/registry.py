@@ -171,15 +171,11 @@ def _verified_names() -> set[str]:
 #: round and sort into tiers 0/1 via CORRECTNESS_r04.json.)
 NEW_THIS_ROUND: frozenset[str] = frozenset(
     {
-        # Round 10: rotated — CORRECTNESS_r09 certified all twelve
-        # round-9 additions (driver-green), so they sort into the
-        # verified tier by staleness like everything else and the
-        # 50-slot window falls through to the r03/r04-certified tail
-        # (the stalest evidence in the ledger, per the r9 verdict's
-        # rotation ask). Add round-10 newcomers here as they land.
-        "o11_union_by_name",
-        "l72_minhash_estimate_error",
-        "s42_targeted_delete",
+        # Round 11: rotated — CORRECTNESS_r10 certified all three
+        # round-10 additions (o11/l72/s42, driver-green), so they
+        # sort into the verified tier by staleness. Round-11
+        # newcomers land here.
+        "q1_pricing_summary_decimal",
     }
 )
 
@@ -196,14 +192,19 @@ RECHECK_THIS_ROUND: frozenset[str] = frozenset(
         # driver-green), so nothing needs a forced re-check and every
         # driver slot goes to the 29-name never-sampled backlog.
         #
-        # Round 10: two implementations changed under standing green
-        # rows — q1's money sums moved from DECIMAL containers to
-        # exact int64 micros and the batch tumbling bucket moved from
-        # F.window to integer division (both pinned value-identical
-        # locally; see PLANS.md round 10) — so both re-enter the
-        # driver window as if unverified.
-        "q1_pricing_summary",
-        "events_tumbling_1h",
+        # Round 11 (per the r10 verdict's window ask): every query
+        # whose plan was REWRITTEN after its latest driver cert.
+        # This round's rewrites under fresh r10 green rows:
+        "q1_pricing_summary",       # derived avgs + overflow sentinel
+        "events_sessionize_30m",    # boundary-row formulation
+        "events_tumbling_1h",       # exact floor-division bucket
+        # Round-10 rewrites whose latest driver certs PREDATE the
+        # rewrite (certs r4–r8; DRIVER_EQUIV-green at HEAD but the
+        # driver's own ledger row is stale):
+        "a04_approx_count_distinct",  # Expand×sketch split (cert r8)
+        "l70_minhash_recall_curve",   # spread + count-based Jaccard
+        "l02_minhash_neardup",        # spread fan-out (cert r5)
+        "l04_simjoin_lsh",            # spread fan-out (cert r5)
     }
 )
 
