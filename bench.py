@@ -78,6 +78,72 @@ def _sf_from_dir(path: str) -> float:
         return -1.0
 
 
+#: Near-empty corpus used to measure each query's FIXED cost — the
+#: per-execution floor (analysis + optimization + AQE stage
+#: scheduling + Arrow fetch) a fresh QueryExecution pays before any
+#: meaningful data is read. sf0.001 facts are ~600 rows, so these
+#: walls are ≥95% fixed cost; the decomposition below is what
+#: BASELINE.md's round-10 correction derived by arithmetic, now
+#: measured and recorded in every BENCH artifact.
+FLOOR_DIR = os.environ.get("SPARK_GRAFT_FLOOR_DIR", "/root/testdata/sf0.001")
+
+
+def _scale_story(spark, names: list[str]) -> dict:
+    """The r10-verdict item-1 block: fixed-floor decomposition plus
+    the pinned crossover curve and its machine-checked gate.
+
+    The sf0.1 headline total measures mostly per-execution fixed
+    cost (8 × ~0.15 s > the 2×-baseline bar before any data is
+    read), so the recorded posture claim is the crossover CURVE —
+    both engines fully re-executing over replicated corpora
+    (SCALE_STORY.json, recorded per round by
+    tools/engine_crossover.py) — with tools/scale_gate.py's
+    ratio<=1.0-at->=100× gate evaluated right here so the driver's
+    BENCH artifact carries the claim and its pass/fail together.
+    """
+    import time as _t
+
+    out: dict = {}
+    try:
+        floors: dict[str, float] = {}
+        for name in names:
+            registry.QUERIES[name](spark, FLOOR_DIR).toPandas()  # warm
+            best = float("inf")
+            for _ in range(3):
+                t0 = _t.perf_counter()
+                registry.QUERIES[name](spark, FLOOR_DIR).toPandas()
+                best = min(best, _t.perf_counter() - t0)
+            floors[name] = round(best, 4)
+        out["fixed_floor_per_query"] = floors
+        out["fixed_floor_total"] = round(sum(floors.values()), 4)
+        out["floor_dir"] = FLOOR_DIR
+    except Exception as exc:  # noqa: BLE001 — floor is evidence, not a gate
+        out["floor_error"] = str(exc)
+
+    story_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "SCALE_STORY.json"
+    )
+    if os.path.exists(story_path):
+        try:
+            sys.path.insert(
+                0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+            )
+            from scale_gate import evaluate  # noqa: PLC0415
+
+            with open(story_path) as fh:
+                doc = json.load(fh)
+            failures, summary = evaluate(doc)
+            out["crossover"] = summary
+            out["crossover_gate"] = "fail" if failures else "pass"
+            if failures:
+                out["crossover_gate_failures"] = failures
+        except Exception as exc:  # noqa: BLE001
+            out["crossover_error"] = str(exc)
+    else:
+        out["crossover_gate"] = "missing: SCALE_STORY.json not recorded"
+    return out
+
+
 def main() -> None:
     registry.load_all()
     names = [n for n in HEADLINE if n in registry.QUERIES]
@@ -115,6 +181,7 @@ def main() -> None:
         "skipped": skipped,
         "sf": _sf_from_dir(SF_DIR),
     }
+    payload["scale"] = _scale_story(spark, names)
 
     if FULL:
         suite: dict[str, float] = {}
