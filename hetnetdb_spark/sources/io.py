@@ -2009,14 +2009,26 @@ d AS (
            CAST(FLOOR(doc_id / span) AS BIGINT) AS shard,
            (doc_id BETWEEN span * 2 AND span * 2 + CAST(FLOOR(span / 4.0) AS BIGINT))
            OR (doc_id BETWEEN span * 5 AND span * 5 + CAST(FLOOR(span / 4.0) AS BIGINT))
-               AS is_target
+               AS is_target,
+           -- the MANIFEST pruning decision, replayed from the same
+           -- range arithmetic the engine uses (ADVICE r10: a literal
+           -- IN (2,5) would certify nothing if the target ranges or
+           -- shard count changed): shard [s*span, (s+1)*span)
+           -- intersects inclusive target range [lo, lo+quarter]
+           (   (span * 2 < (CAST(FLOOR(doc_id / span) AS BIGINT) + 1) * span
+                AND span * 2 + CAST(FLOOR(span / 4.0) AS BIGINT)
+                    >= CAST(FLOOR(doc_id / span) AS BIGINT) * span)
+            OR (span * 5 < (CAST(FLOOR(doc_id / span) AS BIGINT) + 1) * span
+                AND span * 5 + CAST(FLOOR(span / 4.0) AS BIGINT)
+                    >= CAST(FLOOR(doc_id / span) AS BIGINT) * span)
+           ) AS shard_hit
     FROM documents, bounds
 )
 SELECT shard,
        CAST(COUNT(*) AS BIGINT)                                   AS n_before,
        CAST(COUNT(*) FILTER (WHERE NOT is_target) AS BIGINT)      AS n_after,
        CAST(COUNT(*) FILTER (WHERE is_target) AS BIGINT)          AS n_deleted,
-       shard IN (2, 5)                                            AS rewritten,
+       BOOL_OR(shard_hit)                                         AS rewritten,
        CAST(COALESCE(SUM(LENGTH(text)) FILTER (WHERE NOT is_target), 0)
             AS BIGINT)                                            AS chars_after
 FROM d
@@ -2133,7 +2145,10 @@ def s42_targeted_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_before",
             F.coalesce("n_after", F.lit(0)).alias("n_after"),
             (F.col("n_before") - F.coalesce("n_after", F.lit(0))).alias("n_deleted"),
-            F.col("shard_id").isin([2, 5]).alias("rewritten"),
+            # the COMPUTED manifest-prune intersection list — the
+            # column now certifies the pruning decision itself
+            # (ADVICE r10), not a constant that mirrors it
+            F.col("shard_id").isin(rewritten).alias("rewritten"),
             F.coalesce("chars_after", F.lit(0)).alias("chars_after"),
         )
         .orderBy("shard")

@@ -112,21 +112,41 @@ def test_lsh_band_exchanges_carry_no_payload(spark):
         ("l04_simjoin_lsh", ("emb", "embedding")),
         ("l02_minhash_neardup", ("_sh", "sh#")),
     ]:
-        plan = executed_plan(registry.QUERIES[name](spark, SF_DIR))
-        all_exchanges = [
-            line for line in plan.splitlines() if "Exchange" in line
-        ]
-        assert all_exchanges, f"{name}: expected at least one exchange"
+        # Build once under normal conf (configure() re-applies the
+        # session broadcast threshold at build time), THEN disable
+        # broadcast joins for the execution: at sf0.001 AQE otherwise
+        # broadcasts every join, leaving zero gated exchanges and a
+        # vacuous invariant (ADVICE r10). With broadcasts off, the
+        # band join materializes as the same shuffle it becomes at
+        # corpus scale, and the payload check actually bites in CI.
+        registry.QUERIES[name](spark, SF_DIR)
+        saved = {
+            k: spark.conf.get(k, None)
+            for k in (
+                "spark.sql.autoBroadcastJoinThreshold",
+                "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            )
+        }
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+            plan = executed_plan(registry.QUERIES[name](spark, SF_DIR))
+        finally:
+            for k, v in saved.items():
+                if v is not None:
+                    spark.conf.set(k, v)
+                else:
+                    spark.conf.unset(k)
         exchanges = [
             line
-            for line in all_exchanges
+            for line in plan.splitlines()
             if "Exchange hashpartitioning" in line
             and "REPARTITION_BY_NUM" not in line
         ]
-        # At sf0.001 AQE broadcasts every join, leaving zero
-        # non-repartition hash exchanges — the invariant is then
-        # vacuously satisfied; at corpus scale the band join
-        # materializes as a shuffle and the check bites.
+        assert exchanges, (
+            f"{name}: no gated hash exchanges even with broadcast "
+            "disabled — the payload invariant has gone vacuous"
+        )
         for line in exchanges:
             assert not any(m in line for m in payload_markers), (
                 f"{name}: payload column crosses a shuffle: {line.strip()[:160]}"

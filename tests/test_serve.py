@@ -180,3 +180,77 @@ def test_two_readers_interleave():
     threading.Thread(target=second).start()
     assert done.wait(timeout=2), "second reader blocked behind first"
     lock.release_shared()
+
+
+def test_bounded_writer_preference_admits_queued_readers():
+    """ADVICE r10: strict writer preference starved readers behind a
+    sustained impure stream. Bounded preference: a reader queued
+    while writer W1 holds the lock gets in when W1 releases, even
+    though writer W2 is already waiting — the reader must NOT wait
+    for the whole writer stream to drain."""
+    lock = serve_mod._RWLock()
+    order: list[str] = []
+
+    lock.acquire_exclusive()  # W1 holds
+
+    def reader():
+        lock.acquire_shared()
+        order.append("reader_in")
+        time.sleep(0.05)
+        lock.release_shared()
+
+    def writer2():
+        lock.acquire_exclusive()
+        order.append("writer2_in")
+        lock.release_exclusive()
+
+    rt = threading.Thread(target=reader)
+    rt.start()
+    time.sleep(0.05)          # reader queues behind W1
+    wt = threading.Thread(target=writer2)
+    wt.start()
+    time.sleep(0.05)          # W2 queues too
+    lock.release_exclusive()  # W1 done — queued reader gets its pass
+    rt.join(timeout=5)
+    wt.join(timeout=5)
+    assert order[0] == "reader_in", (
+        f"queued reader starved behind writer stream: {order}"
+    )
+    assert "writer2_in" in order
+
+
+def test_concurrent_impure_and_pure_http(server, spark):
+    """r10 verdict stretch item: two clients, one POSTing an impure
+    conf-flipping registry query (t10 swaps the streaming state-store
+    provider to RocksDB and must restore it) while the other runs a
+    pure query — through the real HTTP path. The _RWLock serializes
+    them; afterwards the session confs the impure run touches must be
+    back to their pre-request values."""
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    before_provider = spark.conf.get(provider_key, None)
+    before_tz = spark.conf.get("spark.sql.session.timeZone")
+
+    results: dict[str, tuple] = {}
+
+    def impure_client():
+        results["impure"] = _call(
+            "POST", server + "/run/t10_transform_with_state"
+        )
+
+    def pure_client():
+        results["pure"] = _call("POST", server + "/run/q1_pricing_summary")
+
+    threads = [
+        threading.Thread(target=impure_client),
+        threading.Thread(target=pure_client),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert results["impure"][0] == 200, results["impure"]
+    assert results["pure"][0] == 200, results["pure"]
+    assert results["pure"][1]["n"] > 0
+    # conf save/restore integrity across the concurrent pair
+    assert spark.conf.get(provider_key, None) == before_provider
+    assert spark.conf.get("spark.sql.session.timeZone") == before_tz == "UTC"

@@ -57,7 +57,20 @@ class _RWLock:
     beside a pure query that silently reads the flipped conf, corrupts
     results. Those take the exclusive side, as do CSV uploads (temp-
     view replace is a global-catalog write). Writer-preference keeps an
-    impure run from starving behind a stream of pure readers.
+    impure run from starving behind a stream of pure readers — and is
+    BOUNDED (r11, per ADVICE r10): each writer release grants every
+    reader already queued one admission pass, so a sustained stream of
+    impure requests can no longer starve readers indefinitely; the
+    schedule degrades to writer/reader-batch alternation under
+    contention.
+
+    NON-REENTRANT, either side: a holder re-acquiring (e.g. a handler
+    path that nests one locked route inside another) deadlocks
+    against itself. Every call site in _Handler acquires exactly once
+    per request and releases in a finally — keep it that way, and
+    never call another locked route from inside a held section
+    (tests/test_serve.py pins both the semantics and the two-client
+    HTTP path).
     """
 
     def __init__(self) -> None:
@@ -65,11 +78,23 @@ class _RWLock:
         self._readers = 0
         self._writer = False
         self._writers_waiting = 0
+        self._readers_waiting = 0
+        #: admission passes granted to queued readers at each writer
+        #: release — the bounded-preference mechanism
+        self._reader_passes = 0
 
     def acquire_shared(self) -> None:
         with self._cond:
-            while self._writer or self._writers_waiting:
-                self._cond.wait()
+            self._readers_waiting += 1
+            try:
+                while self._writer or (
+                    self._writers_waiting and self._reader_passes == 0
+                ):
+                    self._cond.wait()
+                if self._reader_passes:
+                    self._reader_passes -= 1
+            finally:
+                self._readers_waiting -= 1
             self._readers += 1
 
     def release_shared(self) -> None:
@@ -91,6 +116,10 @@ class _RWLock:
     def release_exclusive(self) -> None:
         with self._cond:
             self._writer = False
+            # bounded preference: everyone queued on the shared side
+            # RIGHT NOW gets in before the next writer; readers that
+            # arrive later queue behind waiting writers as before
+            self._reader_passes = self._readers_waiting
             self._cond.notify_all()
 
 
