@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from hetnetdb_spark.catalog import load_tables, spread
-from hetnetdb_spark.expr import r6
+from hetnetdb_spark.expr import dot, r6
 from hetnetdb_spark.pipeline.similarity import band_candidates, duck_dot
 from hetnetdb_spark.registry import query
 
@@ -2026,4 +2026,242 @@ def l72_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max(err) <= F.lit(L72_ERR_BOUND)).alias("within_bound"),
         )
         .orderBy("j_bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# L73 — semantic dedup (SemDeDup: k-means clusters → in-cluster cosine prune)
+# --------------------------------------------------------------------------
+
+L73_K = 8            # clusters (seeds: the K lowest vec_ids)
+L73_TAU = 0.97       # in-cluster cosine drop threshold
+L73_PLANT = 48       # planted jittered variants (vec_id < L73_PLANT)
+L73_OFF = 100_000    # planted variant id offset
+_L73_DIM = 64
+
+
+def _l73_oracle() -> str:
+    """DuckDB replay of the full SemDeDup pipeline: variant planting,
+    two cosine k-means assignment rounds (seeded at the K lowest
+    vec_ids, centroid components 6dp-rounded so both engines score
+    against IDENTICAL doubles), and the in-cluster a<b cosine prune.
+    Sequential double-accumulated dots throughout (`duck_dot`)."""
+    dot_vc = duck_dot("m.v", "c.c", _L73_DIM)
+    dot_ab = duck_dot("a.v", "b.v", _L73_DIM)
+    dot_vv = duck_dot("m.v", "m.v", _L73_DIM)
+    dot_cc = duck_dot("c.c", "c.c", _L73_DIM)
+    return f"""
+WITH base AS (
+    SELECT vec_id,
+           list_transform(range(1, {_L73_DIM} + 1),
+                          i -> CAST(embedding[i] AS DOUBLE)) AS v
+    FROM embeddings
+),
+variants AS (
+    SELECT vec_id + {L73_OFF} AS vec_id,
+           list_transform(range(1, {_L73_DIM} + 1),
+               i -> CAST(embedding[i] AS DOUBLE)
+                    + CASE WHEN i = (vec_id % {_L73_DIM}) + 1
+                           THEN 0.05 + (vec_id % 8) * 0.05
+                           ELSE 0.0 END) AS v
+    FROM embeddings WHERE vec_id < {L73_PLANT}
+),
+allv AS (SELECT * FROM base UNION ALL SELECT * FROM variants),
+normed AS (
+    SELECT vec_id, v, SQRT({duck_dot("allv.v", "allv.v", _L73_DIM)}) AS nrm
+    FROM allv
+),
+seeds AS (
+    SELECT vec_id AS k, v AS c, nrm AS cnrm FROM normed
+    WHERE vec_id < {L73_K}
+),
+score1 AS (
+    SELECT m.vec_id, c.k,
+           ROUND({dot_vc} / (m.nrm * c.cnrm), 6) AS cs
+    FROM normed m, seeds c
+),
+assign1 AS (
+    SELECT vec_id, k AS k1 FROM (
+        SELECT vec_id, k,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cs DESC, k) AS rn
+        FROM score1
+    ) WHERE rn = 1
+),
+comp2 AS (
+    SELECT a.k1 AS k, p.pos, ROUND(AVG(m.v[p.pos]), 6) AS cval
+    FROM normed m
+    JOIN assign1 a USING (vec_id)
+    CROSS JOIN (SELECT UNNEST(range(1, {_L73_DIM} + 1)) AS pos) p
+    GROUP BY a.k1, p.pos
+),
+cent2 AS (
+    SELECT k, list(cval ORDER BY pos) AS c FROM comp2 GROUP BY k
+),
+cent2n AS (
+    SELECT k, c, SQRT({dot_cc}) AS cnrm FROM cent2 c
+),
+score2 AS (
+    SELECT m.vec_id, c.k,
+           ROUND({dot_vc} / (m.nrm * c.cnrm), 6) AS cs
+    FROM normed m, cent2n c
+),
+assign2 AS (
+    SELECT vec_id, k AS k2 FROM (
+        SELECT vec_id, k,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cs DESC, k) AS rn
+        FROM score2
+    ) WHERE rn = 1
+),
+members AS (
+    SELECT m.vec_id, m.v, m.nrm, a.k2 FROM normed m JOIN assign2 a USING (vec_id)
+),
+dropped AS (
+    SELECT DISTINCT b.vec_id, b.k2
+    FROM members a
+    JOIN members b ON a.k2 = b.k2 AND a.vec_id < b.vec_id
+    WHERE ROUND({dot_ab} / (a.nrm * b.nrm), 6) >= {L73_TAU}
+)
+SELECT m.k2                                            AS cluster_id,
+       CAST(COUNT(*) AS BIGINT)                        AS n_members,
+       CAST(COUNT(d.vec_id) AS BIGINT)                 AS n_dropped,
+       CAST(COUNT(*) - COUNT(d.vec_id) AS BIGINT)      AS n_kept,
+       CAST(COALESCE(SUM(d.vec_id), 0) AS BIGINT)      AS dropped_id_sum
+FROM members m LEFT JOIN dropped d
+  ON m.vec_id = d.vec_id AND m.k2 = d.k2
+GROUP BY m.k2
+ORDER BY cluster_id
+"""
+
+
+@query("l73_semantic_dedup_refined", oracle=_l73_oracle())
+def l73_semantic_dedup_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L73 — SemDeDup in the published NEAR-DUPLICATE regime
+    (Abbas et al. 2023 run web dedup at cosine ~0.95+), as the
+    iterated refinement twin of `l35_semantic_dedup`: l35 certifies
+    the one-Lloyd-pass clustering + low-τ (0.35) prune that the
+    natural corpus can exercise; this query runs a SECOND Lloyd
+    round — centroids recomputed as 6dp-rounded member means and
+    every vector re-assigned — and prunes at τ=0.97, a regime the
+    natural corpus cannot reach at all (max natural pairwise cosine
+    is 0.60), so threshold-straddling variants are planted. The
+    k-means refinement step is the repo's "iterative algorithm as
+    declarative dataflow" pattern: each round is a broadcast-scored
+    assignment plus one grouped aggregation, no driver loop over
+    data. Clustering bounds the quadratic pair space (per-cluster
+    pairs, never N²; at 100 TB K grows with the corpus so cluster
+    size — and the pair join behind it — stays bounded).
+
+    Determinism/replay contract (the repo's "approximate ≠
+    unverifiable" posture): seeds are the K lowest vec_ids, TWO
+    cosine assignment rounds run against 6dp-ROUNDED centroid
+    components (so both engines score identical doubles — double
+    sums drift in the last ulp across engines, the a19 lesson),
+    assignment ties break toward the lowest cluster id via a
+    lexicographic struct-max (no window needed on the Spark side),
+    and all dot products are the shared sequential double
+    accumulation (`expr.dot` / `duck_dot`). The natural corpus has
+    no near-duplicate embeddings (max pairwise cosine 0.60 at
+    sf0.1), so 48 jittered variants are planted (one perturbed
+    dimension, jitter 0.05–0.40 by vec_id) spanning cosine
+    0.92–0.999 against their sources — the τ=0.97 prune then has
+    real work on both sides of the threshold. Certified output per
+    cluster: member/dropped/kept counts plus the exact BIGINT sum
+    of dropped ids — a wrong assignment, a missed drop, or an
+    over-drop all break the hash."""
+    (emb,) = load_tables(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    variants = (
+        base.filter(F.col("vec_id") < L73_PLANT)
+        .select(
+            (F.col("vec_id") + L73_OFF).alias("vec_id"),
+            F.expr(
+                f"transform(sequence(1, {_L73_DIM}), i -> element_at(v, i)"
+                f" + if(i = (vec_id % {_L73_DIM}) + 1,"
+                f" 0.05 + (vec_id % 8) * 0.05, cast(0.0 as double)))"
+            ).alias("v"),
+        )
+    )
+    allv = base.unionByName(variants)
+    normed = allv.withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+
+    def _assign(mem: DataFrame, cents: DataFrame) -> DataFrame:
+        """argmax-cosine cluster per vector: lexicographic max over
+        (rounded cos, -k) — one hash agg, ties to the lowest k."""
+        scored = mem.crossJoin(F.broadcast(cents)).select(
+            "vec_id",
+            F.struct(
+                r6(dot(F.col("v"), F.col("c")) / (F.col("nrm") * F.col("cnrm"))).alias("cs"),
+                (-F.col("k")).alias("negk"),
+            ).alias("skey"),
+        )
+        return scored.groupBy("vec_id").agg(
+            (-F.max("skey").getField("negk")).cast("bigint").alias("k")
+        )
+
+    seeds = normed.filter(F.col("vec_id") < L73_K).select(
+        F.col("vec_id").alias("k"), F.col("v").alias("c"), F.col("nrm").alias("cnrm")
+    )
+    assign1 = _assign(normed, seeds)
+
+    comp2 = (
+        normed.join(assign1, "vec_id")
+        .select("k", F.explode(F.expr(f"sequence(1, {_L73_DIM})")).alias("pos"), "v")
+        .select("k", "pos", F.element_at("v", F.col("pos")).alias("val"))
+        .groupBy("k", "pos")
+        .agg(r6(F.avg("val")).alias("cval"))
+    )
+    cent2 = (
+        comp2.groupBy("k")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+                lambda s: s.getField("cval"),
+            ).alias("c")
+        )
+        .withColumn("cnrm", F.sqrt(dot(F.col("c"), F.col("c"))))
+    )
+    assign2 = _assign(normed, cent2)
+
+    members = normed.join(assign2, "vec_id").select("vec_id", "v", "nrm", "k")
+    a = members.select(
+        F.col("k"),
+        F.col("vec_id").alias("a_id"), F.col("v").alias("a_v"), F.col("nrm").alias("a_n"),
+    )
+    b = members.select(
+        F.col("k"),
+        F.col("vec_id").alias("b_id"), F.col("v").alias("b_v"), F.col("nrm").alias("b_n"),
+    )
+    dropped = (
+        a.join(b, "k")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(
+            r6(dot(F.col("a_v"), F.col("b_v")) / (F.col("a_n") * F.col("b_n")))
+            >= F.lit(L73_TAU)
+        )
+        .select("k", F.col("b_id").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dropped", F.lit(1))
+    )
+    return (
+        members.join(dropped, ["k", "vec_id"], "left")
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(F.coalesce("is_dropped", F.lit(0))).cast("bigint").alias("n_dropped"),
+            (F.count(F.lit(1)) - F.sum(F.coalesce("is_dropped", F.lit(0))))
+            .cast("bigint").alias("n_kept"),
+            F.sum(
+                F.when(F.col("is_dropped") == 1, F.col("vec_id")).otherwise(F.lit(0))
+            ).cast("bigint").alias("dropped_id_sum"),
+        )
+        .select(
+            F.col("k").alias("cluster_id"),
+            "n_members", "n_dropped", "n_kept", "dropped_id_sum",
+        )
+        .orderBy("cluster_id")
     )

@@ -176,6 +176,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         # sort into the verified tier by staleness. Round-11
         # newcomers land here.
         "q1_pricing_summary_decimal",
+        "l73_semantic_dedup_refined",
     }
 )
 

@@ -72,6 +72,7 @@ ALLOWLIST: dict[str, str] = {
     "l34_passage_dedup": "hash-only projection, narrower than the scan",
     "l33_incremental_dedup": "hash-only projection, narrower than the scan",
     "l35_semantic_dedup": "cluster centroids are K-bounded",
+    "l73_semantic_dedup_refined": "both broadcast sides are K-bounded centroid tables (seeds + 6dp refined means)",
     "l23_fuzzy_join": "blocking-key side is bounded",
     "l63_cross_source_overlap": "band rows thinner than scan; pairs join raw scans",
     "l41_heavy_hitters": "candidate set is ≤ K×partitions rows by the Misra-Gries bound",
