@@ -1661,3 +1661,97 @@ def l61_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# L74 — BPE merge-candidate step (tokenizer-induction primitive)
+# --------------------------------------------------------------------------
+
+L74_TOP = 10
+
+L74_ORACLE = f"""
+WITH words AS (
+    SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+        SELECT UNNEST(string_split(lower(text), ' ')) AS w
+        FROM documents
+    )
+    WHERE w <> ''
+    GROUP BY w
+),
+pairs AS (
+    SELECT UNNEST(list_transform(range(1, length(w)),
+                                 i -> substring(w, i, 2))) AS pair,
+           n
+    FROM words
+    WHERE length(w) >= 2
+),
+ranked AS (
+    SELECT pair, CAST(SUM(n) AS BIGINT) AS pair_count,
+           row_number() OVER (ORDER BY SUM(n) DESC, pair) AS rnk
+    FROM pairs
+    GROUP BY pair
+)
+SELECT CAST(rnk AS INT) AS rank, pair, pair_count
+FROM ranked
+WHERE rnk <= {L74_TOP}
+ORDER BY rank
+"""
+
+
+@query("l74_bpe_merge_step", oracle=L74_ORACLE)
+def l74_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L74 — one BPE merge-selection step (Sennrich et al. 2016,
+    "Neural Machine Translation of Rare Words with Subword Units"):
+    the tokenizer-induction primitive a training-data pipeline runs
+    to build its vocabulary. Over the corpus word-frequency table,
+    count every ADJACENT symbol pair weighted by word frequency
+    (every occurrence within a word counts — "aaa" contributes "aa"
+    twice, the standard BPE accounting at the character-init state)
+    and emit the top-{L74_TOP} merge candidates with deterministic
+    (count DESC, pair ASC) ranking. Full BPE training is this step
+    in a loop with a growing symbol table; the STEP is the
+    distributed primitive — each iteration is one aggregation over
+    the vocab, never over raw text (the vocab table is orders of
+    magnitude smaller than the corpus, and pair extraction is
+    per-word codegen: substring over sequence, no Python).
+
+    Scale: two shuffles (word vocab hash-agg — the only corpus-sized
+    exchange, carrying (word, count); then pair hash-agg over the
+    vocab-sized relation), then a global row_number over the PAIR
+    relation — bounded by the symbol alphabet squared (~1-2k rows
+    at any corpus size), so the single-partition sort it implies is
+    a constant, not a scale term. Both
+    engines guard length-1 words explicitly (Spark's sequence(1, 0)
+    yields a DESCENDING [1,0], not an empty list — the guard is
+    semantic, not defensive)."""
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    words = (
+        documents.select(
+            F.explode(F.split(F.lower(F.col("text")), " ", -1)).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pairs = (
+        words.filter(F.char_length("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, char_length(w) - 1),"
+                    " i -> substring(w, i, 2))"
+                )
+            ).alias("pair"),
+            "n",
+        )
+        .groupBy("pair")
+        .agg(F.sum("n").cast("bigint").alias("pair_count"))
+    )
+    w = Window.orderBy(F.col("pair_count").desc(), F.col("pair"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= L74_TOP)
+        .select("rank", "pair", "pair_count")
+        .orderBy("rank")
+    )

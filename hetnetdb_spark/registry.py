@@ -177,6 +177,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         # newcomers land here.
         "q1_pricing_summary_decimal",
         "l73_semantic_dedup_refined",
+        "l74_bpe_merge_step",
     }
 )
 
