@@ -204,12 +204,23 @@ def test_bounded_writer_preference_admits_queued_readers():
         order.append("writer2_in")
         lock.release_exclusive()
 
+    def _wait_for(cond_fn, what):
+        deadline = time.monotonic() + 10
+        while not cond_fn():
+            assert time.monotonic() < deadline, f"timed out waiting for {what}"
+            time.sleep(0.005)
+
     rt = threading.Thread(target=reader)
     rt.start()
-    time.sleep(0.05)          # reader queues behind W1
+    # poll the lock's own wait counters instead of sleeping a fixed
+    # interval — under a loaded box the reader/writer threads can
+    # take >50 ms just to reach their acquire calls, which turned
+    # this into a flake (the admission pass is granted to readers
+    # QUEUED at release time, so the queue must provably exist)
+    _wait_for(lambda: lock._readers_waiting == 1, "reader to queue behind W1")
     wt = threading.Thread(target=writer2)
     wt.start()
-    time.sleep(0.05)          # W2 queues too
+    _wait_for(lambda: lock._writers_waiting == 1, "W2 to queue")
     lock.release_exclusive()  # W1 done — queued reader gets its pass
     rt.join(timeout=5)
     wt.join(timeout=5)

@@ -107,7 +107,15 @@ class _RWLock:
         with self._cond:
             self._writers_waiting += 1
             try:
-                while self._writer or self._readers:
+                # `_reader_passes` in the predicate is what makes the
+                # bounded preference real rather than advisory: after
+                # a writer release, notify_all wakes queued readers
+                # AND queued writers, and whichever thread wins the
+                # mutex runs first — without this clause the next
+                # writer could slip in before the admitted readers
+                # consume their passes (caught by a 200-trial stress
+                # in tests/test_serve.py).
+                while self._writer or self._readers or self._reader_passes:
                     self._cond.wait()
             finally:
                 self._writers_waiting -= 1
