@@ -178,6 +178,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q1_pricing_summary_decimal",
         "l73_semantic_dedup_refined",
         "l74_bpe_merge_step",
+        "s43_vacuum_retention",
     }
 )
 

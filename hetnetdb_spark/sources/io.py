@@ -1022,6 +1022,51 @@ def s23_malformed_records(spark: SparkSession, sf_dir: str) -> DataFrame:
 # S24 — snapshot time travel (copy-on-write files + versioned manifests)
 # --------------------------------------------------------------------------
 
+def _cow_orders_store(
+    spark: SparkSession, sf_dir: str, name: str
+) -> tuple[dict[int, list[str]], dict[int, list[str]]]:
+    """Build the copy-on-write orders store shared by s24 (snapshot
+    reads) and s43 (vacuum): v1 = orders as (year, key, cents)
+    partitioned by year; v2 = ONLY 2001 rewritten (cents × 1.1)
+    into a new directory, its manifest listing the new files plus
+    v1's untouched ones. Returns (manifest_v1, manifest_v2) as
+    {year: [files]}. The store is rebuilt from scratch per call —
+    both callers are registered impure."""
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    base = os.path.join(SCRATCH, f"{name}_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    table = orders.select(
+        F.year("o_orderdate").alias("o_year"), "o_orderkey", cents.alias("cents")
+    )
+
+    # v1 commit: all years, one directory per year, manifest = files
+    v1_dir = os.path.join(base, "v1")
+    table.write.partitionBy("o_year").parquet(v1_dir)
+    years = [r["o_year"] for r in table.select("o_year").distinct().collect()]
+
+    def year_files(root: str, year: int) -> list[str]:
+        d = os.path.join(root, f"o_year={year}")
+        return sorted(
+            os.path.join(d, f)
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    manifest_v1 = {y: year_files(v1_dir, y) for y in years}
+
+    # v2 commit (copy-on-write): rewrite ONLY 2001 into a new dir
+    v2_dir = os.path.join(base, "v2")
+    table.filter(F.col("o_year") == 2001).withColumn(
+        "cents", F.round(F.col("cents") * 1.1).cast("long")
+    ).write.partitionBy("o_year").parquet(v2_dir)
+    manifest_v2 = dict(manifest_v1)
+    manifest_v2[2001] = year_files(v2_dir, 2001)
+    return manifest_v1, manifest_v2
+
+
 S24_ORACLE = """
 WITH v1 AS (
     SELECT o_orderkey, o_orderdate,
@@ -1069,38 +1114,7 @@ def s24_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     manifest diff. Money stays in exact integer cents end-to-end
     (p13 discipline) so snapshot sums compare exactly — no float
     rounding window to straddle."""
-    (orders,) = load_tables(spark, sf_dir, "orders")
-    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
-    base = os.path.join(SCRATCH, f"s24_store_{tag}")
-    shutil.rmtree(base, ignore_errors=True)
-
-    cents = F.round(F.col("o_totalprice") * 100).cast("long")
-    table = orders.select(
-        F.year("o_orderdate").alias("o_year"), "o_orderkey", cents.alias("cents")
-    )
-
-    # v1 commit: all years, one directory per year, manifest = files
-    v1_dir = os.path.join(base, "v1")
-    table.write.partitionBy("o_year").parquet(v1_dir)
-    years = [r["o_year"] for r in table.select("o_year").distinct().collect()]
-
-    def year_files(root: str, year: int) -> list[str]:
-        d = os.path.join(root, f"o_year={year}")
-        return sorted(
-            os.path.join(d, f)
-            for f in os.listdir(d)
-            if f.endswith(".parquet")
-        )
-
-    manifest_v1 = {y: year_files(v1_dir, y) for y in years}
-
-    # v2 commit (copy-on-write): rewrite ONLY 2001 into a new dir
-    v2_dir = os.path.join(base, "v2")
-    table.filter(F.col("o_year") == 2001).withColumn(
-        "cents", F.round(F.col("cents") * 1.1).cast("long")
-    ).write.partitionBy("o_year").parquet(v2_dir)
-    manifest_v2 = dict(manifest_v1)
-    manifest_v2[2001] = year_files(v2_dir, 2001)
+    manifest_v1, manifest_v2 = _cow_orders_store(spark, sf_dir, "s24_store")
 
     def read_version(manifest: dict[int, list[str]]) -> DataFrame:
         files = [f for fl in manifest.values() for f in fl]
@@ -2152,4 +2166,101 @@ def s42_targeted_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("chars_after", F.lit(0)).alias("chars_after"),
         )
         .orderBy("shard")
+    )
+
+
+# --------------------------------------------------------------------------
+# S43 — vacuum / retention: delete files superseded by the latest snapshot
+# --------------------------------------------------------------------------
+
+S43_ORACLE = """
+SELECT CAST(date_part('year', o_orderdate) AS BIGINT)      AS o_year,
+       CAST(COUNT(*) AS BIGINT)                            AS n_orders,
+       CAST(SUM(CASE WHEN date_part('year', o_orderdate) = 2001
+                     THEN CAST(ROUND(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                               * 1.1) AS BIGINT)
+                     ELSE CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                END) AS BIGINT)                            AS sum_cents,
+       BOOL_OR(date_part('year', o_orderdate) = 2001)      AS vacuumed
+FROM orders
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+@query("s43_vacuum_retention", oracle=S43_ORACLE, impure=True)
+def s43_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S43 — vacuum/retention on the copy-on-write store: the
+    companion write-path op to s24 (snapshot reads) and s42
+    (targeted erasure). Retention policy "keep latest only": a file
+    is vacuumable iff it is referenced by the SUPERSEDED manifest
+    (v1) and NOT by the live one (v2) — a pure manifest diff, never
+    a data scan; here that is exactly 2001's original files, which
+    v2's re-price replaced. The diff'd files are physically
+    deleted, then the certified output is read back THROUGH the
+    LIVE manifest over the post-vacuum store: per year, row count,
+    exact cents total (carrying v2's 2001 re-price), and the
+    vacuumed flag derived from the computed diff (the s42 lesson:
+    certify the decision, not a mirrored constant). A vacuum that
+    deletes a live file breaks the year's count/sum; one that
+    misses a superseded file trips the loud invariants below.
+
+    At 100 TB this is the only affordable shape for retention: cost
+    proportional to the manifest diff (metadata), the delete set
+    itself is embarrassingly parallel, and no reader stalls — the
+    live manifest never referenced the vacuumed files.
+
+    Engine-side invariants (raise, so the driver records err rather
+    than a silently-passing hash): every diff'd file is gone, every
+    live-manifest file survives.
+
+    Registered impure: scratch-dir store build + physical deletes."""
+    manifest_v1, manifest_v2 = _cow_orders_store(spark, sf_dir, "s43_store")
+
+    live = {f for fl in manifest_v2.values() for f in fl}
+    superseded = {
+        f for fl in manifest_v1.values() for f in fl if f not in live
+    }
+    vacuumed_years = sorted(
+        y
+        for y, fl in manifest_v1.items()
+        if any(f in superseded for f in fl)
+    )
+    for f in superseded:
+        os.remove(f)
+
+    leftovers = [f for f in superseded if os.path.exists(f)]
+    if leftovers:
+        raise RuntimeError(f"s43: superseded files survived vacuum: {leftovers[:3]}")
+    missing = [f for f in live if not os.path.exists(f)]
+    if missing:
+        raise RuntimeError(f"s43: vacuum deleted LIVE files: {missing[:3]}")
+
+    # per-year reads through the live manifest: raw file reads drop
+    # the hive partition column, so the year rides in as a literal
+    # from the manifest key — exactly how a manifest-driven reader
+    # attaches partition values at 100 TB (they live in metadata,
+    # not in the data files)
+    parts = [
+        spark.read.parquet(*files).select(
+            F.lit(year).cast("bigint").alias("o_year"), "cents"
+        )
+        for year, files in sorted(manifest_v2.items())
+    ]
+    snap = parts[0]
+    for p in parts[1:]:
+        snap = snap.unionByName(p)
+    return (
+        snap.groupBy("o_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .select(
+            "o_year",
+            "n_orders",
+            "sum_cents",
+            F.col("o_year").isin(vacuumed_years).alias("vacuumed"),
+        )
+        .orderBy("o_year")
     )
