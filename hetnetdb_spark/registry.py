@@ -179,6 +179,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "l73_semantic_dedup_refined",
         "l74_bpe_merge_step",
         "s43_vacuum_retention",
+        "s44_python_datasource_sink",
     }
 )
 

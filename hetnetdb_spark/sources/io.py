@@ -2264,3 +2264,164 @@ def s43_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_year")
     )
+
+
+# --------------------------------------------------------------------------
+# S44 — Python DataSource SINK (custom write path, two-phase commit)
+# --------------------------------------------------------------------------
+
+S44_SHARDS = 3
+
+S44_ORACLE = f"""
+SELECT CAST(COUNT(*) AS BIGINT)          AS n_rows,
+       CAST(SUM(n_nationkey) AS BIGINT)  AS sum_nationkey,
+       CAST(SUM(n_regionkey) AS BIGINT)  AS sum_regionkey,
+       CAST({S44_SHARDS} AS BIGINT)      AS n_shards,
+       TRUE                              AS committed
+FROM nation
+"""
+
+
+@query("s44_python_datasource_sink", oracle=S44_ORACLE, impure=True)
+def s44_python_datasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S44 — the WRITE half of Spark 4's Python DataSource API
+    (s39 certifies the read+pushdown half): a custom JSON-lines
+    sink with a real two-phase commit. Executor tasks stream their
+    partition to a TEMP file and return a commit message carrying
+    (temp path, row count, key checksum); only the driver-side
+    `commit()` promotes temps to final shard files and writes the
+    _MANIFEST — so a failed/straggler task's output is never
+    visible (its `abort()` deletes the temp), which is the entire
+    correctness story of any distributed sink: readers see the
+    atomic manifest flip or nothing. At 100 TB this exact protocol
+    is how every table-format writer works (task temps + driver
+    metadata commit); the Python surface makes arbitrary
+    systems-of-record scriptable sinks without a JVM connector.
+
+    Certified by reading the store back THROUGH the manifest (the
+    s24/s42/s43 discipline): row count and exact integer key sums
+    over the committed files, shard count from the manifest, and
+    `committed` — derived from the engine-side invariants (manifest
+    present, every listed file present, NO temp files left, commit
+    message counts equal to file line counts), each of which raises
+    loudly on violation instead of letting the hash pass. A sink
+    that dropped a partition, double-wrote one, or leaked a temp
+    breaks the sums, the count, or the invariants.
+
+    Registered impure: datasource registration + scratch writes."""
+    import json as _json
+
+    from pyspark import TaskContext
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    (nation,) = load_tables(spark, sf_dir, "nation")
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    base = os.path.join(SCRATCH, f"s44_sink_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(os.path.join(base, "_temp"), exist_ok=True)
+
+    class _Msg(WriterCommitMessage):
+        def __init__(self, temp_path: str, n: int, key_sum: int) -> None:
+            self.temp_path = temp_path
+            self.n = n
+            self.key_sum = key_sum
+
+    class _JsonlWriter(DataSourceWriter):
+        def __init__(self, options) -> None:
+            self.base = options.get("path")
+
+        def write(self, iterator):
+            pid = TaskContext.get().partitionId()
+            temp = os.path.join(self.base, "_temp", f"part-{pid}.jsonl")
+            n = 0
+            key_sum = 0
+            with open(temp, "w") as fh:
+                for row in iterator:
+                    fh.write(
+                        _json.dumps(
+                            {
+                                "n_nationkey": row.n_nationkey,
+                                "n_name": row.n_name,
+                                "n_regionkey": row.n_regionkey,
+                            }
+                        )
+                        + "\n"
+                    )
+                    n += 1
+                    key_sum += int(row.n_nationkey)
+            return _Msg(temp, n, key_sum)
+
+        def commit(self, messages):
+            files = []
+            for i, m in enumerate(sorted(messages, key=lambda m: m.temp_path)):
+                final = os.path.join(self.base, f"shard-{i}.jsonl")
+                os.replace(m.temp_path, final)
+                files.append(
+                    {"file": final, "n": m.n, "key_sum": m.key_sum}
+                )
+            manifest = os.path.join(self.base, "_MANIFEST.json")
+            with open(manifest, "w") as fh:
+                _json.dump({"files": files}, fh)
+
+        def abort(self, messages):
+            for m in messages:
+                try:
+                    os.remove(m.temp_path)
+                except OSError:
+                    pass
+
+    class _JsonlSink(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "hetnetdb_jsonl_sink"
+
+        def writer(self, schema, overwrite):
+            return _JsonlWriter(self.options)
+
+    spark.dataSource.register(_JsonlSink)
+    (
+        nation.select("n_nationkey", "n_name", "n_regionkey")
+        .repartition(S44_SHARDS)
+        .write.format("hetnetdb_jsonl_sink")
+        .mode("append")
+        .option("path", base)
+        .save()
+    )
+
+    manifest_path = os.path.join(base, "_MANIFEST.json")
+    if not os.path.exists(manifest_path):
+        raise RuntimeError("s44: commit() never wrote the manifest")
+    with open(manifest_path) as fh:
+        manifest = _json.load(fh)
+    files = manifest["files"]
+    leftovers = os.listdir(os.path.join(base, "_temp"))
+    if leftovers:
+        raise RuntimeError(f"s44: temp files leaked past commit: {leftovers}")
+    for entry in files:
+        if not os.path.exists(entry["file"]):
+            raise RuntimeError(f"s44: manifest lists missing file {entry['file']}")
+        with open(entry["file"]) as fh:
+            n_lines = sum(1 for _ in fh)
+        if n_lines != entry["n"]:
+            raise RuntimeError(
+                f"s44: commit message count {entry['n']} != file lines {n_lines}"
+            )
+
+    back = spark.read.schema(
+        "n_nationkey bigint, n_name string, n_regionkey bigint"
+    ).json([e["file"] for e in files])
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_nationkey").cast("bigint").alias("sum_nationkey"),
+        F.sum("n_regionkey").cast("bigint").alias("sum_regionkey"),
+    ).select(
+        "n_rows",
+        "sum_nationkey",
+        "sum_regionkey",
+        F.lit(len(files)).cast("bigint").alias("n_shards"),
+        F.lit(True).alias("committed"),
+    )
