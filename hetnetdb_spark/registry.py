@@ -180,6 +180,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "l74_bpe_merge_step",
         "s43_vacuum_retention",
         "s44_python_datasource_sink",
+        "t27_python_stream_source",
     }
 )
 

@@ -2637,3 +2637,106 @@ def t25_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# T27 — Python DataSource STREAM reader (custom micro-batch source)
+# --------------------------------------------------------------------------
+
+T27_TOTAL = 120
+T27_BATCH = 40
+
+T27_ORACLE = f"""
+WITH feed AS (SELECT UNNEST(range(0, {T27_TOTAL})) AS seq)
+SELECT CAST(seq % 5 AS BIGINT)                        AS bucket,
+       CAST(COUNT(*) AS BIGINT)                       AS n,
+       CAST(SUM(seq * 37 % 100000) AS BIGINT)         AS cents
+FROM feed
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+@query("t27_python_stream_source", oracle=T27_ORACLE, impure=True)
+def t27_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T27 — the STREAMING third of the Python DataSource API
+    (s39: batch read + pushdown; s44: batch write + 2-phase commit;
+    this: `SimpleDataSourceStreamReader` driving real micro-batch
+    execution). The source owns its offset log: `initialOffset`
+    starts the cursor, each `read(start)` hands Spark one bounded
+    batch plus the NEXT offset, and `readBetweenOffsets` replays a
+    committed range verbatim on recovery — the exactly-once
+    contract every queue connector (Kafka, Kinesis, a REST cursor)
+    implements; here the feed is a deterministic integer sequence
+    so replay equality is certifiable by value. Three 40-row
+    batches drain through the aggregation, then an empty read
+    parks the query and `processAllAvailable` returns — the
+    bounded-drain idiom the rest of the T family runs via
+    availableNow (not yet supported for Python stream sources in
+    4.1, so the drain gate is explicit).
+
+    The streaming aggregate (complete-mode memory sink, grouped on
+    seq % 5) must then equal the RELATIONAL aggregate over the same
+    range — the T family's batch-parity discipline applied to a
+    source whose every row crossed the custom-source offset
+    protocol. Registered impure: datasource registration, stream
+    run, checkpoint scratch."""
+    import shutil
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        SimpleDataSourceStreamReader,
+    )
+
+    class _SeqReader(SimpleDataSourceStreamReader):
+        def initialOffset(self):
+            return {"seq": 0}
+
+        def read(self, start):
+            s = int(start["seq"])
+            e = min(s + T27_BATCH, T27_TOTAL)
+            rows = [(i, i * 37 % 100000) for i in range(s, e)]
+            return (iter(rows), {"seq": e})
+
+        def readBetweenOffsets(self, start, end):
+            return iter(
+                (i, i * 37 % 100000)
+                for i in range(int(start["seq"]), int(end["seq"]))
+            )
+
+    class _SeqFeed(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "hetnetdb_stream_feed"
+
+        def schema(self) -> str:
+            return "seq BIGINT, value_cents BIGINT"
+
+        def simpleStreamReader(self, schema):
+            return _SeqReader()
+
+    spark.dataSource.register(_SeqFeed)
+    ckpt = os.path.join(SCRATCH, "t27_ckpt")
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    feed = spark.readStream.format("hetnetdb_stream_feed").load()
+    agg = (
+        feed.groupBy((F.col("seq") % 5).cast("bigint").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value_cents").cast("bigint").alias("cents"),
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t27_stream_agg")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table("t27_stream_agg").orderBy("bucket")
