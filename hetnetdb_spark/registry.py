@@ -171,16 +171,10 @@ def _verified_names() -> set[str]:
 #: round and sort into tiers 0/1 via CORRECTNESS_r04.json.)
 NEW_THIS_ROUND: frozenset[str] = frozenset(
     {
-        # Round 11: rotated — CORRECTNESS_r10 certified all three
-        # round-10 additions (o11/l72/s42, driver-green), so they
-        # sort into the verified tier by staleness. Round-11
-        # newcomers land here.
-        "q1_pricing_summary_decimal",
-        "l73_semantic_dedup_refined",
-        "l74_bpe_merge_step",
-        "s43_vacuum_retention",
-        "s44_python_datasource_sink",
-        "t27_python_stream_source",
+        # Round 12: rotated — CORRECTNESS_r11 certified all six
+        # round-11 additions (q1 decimal twin, l73, l74, s43, s44,
+        # t27, all driver-green), so they sort into the verified
+        # tier by staleness. Round-12 newcomers land here.
     }
 )
 
@@ -197,19 +191,15 @@ RECHECK_THIS_ROUND: frozenset[str] = frozenset(
         # driver-green), so nothing needs a forced re-check and every
         # driver slot goes to the 29-name never-sampled backlog.
         #
-        # Round 11 (per the r10 verdict's window ask): every query
-        # whose plan was REWRITTEN after its latest driver cert.
-        # This round's rewrites under fresh r10 green rows:
-        "q1_pricing_summary",       # derived avgs + overflow sentinel
-        "events_sessionize_30m",    # boundary-row formulation
-        "events_tumbling_1h",       # exact floor-division bucket
-        # Round-10 rewrites whose latest driver certs PREDATE the
-        # rewrite (certs r4–r8; DRIVER_EQUIV-green at HEAD but the
-        # driver's own ledger row is stale):
-        "a04_approx_count_distinct",  # Expand×sketch split (cert r8)
-        "l70_minhash_recall_curve",   # spread + count-based Jaccard
-        "l02_minhash_neardup",        # spread fan-out (cert r5)
-        "l04_simjoin_lsh",            # spread fan-out (cert r5)
+        # Round 12: rotated to empty. CORRECTNESS_r11 re-certified
+        # every previously-listed rewrite (q1, sessionize, tumbling,
+        # a04, l70, l02_minhash, l04_lsh — all driver-green), so the
+        # whole bounded window goes to the staleness tail: the r12
+        # verdict names the 28 queries whose latest cert is r05
+        # (f18/f19, s03/s16/s20, the l10–l31 dataset-mechanics
+        # family, l02_simhash_neardup, l03_knn_ivf, l04_simjoin_exact,
+        # l08_image_features) — tier 3's stalest-first ordering puts
+        # exactly those at the front without naming them here.
     }
 )
 

@@ -2335,8 +2335,21 @@ def s44_python_datasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             self.base = options.get("path")
 
         def write(self, iterator):
-            pid = TaskContext.get().partitionId()
-            temp = os.path.join(self.base, "_temp", f"part-{pid}.jsonl")
+            # Attempt-unique temp name: under task retry or
+            # speculative execution two attempts of the SAME
+            # partition run concurrently; keying the temp on
+            # partitionId alone would have them clobber one file and
+            # a zombie straggler could corrupt the bytes the winning
+            # attempt's commit message points at. With the attempt id
+            # in the name each attempt owns its file and commit()
+            # promotes only the paths carried by winning messages
+            # (losing-attempt files are swept as zombies there).
+            ctx = TaskContext.get()
+            temp = os.path.join(
+                self.base,
+                "_temp",
+                f"part-{ctx.partitionId()}-attempt-{ctx.taskAttemptId()}.jsonl",
+            )
             n = 0
             key_sum = 0
             with open(temp, "w") as fh:
@@ -2363,12 +2376,29 @@ def s44_python_datasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
                 files.append(
                     {"file": final, "n": m.n, "key_sum": m.key_sum}
                 )
+            # Sweep zombie-attempt temps: anything still in _temp was
+            # written by a losing attempt (retry/speculation) whose
+            # message never reached the driver. Only the promoted
+            # paths above are data; everything else is garbage.
+            temp_dir = os.path.join(self.base, "_temp")
+            for leftover in os.listdir(temp_dir):
+                try:
+                    os.remove(os.path.join(temp_dir, leftover))
+                except OSError:
+                    pass
             manifest = os.path.join(self.base, "_MANIFEST.json")
             with open(manifest, "w") as fh:
                 _json.dump({"files": files}, fh)
 
         def abort(self, messages):
             for m in messages:
+                # Spark passes None for tasks that failed before
+                # returning a commit message — skip those instead of
+                # raising AttributeError inside abort (which would
+                # mask the original task failure and leak the
+                # surviving attempts' temps).
+                if m is None:
+                    continue
                 try:
                     os.remove(m.temp_path)
                 except OSError:

@@ -82,16 +82,37 @@ class _RWLock:
         #: admission passes granted to queued readers at each writer
         #: release — the bounded-preference mechanism
         self._reader_passes = 0
+        #: grant generation — bumped at each writer release. A pass
+        #: may be consumed only by a reader that began waiting BEFORE
+        #: the release that granted it (its arrival stamp is an older
+        #: generation). Without this, a reader arriving after the
+        #: release (writer False, passes > 0) would pass the wait
+        #: predicate immediately and consume a pass intended for an
+        #: already-queued reader, bumping that reader behind the next
+        #: writer — the anti-starvation bound must be per-thread, not
+        #: per-count (ADVICE r11).
+        self._grant_gen = 0
 
     def acquire_shared(self) -> None:
         with self._cond:
+            my_gen = self._grant_gen
             self._readers_waiting += 1
             try:
-                while self._writer or (
-                    self._writers_waiting and self._reader_passes == 0
-                ):
+                while True:
+                    eligible = (
+                        self._reader_passes > 0 and my_gen < self._grant_gen
+                    )
+                    if not (
+                        self._writer
+                        or (self._writers_waiting and not eligible)
+                    ):
+                        break
                     self._cond.wait()
-                if self._reader_passes:
+                # Consume exactly the pass granted to THIS waiting
+                # reader (arrival stamp predates the grant). A reader
+                # admitted because no writer was queued never touches
+                # the pass pool.
+                if self._reader_passes > 0 and my_gen < self._grant_gen:
                     self._reader_passes -= 1
             finally:
                 self._readers_waiting -= 1
@@ -126,7 +147,12 @@ class _RWLock:
             self._writer = False
             # bounded preference: everyone queued on the shared side
             # RIGHT NOW gets in before the next writer; readers that
-            # arrive later queue behind waiting writers as before
+            # arrive later queue behind waiting writers as before.
+            # The generation bump is what enforces "right now": only
+            # readers whose arrival stamp predates this release may
+            # consume a pass, so each grant drains exactly once per
+            # snapshot reader and a late arrival cannot displace one.
+            self._grant_gen += 1
             self._reader_passes = self._readers_waiting
             self._cond.notify_all()
 
