@@ -139,17 +139,27 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             "containers, same plan shape) at this data scale"
         )
     )
+
+    def guarded(micros_sum):
+        # Every micros-derived output carries its own envelope guard:
+        # attaching the sentinel to one column only would let column
+        # pruning eliminate it whenever a consumer projects that
+        # column away, leaving the other int64 sums free to wrap
+        # silently on a runtime with ANSI mode off (ADVICE r11).
+        return (
+            F.when(in_envelope, r6((micros_sum / 1000000).cast("double")))
+            .otherwise(overflow.cast("double"))
+        )
+
     return agg.select(
         "l_returnflag",
         "l_linestatus",
         r6(F.col("_sq")).alias("sum_qty"),
-        F.when(in_envelope, r6((F.col("_sbp") / 1000000).cast("double")))
-        .otherwise(overflow.cast("double"))
-        .alias("sum_base_price"),
-        r6((F.col("_sdp") / 1000000).cast("double")).alias("sum_disc_price"),
-        r6((F.col("_sch") / 1000000).cast("double")).alias("sum_charge"),
+        guarded(F.col("_sbp")).alias("sum_base_price"),
+        guarded(F.col("_sdp")).alias("sum_disc_price"),
+        guarded(F.col("_sch")).alias("sum_charge"),
         r6(F.col("_sq") / F.col("count_order")).alias("avg_qty"),
-        r6((F.col("_sbp") / 1000000).cast("double") / F.col("count_order")).alias(
+        r6(guarded(F.col("_sbp")) / F.col("count_order")).alias(
             "avg_price"
         ),
         r6(F.col("_sd") / F.col("count_order")).alias("avg_disc"),

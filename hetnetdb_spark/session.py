@@ -54,6 +54,10 @@ SESSION_CONF: dict[str, str] = {
     # left to AQE's advisory target) — AQE coalescing makes the
     # initial number a ceiling, not a commitment.
     "spark.sql.shuffle.partitions": "32",
+    # No \r[Stage …] console progress bars: they dominate captured
+    # stderr in headless runs (the driver's BENCH tail was
+    # truncating mid-line on this noise — VERDICT r11 hygiene item).
+    "spark.ui.showConsoleProgress": "false",
 }
 
 
