@@ -877,3 +877,37 @@ def test_s40_pipe_syntax_pushes_filter_to_scan(spark):
     register_views(spark, SF_DIR, "orders", "customer")
     plan = executed_plan(spark.sql(S40_PIPE_SQL))
     assert has_pushed_filter(plan, "o_orderdate"), plan
+
+
+def test_u01_is_the_only_batch_eval_python(spark):
+    """Registry-wide inverse of the U1 contract (VERDICT r11 item 8):
+    u01_python_udf is the ONLY query whose physical plan contains a
+    BatchEvalPython node — the pickled row-at-a-time Python boundary.
+    Everything else must stay JVM-side or cross via Arrow
+    (ArrowEvalPython / *InPandas / *InArrow), which this test does
+    not flag. Scans the pre-execution physical plan (`sparkPlan`),
+    so the whole 300+-query sweep costs planning time only — no jobs
+    run. Goes red the moment any future query sneaks a pickled UDF
+    into the hot path; tools/plan_lint.py rule 4 is the
+    executed-plan (post-AQE) twin of this assertion."""
+    offenders = []
+    u01_has_node = False
+    for name in sorted(registry.QUERIES):
+        if name in registry.IMPURE:
+            continue  # impure queries execute side effects on build
+        df = registry.QUERIES[name](spark, SF_DIR)
+        plan = df._jdf.queryExecution().sparkPlan().toString()
+        if "BatchEvalPython" in plan:
+            if name == "u01_python_udf":
+                u01_has_node = True
+            else:
+                offenders.append(name)
+    assert u01_has_node, (
+        "u01_python_udf must plan a BatchEvalPython node — if Spark "
+        "started arrow-optimizing plain @udf by default, the U1 "
+        "contract no longer certifies the pickled path"
+    )
+    assert not offenders, (
+        f"queries paying the pickled row-UDF boundary besides u01: "
+        f"{offenders}"
+    )

@@ -1,6 +1,6 @@
 """Plan lint: mechanized 100 TB-posture audits of executed plans.
 
-Three rules, each a scale-killer class the per-round judge audit
+Four rules, each a scale-killer class the per-round judge audit
 used to check by hand; all run over every PURE registered query's
 executed (post-AQE) physical plan:
 
@@ -21,6 +21,13 @@ executed (post-AQE) physical plan:
    a driver-side bottleneck no executor count can fix. Flag
    CollectLimitExec whose limit exceeds DRIVER_ROWS_K and
    LocalTableScanExec holding more than DRIVER_ROWS_K rows.
+
+4. **Pickled row-UDF** (round 12). BatchEvalPython serializes every
+   row through pickle to a Python worker — the boundary the
+   U1 contract certifies exactly once. Any other occurrence means a
+   query silently left the JVM hot path. Arrow crossings
+   (ArrowEvalPython, AggregateInPandas, FlatMapGroupsInPandas,
+   MapInPandas/InArrow) are sanctioned and not flagged.
 
 A flag is not automatically a bug: broadcasting a VOCAB-BOUNDED
 aggregate of an exploded relation is the right plan, and the
@@ -95,6 +102,17 @@ DRIVER_ROWS_K = 100_000
 #: CORRECT there.
 DRIVER_ROWS_ALLOWLIST: dict[str, str] = {}
 
+#: query -> reason a pickled row-at-a-time Python UDF
+#: (BatchEvalPython) is CORRECT there. Rule 4 (round 12): the row
+#: UDF serializes every row through pickle — the ~10-100× slow path
+#: the U-contract certifies exactly once. Anything else paying that
+#: boundary is a scale bug; the Arrow paths (ArrowEvalPython,
+#: AggregateInPandas, FlatMapGroupsInPandas, MapInPandas/Arrow) are
+#: the sanctioned Python crossings and are NOT flagged here.
+BATCH_EVAL_ALLOWLIST: dict[str, str] = {
+    "u01_python_udf": "IS the U1 row-UDF contract query",
+}
+
 
 def _subtree_has(node, fragment: str) -> bool:
     if fragment in node.nodeName():
@@ -125,6 +143,7 @@ def _lint_plan(root) -> dict[str, int]:
         "cartesian": 0,
         "driver_rows": 0,
         "accessor_error": 0,
+        "batch_eval_python": 0,
     }
 
     def walk(node) -> None:
@@ -133,6 +152,11 @@ def _lint_plan(root) -> dict[str, int]:
             hits["generate_broadcast"] += 1
         if "CartesianProduct" in name:
             hits["cartesian"] += 1
+        # Rule 4: BatchEvalPython is the PICKLED row-at-a-time UDF
+        # node (Arrow crossings plan as ArrowEvalPython /
+        # *InPandas/*InArrow and are sanctioned).
+        if "BatchEvalPython" in name:
+            hits["batch_eval_python"] += 1
         cls = node.getClass().getSimpleName()
         if cls == "CollectLimitExec":
             try:
@@ -180,6 +204,11 @@ def main() -> int:
         # broken (Spark upgrade renamed limit()/rows()), and the gate
         # must fail loudly rather than go silently green.
         ("accessor_error", "driver-rows accessor raised", {}),
+        (
+            "batch_eval_python",
+            "pickled row-UDF (BatchEvalPython)",
+            BATCH_EVAL_ALLOWLIST,
+        ),
     )
     flagged, allowed, errs = [], [], []
     for name in names:
@@ -208,7 +237,8 @@ def main() -> int:
         print(f"ERR    {name:40s} {e}")
     print(
         f"\n{len(names)} pure queries linted at {SF_DIR} "
-        f"(rules: generate-broadcast, cartesian, driver-rows>{DRIVER_ROWS_K}): "
+        f"(rules: generate-broadcast, cartesian, driver-rows>{DRIVER_ROWS_K}, "
+        f"batch-eval-python): "
         f"{len(allowed)} allowlisted, {len(flagged)} FLAGGED, {len(errs)} errors"
     )
     return 1 if flagged or errs else 0
