@@ -46,6 +46,7 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -101,6 +102,15 @@ def _corpus(factor: int) -> str:
     return scale_smoke.OUT
 
 
+#: Runaway cap, applied SYMMETRICALLY to both engines (r12 — the r10
+#: cap covered DuckDB only): a query whose COLD run exceeds the cap
+#: records that cold wall (flagged "capped") instead of burning 3
+#: more runs. For Spark the cold wall includes JIT warm-up, so the
+#: treatment can only OVERSTATE the Spark-side cost — conservative
+#: in the same direction the DuckDB cap is for DuckDB.
+CAP_S = float(os.environ.get("SPARK_GRAFT_CROSSOVER_DUCK_CAP_S", "0"))
+
+
 def _spark_times(corpus: str, factor: int) -> dict[str, float]:
     from hetnetdb_spark import registry  # noqa: PLC0415
     from hetnetdb_spark.session import get_spark  # noqa: PLC0415
@@ -112,21 +122,88 @@ def _spark_times(corpus: str, factor: int) -> dict[str, float]:
     try:
         for name in QUERIES:
             fn = registry.QUERIES[name]
+            t0 = time.perf_counter()
             fn(spark, corpus).toPandas()  # cold: JIT + page cache
-            best = float("inf")
-            for _ in range(3):
-                t0 = time.perf_counter()
-                fn(spark, corpus).toPandas()
-                best = min(best, time.perf_counter() - t0)
+            cold = time.perf_counter() - t0
+            capped = bool(CAP_S) and cold > CAP_S
+            if capped:
+                best = cold
+            else:
+                best = float("inf")
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    fn(spark, corpus).toPandas()
+                    best = min(best, time.perf_counter() - t0)
             out[name] = round(best, 4)
-            print(
-                json.dumps(
-                    {"factor": factor, "engine": "spark", "query": name, "warm_s": out[name]}
-                ),
-                flush=True,
-            )
+            rec = {"factor": factor, "engine": "spark", "query": name, "warm_s": out[name]}
+            if capped:
+                rec["capped"] = True
+            print(json.dumps(rec), flush=True)
     finally:
         spark.stop()
+    return out
+
+
+#: Factors at or above this run an additional ISOLATED Spark pass:
+#: one fresh PROCESS (hence fresh JVM heap) per query, cold +
+#: min-of-3. Round 11's resident-session protocol contaminated
+#: large-factor legs — window_top3 read 9.55 s inside the resident
+#: sweep vs 4.91 s isolated at the same HEAD (the q1–q5 legs before
+#: it had churned the shared heap) — so the recorded ratio at these
+#: factors is computed from the isolated walls, with the resident
+#: walls kept alongside so the artifact shows both (VERDICT r11
+#: items 1 and 5). `spark.stop()` would NOT be isolation: the py4j
+#: JVM survives a session stop, heap and JIT state included.
+ISO_MIN_FACTOR = int(os.environ.get("SPARK_GRAFT_CROSSOVER_ISO_MIN_FACTOR", "100"))
+
+
+def _worker(query: str, corpus: str, runs: int) -> int:
+    """Isolated-leg worker: fresh process, one query, min-of-N."""
+    from hetnetdb_spark import registry  # noqa: PLC0415
+    from hetnetdb_spark.session import get_spark  # noqa: PLC0415
+
+    registry.load_all()
+    spark = get_spark("crossover-isolated")
+    spark.sparkContext.setLogLevel("ERROR")
+    fn = registry.QUERIES[query]
+    t0 = time.perf_counter()
+    fn(spark, corpus).toPandas()  # cold: JIT + page cache
+    cold = time.perf_counter() - t0
+    if CAP_S and cold > CAP_S:
+        print(json.dumps({"query": query, "warm_s": round(cold, 4), "capped": True}))
+        return 0
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn(spark, corpus).toPandas()
+        best = min(best, time.perf_counter() - t0)
+    print(json.dumps({"query": query, "warm_s": round(best, 4)}))
+    return 0
+
+
+def _spark_isolated_times(corpus: str, factor: int) -> dict[str, float]:
+    out: dict[str, float] = {}
+    for name in QUERIES:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker", name, corpus, "3"],
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=REPO,
+        )
+        rec = json.loads(proc.stdout.strip().splitlines()[-1])
+        out[name] = rec["warm_s"]
+        print(
+            json.dumps(
+                {
+                    "factor": factor,
+                    "engine": "spark-isolated",
+                    "query": name,
+                    "warm_s": out[name],
+                }
+            ),
+            flush=True,
+        )
     return out
 
 
@@ -176,18 +253,37 @@ def main() -> int:
     for factor in FACTORS:
         corpus = _corpus(factor)
         duck = _duck_times(corpus, factor)
-        spark = _spark_times(corpus, factor)
-        s_tot = round(sum(spark.values()), 4)
-        d_tot = round(sum(duck.values()), 4)
-        summary[str(factor)] = {
-            "spark_total_s": s_tot,
-            "duckdb_total_s": d_tot,
-            "ratio": round(s_tot / d_tot, 3),
-            "per_query_ratio": {
-                q: round(spark[q] / duck[q], 3) if duck[q] > 0 else None
-                for q in QUERIES
-            },
+        resident = _spark_times(corpus, factor)
+        spark = resident
+        entry: dict = {
+            "duckdb_total_s": round(sum(duck.values()), 4),
+            "per_query_duckdb_s": duck,
+            "per_query_spark_resident_s": resident,
+            "spark_total_resident_s": round(sum(resident.values()), 4),
         }
+        if factor >= ISO_MIN_FACTOR:
+            # The RECORDED ratio at large factors is the isolated one
+            # (fresh process per query) — resident walls stay in the
+            # artifact so the contamination delta is visible data,
+            # not prose.
+            spark = _spark_isolated_times(corpus, factor)
+            entry["per_query_spark_isolated_s"] = spark
+            entry["ratio_basis"] = "isolated"
+        else:
+            entry["ratio_basis"] = "resident"
+        s_tot = round(sum(spark.values()), 4)
+        d_tot = entry["duckdb_total_s"]
+        entry.update(
+            {
+                "spark_total_s": s_tot,
+                "ratio": round(s_tot / d_tot, 3),
+                "per_query_ratio": {
+                    q: round(spark[q] / duck[q], 3) if duck[q] > 0 else None
+                    for q in QUERIES
+                },
+            }
+        )
+        summary[str(factor)] = entry
     print(
         json.dumps(
             {"summary": "engine_crossover", "factors": summary}
@@ -202,11 +298,16 @@ def main() -> int:
         if os.path.exists(path):
             with open(path) as fh:
                 doc = json.load(fh)
-        doc.setdefault("protocol", (
+        doc["protocol"] = (
             "symmetric: per factor/engine/query one cold run then "
             "min-of-3 full re-executions (fresh QueryExecution / "
-            "fresh DuckDB execute), same parquet files, all cores"
-        ))
+            "fresh DuckDB execute), same parquet files, all cores; "
+            f"at factors >= {ISO_MIN_FACTOR}x the recorded ratio uses "
+            "ISOLATED Spark walls (one fresh process per query, cold "
+            "+ min-of-3) with the resident-session walls kept "
+            "alongside — the r11 resident protocol contaminated "
+            "large-factor legs via shared-JVM heap churn"
+        )
         fam = doc.setdefault(family, {})
         fam["queries"] = QUERIES
         fam.setdefault("factors", {}).update(summary)
@@ -218,4 +319,8 @@ def main() -> int:
 
 
 if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--worker":
+        raise SystemExit(
+            _worker(sys.argv[2], sys.argv[3], int(sys.argv[4]))
+        )
     raise SystemExit(main())

@@ -58,6 +58,12 @@ def evaluate(doc: dict) -> tuple[list[str], dict]:
     gate_ratio = head[str(gate_factor)]["ratio"]
     out["gate_factor"] = gate_factor
     out["gate_ratio"] = gate_ratio
+    # "isolated" = fresh process per query at this factor (r12
+    # protocol); surfaced so the artifact consumer sees which walls
+    # the gate adjudicated.
+    out["gate_ratio_basis"] = head[str(gate_factor)].get(
+        "ratio_basis", "resident"
+    )
     out["curve"] = {str(f): head[str(f)]["ratio"] for f in factors}
     if gate_ratio > G1_MAX_RATIO:
         failures.append(
