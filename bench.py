@@ -97,9 +97,11 @@ def _scale_story(spark, names: list[str]) -> dict:
     read), so the recorded posture claim is the crossover CURVE —
     both engines fully re-executing over replicated corpora
     (SCALE_STORY.json, recorded per round by
-    tools/engine_crossover.py) — with tools/scale_gate.py's
-    ratio<=1.0-at->=100× gate evaluated right here so the driver's
-    BENCH artifact carries the claim and its pass/fail together.
+    tools/engine_crossover.py) — with tools/scale_gate.py's rules
+    (ratio<=1.0 at the largest factor, which must be >=300×; no
+    turn-up past the crossover point; pipeline parity bound)
+    evaluated right here so the driver's BENCH artifact carries the
+    claim and its pass/fail together.
     """
     import time as _t
 

@@ -1755,3 +1755,187 @@ def l74_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("rank", "pair", "pair_count")
         .orderBy("rank")
     )
+
+
+# --------------------------------------------------------------------------
+# L75 — BPE vocabulary training loop (K merge steps, driver-bounded)
+# --------------------------------------------------------------------------
+
+L75_STEPS = 10
+
+#: Symbol-sequence encoding separator (ASCII 0x1F, unit separator).
+#: A word's symbol sequence is spelled `␟s1␟␟s2␟␟…␟sn␟` — every
+#: symbol sandwiched by separators, DOUBLE separators between
+#: neighbors — so that applying one BPE merge (a,b) is a plain
+#: left-to-right non-overlapping string replace of `␟a␟␟b␟` with
+#: `␟ab␟`: the sandwich makes partial-symbol matches impossible
+#: ("yx"+"b" cannot match pattern "x␟␟b"), and the double separator
+#: makes ADJACENT merge sites independent, so one replace pass
+#: performs exactly the greedy left-to-right merge BPE specifies
+#: ("a a a a" → "aa aa", "a a a" → "aa a"). Both engines use the
+#: identical encoding, so the oracle replays the exact algorithm.
+_L75_SEP = "\x1f"
+
+
+def _l75_oracle() -> str:
+    """Unrolled K-stage BPE replay in ANSI-ish SQL (DuckDB): stage k
+    picks the argmax pair of words_{k-1} (count DESC, encoded pair
+    ASC — symbols never contain the separator, so the pair string
+    splits back losslessly) and applies it with the same
+    sandwich-encoded replace the Spark side uses."""
+    sep = "chr(31)"
+    parts = [f"""
+WITH words_0 AS (
+    SELECT {sep} || array_to_string(regexp_split_to_array(w, ''),
+                                    {sep} || {sep}) || {sep} AS enc,
+           n
+    FROM (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (
+            SELECT UNNEST(string_split(lower(text), ' ')) AS w
+            FROM documents
+        )
+        WHERE w <> '' AND w NOT LIKE '%' || {sep} || '%'
+        GROUP BY w
+    )
+)"""]
+    for k in range(1, L75_STEPS + 1):
+        parts.append(f""",
+merge_{k} AS (
+    SELECT string_split(pair, {sep})[1] AS a,
+           string_split(pair, {sep})[2] AS b,
+           cnt
+    FROM (
+        SELECT pair, CAST(SUM(n) AS BIGINT) AS cnt
+        FROM (
+            SELECT UNNEST(list_transform(range(1, len(syms)),
+                          i -> syms[i] || {sep} || syms[i+1])) AS pair,
+                   n
+            FROM (
+                SELECT string_split(substring(enc, 2, length(enc) - 2),
+                                    {sep} || {sep}) AS syms,
+                       n
+                FROM words_{k - 1}
+            )
+        )
+        GROUP BY pair
+        ORDER BY cnt DESC, pair
+        LIMIT 1
+    )
+),
+words_{k} AS (
+    SELECT replace(enc,
+                   {sep} || m.a || {sep} || {sep} || m.b || {sep},
+                   {sep} || m.a || m.b || {sep}) AS enc,
+           n
+    FROM words_{k - 1}, merge_{k} m
+)""")
+    selects = "\nUNION ALL\n".join(
+        f"SELECT CAST({k} AS INT) AS step, a AS left_sym, b AS right_sym, "
+        f"a || b AS merged, cnt AS pair_count FROM merge_{k}"
+        for k in range(1, L75_STEPS + 1)
+    )
+    parts.append(f"\nSELECT * FROM (\n{selects}\n) ORDER BY step")
+    return "".join(parts)
+
+
+L75_ORACLE = _l75_oracle()
+
+
+@query("l75_bpe_train_vocab", oracle=L75_ORACLE)
+def l75_bpe_train_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L75 — BPE tokenizer training, K=10 merge steps (Sennrich et
+    al. 2016): the iterative-algorithm-as-declarative-dataflow
+    pattern at tokenizer-induction shape (the l73 SemDeDup two-round
+    Lloyd precedent, now with a growing symbol table). l74 certifies
+    ONE merge-selection step; this trains the actual merge TABLE —
+    each iteration one vocab-sized pair aggregation, one 1-row
+    argmax collect (the only driver traffic, K-bounded), and one
+    merge application spelled as a literal string replace over the
+    sandwich-encoded symbol sequence (see `_L75_SEP` — the encoding
+    makes greedy left-to-right BPE merging a plain `replace`, no
+    Python crossing anywhere).
+
+    Scale posture: the ONLY corpus-sized exchange is the initial
+    word-count shuffle, paid once and cached; every iteration's
+    dataflow is vocab-bounded (distinct words), embarrassingly
+    parallel, and rebuilt from the cached base plus k literal
+    replaces — the merge table rides into executors as plan
+    LITERALS, the moral equivalent of a broadcast symbol table that
+    grows by one row per step. At 100 TB the word-count agg is the
+    same shuffle l74 pays; iterations never touch raw text again.
+    State never lives in driver loops beyond the K-row merge list.
+    The result is that merge table itself (step, left/right symbol,
+    merged token, count at selection time) — deterministic via
+    (count DESC, encoded-pair ASC) tie-break, oracle-replayed stage
+    by stage in DuckDB."""
+    sep = _L75_SEP
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    words = (
+        documents.select(
+            F.explode(F.split(F.lower(F.col("text")), " ", -1)).alias("w")
+        )
+        .filter((F.col("w") != "") & (~F.col("w").contains(sep)))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.concat(
+                F.lit(sep),
+                F.array_join(F.split(F.col("w"), ""), sep + sep),
+                F.lit(sep),
+            ).alias("enc"),
+            "n",
+        )
+        .cache()
+    )
+    base = words  # the cached DF — `words` is rebound per merge step
+    try:
+        merges: list[tuple[int, str, str, str, int]] = []
+        for step in range(1, L75_STEPS + 1):
+            syms = F.split(
+                F.expr("substring(enc, 2, length(enc) - 2)"), sep + sep
+            )
+            top = (
+                words.select(syms.alias("syms"), "n")
+                .filter(F.size("syms") >= 2)  # sequence(1,0) descends
+                .select(
+                    F.explode(
+                        F.transform(
+                            F.sequence(F.lit(1), F.size("syms") - 1),
+                            lambda i: F.concat(
+                                F.element_at("syms", i),
+                                F.lit(sep),
+                                F.element_at("syms", i + 1),
+                            ),
+                        )
+                    ).alias("pair"),
+                    "n",
+                )
+                .groupBy("pair")
+                .agg(F.sum("n").cast("bigint").alias("cnt"))
+                .orderBy(F.col("cnt").desc(), F.col("pair"))
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                raise RuntimeError(
+                    f"l75: corpus exhausted pairs at step {step} — "
+                    f"K={L75_STEPS} exceeds trainable merges"
+                )
+            a, b = top[0]["pair"].split(sep)
+            merges.append((step, a, b, a + b, int(top[0]["cnt"])))
+            words = words.withColumn(
+                "enc",
+                F.replace(
+                    F.col("enc"),
+                    F.lit(sep + a + sep + sep + b + sep),
+                    F.lit(sep + a + b + sep),
+                ),
+            )
+        return spark.createDataFrame(
+            merges,
+            "step int, left_sym string, right_sym string, "
+            "merged string, pair_count bigint",
+        ).orderBy("step")
+    finally:
+        base.unpersist()

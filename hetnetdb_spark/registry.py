@@ -175,6 +175,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         # round-11 additions (q1 decimal twin, l73, l74, s43, s44,
         # t27, all driver-green), so they sort into the verified
         # tier by staleness. Round-12 newcomers land here.
+        "l75_bpe_train_vocab",
     }
 )
 
