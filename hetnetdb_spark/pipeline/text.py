@@ -541,20 +541,65 @@ GROUP BY source
 def l14_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L14 — repetition quality signals (the Gopher-rules family):
     per-document repeated-token fraction and worst single-token
-    dominance, rolled up per source. Shuffle discipline: the explode
-    happens map-side and immediately aggregates on (doc_id, tok) —
-    partial aggregation collapses each document's token multiset
-    before anything shuffles, so the exchange carries (doc, distinct
-    token) counts, not raw tokens."""
+    dominance, rolled up per source.
+
+    Shuffle discipline (r12 rewrite, per the r11 verdict's plan
+    audit): a document's token-multiset statistics depend on no
+    other row, so they are computed PER ROW — sort the token array
+    and fold it once, counting distinct values and the longest
+    equal-run (= the max token multiplicity in a sorted array) in a
+    single O(n log n) pass that never leaves whole-stage codegen.
+    The old shape shuffled the (doc_id, token) relation to a hash
+    aggregate: even with map-side partials, mostly-distinct tokens
+    made that exchange carry near-raw token volume (measured 5.50 s
+    at the 100× corpus vs DuckDB's 0.47 s). Now the ONLY exchange
+    is the per-source rollup — a handful of rows — and the wall is
+    the tokenize+sort scan itself."""
     (documents,) = load_tables(spark, sf_dir, "documents")
-    toks = documents.select(
-        "doc_id", "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    toks = F.split(F.col("text"), " ")
+    # Fold state: (prev token, current run, max run, distinct seen).
+    # distinct == 0 doubles as the "no element yet" flag, so a first
+    # token equal to the '' sentinel cannot be miscounted.
+    fold = F.aggregate(
+        F.array_sort(toks),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("maxrun"),
+            F.lit(0).cast("long").alias("distinct"),
+        ),
+        lambda acc, x: F.when(
+            acc["distinct"] == 0,
+            F.struct(
+                x.alias("prev"),
+                F.lit(1).cast("long").alias("run"),
+                F.lit(1).cast("long").alias("maxrun"),
+                F.lit(1).cast("long").alias("distinct"),
+            ),
+        )
+        .when(
+            x == acc["prev"],
+            F.struct(
+                x.alias("prev"),
+                (acc["run"] + 1).alias("run"),
+                F.greatest(acc["maxrun"], acc["run"] + 1).alias("maxrun"),
+                acc["distinct"].alias("distinct"),
+            ),
+        )
+        .otherwise(
+            F.struct(
+                x.alias("prev"),
+                F.lit(1).cast("long").alias("run"),
+                acc["maxrun"].alias("maxrun"),
+                (acc["distinct"] + 1).alias("distinct"),
+            )
+        ),
     )
-    per_tok = toks.groupBy("doc_id", "source", "tok").agg(F.count(F.lit(1)).alias("c"))
-    per_doc = per_tok.groupBy("doc_id", "source").agg(
-        F.sum("c").alias("n_tokens"),
-        F.count(F.lit(1)).alias("n_distinct"),
-        F.max("c").alias("top_tok_count"),
+    per_doc = documents.select(
+        "source",
+        F.size(toks).cast("long").alias("n_tokens"),
+        fold["distinct"].alias("n_distinct"),
+        fold["maxrun"].alias("top_tok_count"),
     )
     return per_doc.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -610,43 +655,77 @@ def l20_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     set (k1=1.2, b=0.75, Lucene-style idf = ln(1 + (N-df+0.5)/(df+0.5))),
     the production successor of L6's raw TF-IDF.
 
-    All four statistics come from two aggregates over one exploded
-    token relation: term frequencies per (doc, term) — pre-filtered
-    to the query terms, so the explode is pruned at the scan side —
-    and document frequencies as a count over that same relation;
-    N/avgdl is a 1-row corpus aggregate broadcast in. The scoring
-    join is per-(doc, term) partials summed per doc — at corpus
-    scale this is the inverted-index shape with the posting lists
-    built on the fly; a resident deployment materializes the tf
-    relation once (S6) and reuses it across queries. Top-20 plans
-    as TakeOrderedAndProject.
+    Plan shape (r12 rewrite, per the r11 verdict's plan audit): the
+    query term set is FIXED and tiny, so nothing needs the exploded
+    token relation at all — the old shape generated every token of
+    every document and filtered afterwards (Generate cannot be
+    pruned by a predicate on its output; measured 8.48 s at the
+    100× corpus vs DuckDB's 0.36 s). Now each document computes its
+    per-term frequencies per ROW with `size(filter(toks, = term))`
+    (three counters in one codegen'd projection), and ALL corpus
+    statistics — N, avgdl, and the three document frequencies — are
+    ONE 1-row aggregate over that projection, broadcast into the
+    scoring pass. The scoring pass re-scans only documents that can
+    match (a substring-contains pre-filter, a strict superset of
+    token equality, prunes before tokenizing), scores in-row, and
+    the only ordering operator is the top-20 TakeOrderedAndProject.
+    Zero token-keyed exchanges at any corpus size; at 100 TB both
+    passes are embarrassingly parallel scans. A resident deployment
+    materializes the tf projection once (S6) and reuses it across
+    query sets.
     """
     (documents,) = load_tables(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
-    docs = documents.select(
-        "doc_id", toks.alias("toks"), F.size(toks).cast("double").alias("dl")
+
+    def tf_col(term: str):
+        # NB: a single-arg lambda is load-bearing — pyspark treats a
+        # two-arg lambda (even `x, t=term`) as the (element, index)
+        # variant and passes the positional INDEX as the second arg.
+        lit_t = F.lit(term)
+        return F.size(F.filter(toks, lambda x: x == lit_t)).cast("double")
+
+    per_doc = documents.select(
+        "doc_id",
+        F.size(toks).cast("double").alias("dl"),
+        *[tf_col(t).alias(f"tf_{i}") for i, t in enumerate(BM25_TERMS)],
     )
-    stats = docs.agg(
-        F.count(F.lit(1)).cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
+    stats = per_doc.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("double")).alias(f"df_{i}")
+            for i in range(len(BM25_TERMS))
+        ],
     )
-    tf = (
-        docs.select("doc_id", "dl", F.explode("toks").alias("tok"))
-        .filter(F.col("tok").isin(*BM25_TERMS))
-        .groupBy("doc_id", "dl", "tok")
-        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    any_term = None
+    for t in BM25_TERMS:
+        c = F.col("text").contains(t)
+        any_term = c if any_term is None else (any_term | c)
+    matches = documents.filter(any_term).select(
+        "doc_id",
+        F.size(toks).cast("double").alias("dl"),
+        *[tf_col(t).alias(f"tf_{i}") for i, t in enumerate(BM25_TERMS)],
     )
-    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("df"))
-    idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-    tf_norm = (
-        F.col("tf")
-        * (BM25_K1 + 1.0)
-        / (F.col("tf") + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")))
-    )
+
+    def term_score(i: int):
+        tf = F.col(f"tf_{i}")
+        idf = F.log(
+            1.0 + (F.col("n_docs") - F.col(f"df_{i}") + 0.5) / (F.col(f"df_{i}") + 0.5)
+        )
+        norm = (
+            tf
+            * (BM25_K1 + 1.0)
+            / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")))
+        )
+        return F.when(tf > 0, idf * norm).otherwise(F.lit(0.0))
+
+    total = term_score(0)
+    for i in range(1, len(BM25_TERMS)):
+        total = total + term_score(i)
     return (
-        tf.join(F.broadcast(df_t), "tok")
-        .join(F.broadcast(stats))
-        .groupBy("doc_id")
-        .agg(r6(F.sum(idf * tf_norm)).alias("bm25"))
+        matches.join(F.broadcast(stats))
+        .filter(sum((F.col(f"tf_{i}") > 0).cast("int") for i in range(len(BM25_TERMS))) > 0)
+        .select("doc_id", r6(total).alias("bm25"))
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(20)
     )
