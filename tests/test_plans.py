@@ -911,3 +911,24 @@ def test_u01_is_the_only_batch_eval_python(spark):
         f"queries paying the pickled row-UDF boundary besides u01: "
         f"{offenders}"
     )
+
+
+def test_l14_repetition_is_shuffle_free_per_doc(spark):
+    """l14 (r12 rewrite): per-doc token-multiset stats fold in-row —
+    no (doc_id, token) relation exists, so the plan has NO Generate
+    node and exactly one exchange (the per-source rollup)."""
+    plan = executed_plan(registry.QUERIES["l14_repetition_stats"](spark, SF_DIR))
+    assert "Generate" not in plan, "l14 must not explode tokens"
+    assert shuffle_exchange_count(plan) == 1, plan
+
+
+def test_l20_bm25_no_token_explode_and_top_k(spark):
+    """l20 (r12 rewrite): fixed-term BM25 needs no exploded token
+    relation (per-term tf is an in-row size(filter(...))), corpus
+    stats ride a 1-row broadcast, and the ordering operator is the
+    top-20 TakeOrderedAndProject — zero token-keyed exchanges."""
+    plan = executed_plan(registry.QUERIES["l20_bm25_search"](spark, SF_DIR))
+    assert "Generate" not in plan, "l20 must not explode tokens"
+    assert has_top_k(plan), "top-20 must plan as TakeOrderedAndProject"
+    assert "BroadcastExchange" in plan, "1-row stats must broadcast"
+    assert shuffle_exchange_count(plan) == 0, plan

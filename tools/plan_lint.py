@@ -57,7 +57,6 @@ SF_DIR = os.environ.get("SPARK_GRAFT_LINT_SF_DIR", "/root/testdata/sf0.01")
 #: query -> reason a Generate-fed BroadcastExchange is CORRECT there.
 ALLOWLIST: dict[str, str] = {
     "l06_tfidf_top_terms": "df side is the vocab-bounded term table",
-    "l20_bm25_search": "df side is the vocab-bounded term table",
     "l19_decontamination": "build side is the bounded benchmark gram set",
     "l30_contamination_report": "build side is the bounded benchmark gram set",
     "l43_bigram_logprob": "count tables are vocab-bounded",
