@@ -122,18 +122,34 @@ def _spark_times(corpus: str, factor: int) -> dict[str, float]:
     try:
         for name in QUERIES:
             fn = registry.QUERIES[name]
-            t0 = time.perf_counter()
-            fn(spark, corpus).toPandas()  # cold: JIT + page cache
-            cold = time.perf_counter() - t0
-            capped = bool(CAP_S) and cold > CAP_S
-            if capped:
-                best = cold
-            else:
-                best = float("inf")
-                for _ in range(3):
-                    t0 = time.perf_counter()
-                    fn(spark, corpus).toPandas()
-                    best = min(best, time.perf_counter() - t0)
+            try:
+                t0 = time.perf_counter()
+                fn(spark, corpus).toPandas()  # cold: JIT + page cache
+                cold = time.perf_counter() - t0
+                capped = bool(CAP_S) and cold > CAP_S
+                if capped:
+                    best = cold
+                else:
+                    best = float("inf")
+                    for _ in range(3):
+                        t0 = time.perf_counter()
+                        fn(spark, corpus).toPandas()
+                        best = min(best, time.perf_counter() - t0)
+            except Exception as exc:  # noqa: BLE001 — one leg must not
+                # sink the whole run's measurements (r12: an OOM in
+                # the 300x l02 leg lost four factors of data)
+                print(
+                    json.dumps(
+                        {
+                            "factor": factor,
+                            "engine": "spark",
+                            "query": name,
+                            "error": str(exc)[:200],
+                        }
+                    ),
+                    flush=True,
+                )
+                continue
             out[name] = round(best, 4)
             rec = {"factor": factor, "engine": "spark", "query": name, "warm_s": out[name]}
             if capped:
@@ -188,9 +204,22 @@ def _spark_isolated_times(corpus: str, factor: int) -> dict[str, float]:
             [sys.executable, os.path.abspath(__file__), "--worker", name, corpus, "3"],
             capture_output=True,
             text=True,
-            check=True,
             cwd=REPO,
         )
+        if proc.returncode != 0:
+            err = proc.stderr.strip().splitlines()[-1][:200] if proc.stderr.strip() else "worker died"
+            print(
+                json.dumps(
+                    {
+                        "factor": factor,
+                        "engine": "spark-isolated",
+                        "query": name,
+                        "error": err,
+                    }
+                ),
+                flush=True,
+            )
+            continue
         rec = json.loads(proc.stdout.strip().splitlines()[-1])
         out[name] = rec["warm_s"]
         print(
@@ -248,6 +277,38 @@ def _duck_times(corpus: str, factor: int) -> dict[str, float]:
     return out
 
 
+def _write_out(summary: dict[str, dict]) -> None:
+    """Merge `summary` into the out-file NOW — called after every
+    factor so a crashed leg (r12: an executor OOM) loses at most the
+    factor in flight, never the measurements already taken."""
+    out = os.environ.get("SPARK_GRAFT_CROSSOVER_OUT", "")
+    if not out:
+        return
+    family = os.environ.get("SPARK_GRAFT_CROSSOVER_FAMILY", "headline")
+    path = out if os.path.isabs(out) else os.path.join(REPO, out)
+    doc: dict = {}
+    if os.path.exists(path):
+        with open(path) as fh:
+            doc = json.load(fh)
+    doc["protocol"] = (
+        "symmetric: per factor/engine/query one cold run then "
+        "min-of-3 full re-executions (fresh QueryExecution / "
+        "fresh DuckDB execute), same parquet files, all cores; "
+        f"at factors >= {ISO_MIN_FACTOR}x the recorded ratio uses "
+        "ISOLATED Spark walls (one fresh process per query, cold "
+        "+ min-of-3) with the resident-session walls kept "
+        "alongside — the r11 resident protocol contaminated "
+        "large-factor legs via shared-JVM heap churn"
+    )
+    fam = doc.setdefault(family, {})
+    fam["queries"] = QUERIES
+    fam.setdefault("factors", {}).update(summary)
+    with open(path, "w") as fh:
+        json.dump(doc, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    print(f"# wrote {path} [{family}]", file=sys.stderr)
+
+
 def main() -> int:
     summary: dict[str, dict] = {}
     for factor in FACTORS:
@@ -271,50 +332,34 @@ def main() -> int:
             entry["ratio_basis"] = "isolated"
         else:
             entry["ratio_basis"] = "resident"
-        s_tot = round(sum(spark.values()), 4)
-        d_tot = entry["duckdb_total_s"]
+        # Totals and the set ratio cover only queries BOTH engines
+        # completed — a failed leg is recorded as an error line and
+        # listed here, never silently averaged away.
+        both = [q for q in QUERIES if q in spark and q in duck]
+        failed = [q for q in QUERIES if q not in both]
+        if failed:
+            entry["failed_queries"] = failed
+        s_tot = round(sum(spark[q] for q in both), 4)
+        d_tot = round(sum(duck[q] for q in both), 4)
+        entry["duckdb_total_s"] = d_tot
         entry.update(
             {
                 "spark_total_s": s_tot,
-                "ratio": round(s_tot / d_tot, 3),
+                "ratio": round(s_tot / d_tot, 3) if d_tot > 0 else None,
                 "per_query_ratio": {
                     q: round(spark[q] / duck[q], 3) if duck[q] > 0 else None
-                    for q in QUERIES
+                    for q in both
                 },
             }
         )
         summary[str(factor)] = entry
+        _write_out({str(factor): entry})
     print(
         json.dumps(
             {"summary": "engine_crossover", "factors": summary}
         ),
         flush=True,
     )
-    out = os.environ.get("SPARK_GRAFT_CROSSOVER_OUT", "")
-    if out:
-        family = os.environ.get("SPARK_GRAFT_CROSSOVER_FAMILY", "headline")
-        path = out if os.path.isabs(out) else os.path.join(REPO, out)
-        doc: dict = {}
-        if os.path.exists(path):
-            with open(path) as fh:
-                doc = json.load(fh)
-        doc["protocol"] = (
-            "symmetric: per factor/engine/query one cold run then "
-            "min-of-3 full re-executions (fresh QueryExecution / "
-            "fresh DuckDB execute), same parquet files, all cores; "
-            f"at factors >= {ISO_MIN_FACTOR}x the recorded ratio uses "
-            "ISOLATED Spark walls (one fresh process per query, cold "
-            "+ min-of-3) with the resident-session walls kept "
-            "alongside — the r11 resident protocol contaminated "
-            "large-factor legs via shared-JVM heap churn"
-        )
-        fam = doc.setdefault(family, {})
-        fam["queries"] = QUERIES
-        fam.setdefault("factors", {}).update(summary)
-        with open(path, "w") as fh:
-            json.dump(doc, fh, indent=1, sort_keys=True)
-            fh.write("\n")
-        print(f"# wrote {path} [{family}]", file=sys.stderr)
     return 0
 
 
