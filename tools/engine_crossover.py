@@ -256,18 +256,33 @@ def _duck_times(corpus: str, factor: int) -> dict[str, float]:
     out: dict[str, float] = {}
     for name in QUERIES:
         sql = registry.ORACLE[name]
-        t0 = time.perf_counter()
-        con.execute(sql).fetchdf()  # cold
-        cold = time.perf_counter() - t0
-        capped = bool(cap_s) and cold > cap_s
-        if capped:
-            best = cold
-        else:
-            best = float("inf")
-            for _ in range(3):
-                t0 = time.perf_counter()
-                con.execute(sql).fetchdf()
-                best = min(best, time.perf_counter() - t0)
+        try:
+            t0 = time.perf_counter()
+            con.execute(sql).fetchdf()  # cold
+            cold = time.perf_counter() - t0
+            capped = bool(cap_s) and cold > cap_s
+            if capped:
+                best = cold
+            else:
+                best = float("inf")
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    con.execute(sql).fetchdf()
+                    best = min(best, time.perf_counter() - t0)
+        except Exception as exc:  # noqa: BLE001 — r12: DuckDB's own
+            # OOM on the 300x banded-LSH replay must not sink the run
+            print(
+                json.dumps(
+                    {
+                        "factor": factor,
+                        "engine": "duckdb",
+                        "query": name,
+                        "error": str(exc)[:200],
+                    }
+                ),
+                flush=True,
+            )
+            continue
         out[name] = round(best, 4)
         rec = {"factor": factor, "engine": "duckdb", "query": name, "warm_s": out[name]}
         if capped:
