@@ -41,6 +41,16 @@ EXTRA_FACTS = {
 }
 
 _TAG = "_".join(sorted(EXTRA_FACTS))
+if "documents" in EXTRA_FACTS:
+    # v2 = replica-SALTED documents (see replicate()): verbatim
+    # replication is degenerate for pair-generating queries — every
+    # doc gains FACTOR-1 exact copies, so banded-LSH candidate pairs
+    # grow quadratically in the factor (~4G pairs at 300×; measured:
+    # DuckDB OOM/903 s, Spark exhausted spill disk). Real corpora
+    # hold near-dup density roughly constant as they grow; the salt
+    # restores that, so the crossover measures the ALGORITHM's
+    # scaling, not a synthetic-corpus pathology.
+    _TAG += "_v2"
 OUT = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     ".scratch",
@@ -97,6 +107,19 @@ def replicate(spark) -> None:
             c = src
             for col in offset_cols:
                 c = c.withColumn(col, F.col(col) + F.lit(i * 100_000_000))
+            if name == "documents" and i > 0:
+                # Replica salt: map the five vowels to the replica
+                # index's five digits — a pervasive, deterministic,
+                # length-preserving mutation that decorrelates the
+                # replica's shingles/minhashes from every other
+                # replica's, keeping near-dup candidate density at
+                # the BASE corpus's natural level as the corpus
+                # grows (real-data shape). Replica 0 stays verbatim
+                # so the original content is always present.
+                c = c.withColumn(
+                    "text",
+                    F.translate(F.col("text"), "aeiou", f"{i % 100000:05d}"),
+                )
             copies.append(c)
         out = copies[0]
         for c in copies[1:]:
