@@ -1856,12 +1856,15 @@ L75_STEPS = 10
 _L75_SEP = "\x1f"
 
 
-def _l75_oracle() -> str:
-    """Unrolled K-stage BPE replay in ANSI-ish SQL (DuckDB): stage k
-    picks the argmax pair of words_{k-1} (count DESC, encoded pair
-    ASC — symbols never contain the separator, so the pair string
-    splits back losslessly) and applies it with the same
-    sandwich-encoded replace the Spark side uses."""
+def _bpe_stage_ctes() -> str:
+    """Unrolled K-stage BPE training replay in ANSI-ish SQL (DuckDB),
+    shared by the l75 (merge table) and l76 (corpus encode) oracles:
+    stage k picks the argmax pair of words_{k-1} (count DESC, encoded
+    pair ASC — symbols never contain the separator, so the pair
+    string splits back losslessly) and applies it with the same
+    sandwich-encoded replace the Spark side uses. Returns the WITH
+    prefix through words_K / merge_K; callers append their own final
+    CTEs and SELECT."""
     sep = "chr(31)"
     parts = [f"""
 WITH words_0 AS (
@@ -1909,13 +1912,17 @@ words_{k} AS (
            n
     FROM words_{k - 1}, merge_{k} m
 )""")
+    return "".join(parts)
+
+
+def _l75_oracle() -> str:
+    """Merge-table projection over the shared K-stage training replay."""
     selects = "\nUNION ALL\n".join(
         f"SELECT CAST({k} AS INT) AS step, a AS left_sym, b AS right_sym, "
         f"a || b AS merged, cnt AS pair_count FROM merge_{k}"
         for k in range(1, L75_STEPS + 1)
     )
-    parts.append(f"\nSELECT * FROM (\n{selects}\n) ORDER BY step")
-    return "".join(parts)
+    return _bpe_stage_ctes() + f"\nSELECT * FROM (\n{selects}\n) ORDER BY step"
 
 
 L75_ORACLE = _l75_oracle()
@@ -1948,8 +1955,21 @@ def l75_bpe_train_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged token, count at selection time) — deterministic via
     (count DESC, encoded-pair ASC) tie-break, oracle-replayed stage
     by stage in DuckDB."""
-    sep = _L75_SEP
     (documents,) = load_tables(spark, sf_dir, "documents")
+    merges = _bpe_train(documents)
+    return spark.createDataFrame(
+        merges,
+        "step int, left_sym string, right_sym string, "
+        "merged string, pair_count bigint",
+    ).orderBy("step")
+
+
+def _bpe_train(documents: DataFrame) -> list[tuple[int, str, str, str, int]]:
+    """The K-step merge-training loop shared by l75 (which returns the
+    merge table itself) and l76 (which applies it to encode the
+    corpus). Returns [(step, left, right, merged, pair_count)]; see
+    l75's docstring for the dataflow argument."""
+    sep = _L75_SEP
     words = (
         documents.select(
             F.explode(F.split(F.lower(F.col("text")), " ", -1)).alias("w")
@@ -2011,10 +2031,177 @@ def l75_bpe_train_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lit(sep + a + b + sep),
                 ),
             )
-        return spark.createDataFrame(
-            merges,
-            "step int, left_sym string, right_sym string, "
-            "merged string, pair_count bigint",
-        ).orderBy("step")
+        return merges
     finally:
         base.unpersist()
+
+
+# --------------------------------------------------------------------------
+# L76 — BPE corpus encoding with the trained merge table
+# --------------------------------------------------------------------------
+
+#: Word-boundary marker between sandwich-encoded words in a document's
+#: encoded string (ASCII 0x1E, record separator). Merge patterns are
+#: `␟a␟␟b␟` — a DOUBLE separator between symbols — while a word
+#: boundary contributes `␟<RS>␟` (single separators around the
+#: marker), so no merge can ever span two words: BPE's reset-at-word-
+#: boundary rule falls out of the encoding instead of needing a
+#: per-word explode.
+_L76_RS = "\x1e"
+
+
+def _l76_oracle() -> str:
+    """Corpus-encode replay: the shared K-stage training CTEs derive
+    the SAME merge table the Spark side trains, then K unrolled
+    enc_k stages apply each merge to every document's sandwich-
+    encoded word sequence (one cross join against the 1-row merge_k
+    relation per stage). Token accounting is pure string arithmetic:
+    a word of s symbols carries s-1 double-separator junctions, so
+    total BPE tokens = words + junctions, and junctions fall out of
+    a length delta under `replace(enc, sep||sep, sep)`."""
+    sep = "chr(31)"
+    rs = "chr(30)"
+    parts = [_bpe_stage_ctes()]
+    parts.append(f""",
+enc_0 AS (
+    SELECT source,
+           len(ws) AS n_words,
+           length(array_to_string(ws, '')) AS n_chars,
+           array_to_string(
+               list_transform(ws, w -> {sep} ||
+                   array_to_string(regexp_split_to_array(w, ''),
+                                   {sep} || {sep}) || {sep}),
+               {rs}) AS enc
+    FROM (
+        SELECT source,
+               list_filter(string_split(lower(text), ' '),
+                           w -> w <> '' AND
+                                w NOT LIKE '%' || {sep} || '%') AS ws
+        FROM documents
+    )
+)""")
+    for k in range(1, L75_STEPS + 1):
+        parts.append(f""",
+enc_{k} AS (
+    SELECT source, n_words, n_chars,
+           replace(enc,
+                   {sep} || m.a || {sep} || {sep} || m.b || {sep},
+                   {sep} || m.a || m.b || {sep}) AS enc
+    FROM enc_{k - 1}, merge_{k} m
+)""")
+    parts.append(f"""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS n_words,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       CAST(SUM(n_words + length(enc)
+                - length(replace(enc, {sep} || {sep}, {sep})))
+            AS BIGINT) AS n_bpe_tokens,
+       ROUND(CAST(SUM(n_chars) AS DOUBLE)
+             / SUM(n_words + length(enc)
+                   - length(replace(enc, {sep} || {sep}, {sep}))),
+             6) AS compression
+FROM enc_{L75_STEPS}
+GROUP BY source
+ORDER BY source""")
+    return "".join(parts)
+
+
+L76_ORACLE = _l76_oracle()
+
+
+@query("l76_bpe_encode", oracle=L76_ORACLE)
+def l76_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L76 — apply the l75-trained BPE merge table to ENCODE the
+    corpus, closing the tokenizer story (train → encode) the way a
+    production data pipeline runs it: induce merges once, then
+    tokenize every document and account for the resulting token
+    budget per source (docs, whitespace words, chars, BPE tokens,
+    chars-per-token compression).
+
+    Spark-first shape: training reuses `_bpe_train` (one corpus-wide
+    word-count shuffle, then vocab-bounded iterations; K 1-row
+    collects are the only driver traffic). ENCODING is zero-shuffle
+    and zero-explode: each document is sandwich-encoded in-row
+    (transform + array_join over its word array), the K merges ride
+    the plan as literal `replace` calls exactly like the training
+    side, and the word-boundary marker (see `_L76_RS`) makes
+    cross-word merges unrepresentable, so no per-word relation is
+    ever materialized. Per-doc token counts are length arithmetic;
+    the only exchange in the whole encode leg is the final
+    per-source rollup (|sources| rows). At 100 TB: train on a
+    sample or the full corpus (one shuffle), broadcast the merge
+    table as plan literals, encode map-side, aggregate partials —
+    nothing scales worse than the scan itself.
+
+    Determinism: merge selection inherits l75's (count DESC, pair
+    ASC) total order; every count is an exact BIGINT; the single
+    double (compression) is round-6 disciplined. The oracle replays
+    training AND encoding stage-by-stage in DuckDB, so the encoded
+    token accounting is value-certified end-to-end."""
+    sep = _L75_SEP
+    rs = _L76_RS
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    merges = _bpe_train(documents)
+    ws = F.filter(
+        F.split(F.lower(F.col("text")), " ", -1),
+        lambda w: (w != "") & (~w.contains(sep)),
+    )
+    enc = F.array_join(
+        F.transform(
+            F.col("ws"),
+            lambda w: F.concat(
+                F.lit(sep),
+                F.array_join(F.split(w, ""), sep + sep),
+                F.lit(sep),
+            ),
+        ),
+        rs,
+    )
+    df = (
+        documents.select("source", ws.alias("ws"))
+        .select(
+            "source",
+            F.size("ws").alias("n_words"),
+            F.length(F.array_join("ws", "")).alias("n_chars"),
+            enc.alias("enc"),
+        )
+    )
+    for _, a, b, _, _ in merges:
+        df = df.withColumn(
+            "enc",
+            F.replace(
+                F.col("enc"),
+                F.lit(sep + a + sep + sep + b + sep),
+                F.lit(sep + a + b + sep),
+            ),
+        )
+    junctions = F.length("enc") - F.length(
+        F.replace(F.col("enc"), F.lit(sep + sep), F.lit(sep))
+    )
+    per_doc = df.select(
+        "source",
+        "n_words",
+        "n_chars",
+        (F.col("n_words") + junctions).alias("n_bpe"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("n_words"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+            F.sum("n_bpe").cast("bigint").alias("n_bpe_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_words",
+            "n_chars",
+            "n_bpe_tokens",
+            r6(
+                F.col("n_chars").cast("double") / F.col("n_bpe_tokens")
+            ).alias("compression"),
+        )
+        .orderBy("source")
+    )
