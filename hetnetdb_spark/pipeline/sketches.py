@@ -373,3 +373,218 @@ def l54_quality_model_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p, 6).alias("p_quality"),
         (p >= F.lit(L54_THRESHOLD)).alias("keep"),
     )
+
+
+# --------------------------------------------------------------------------
+# L77 — DSIR: data selection via importance resampling
+# --------------------------------------------------------------------------
+
+#: hashed n-gram feature buckets (DSIR uses 10k; 64 keeps the oracle
+#: replay cheap while exercising the identical dataflow)
+L77_BUCKETS = 64
+#: documents selected from the raw pool
+L77_TOP_N = 100
+
+
+def _l77_gram_sql(rel: str) -> str:
+    """DuckDB CTE body emitting (doc_id, lang, bucket) one row per
+    unigram AND bigram occurrence of `rel` — the same house md5
+    bucket spell l47 pins, over the same filtered token stream the
+    Spark side builds."""
+    return f"""
+    SELECT doc_id, lang,
+           CAST('0x' || substr(md5('g:' || g), 1, 15) AS BIGINT)
+               % {L77_BUCKETS} AS bucket
+    FROM (
+        SELECT doc_id, lang,
+               unnest(list_concat(
+                   toks,
+                   list_transform(range(1, len(toks)),
+                                  i -> toks[i] || ' ' || toks[i + 1])
+               )) AS g
+        FROM (
+            SELECT doc_id, lang,
+                   list_filter(string_split(lower(text), ' '),
+                               w -> w <> '') AS toks
+            FROM {rel}
+        )
+    )"""
+
+
+L77_ORACLE = f"""
+WITH grams AS ({_l77_gram_sql("documents")}),
+dist AS (
+    SELECT bucket,
+           SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_t,
+           SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS c_r
+    FROM grams GROUP BY bucket
+),
+tot AS (
+    SELECT SUM(c_t) AS n_t, SUM(c_r) AS n_r FROM dist
+),
+lr AS (
+    SELECT bucket,
+           CAST(ROUND(
+               ln((c_t + 1.0) / ((SELECT n_t FROM tot) + {L77_BUCKETS}))
+             - ln((c_r + 1.0) / ((SELECT n_r FROM tot) + {L77_BUCKETS})),
+               12) AS DECIMAL(18, 12)) AS logratio
+    FROM dist
+),
+doc_feat AS (
+    SELECT doc_id, lang, bucket, COUNT(*) AS cnt
+    FROM grams WHERE lang <> 'en'
+    GROUP BY doc_id, lang, bucket
+),
+weights AS (
+    SELECT f.doc_id, f.lang,
+           SUM(CAST(f.cnt AS DECIMAL(10, 0)) * lr.logratio) AS w
+    FROM doc_feat f JOIN lr ON f.bucket = lr.bucket
+    GROUP BY f.doc_id, f.lang
+),
+selected AS (
+    SELECT doc_id, lang, w
+    FROM weights
+    ORDER BY w DESC, doc_id
+    LIMIT {L77_TOP_N}
+)
+SELECT w.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_candidates,
+       CAST(COUNT(s.doc_id) AS BIGINT) AS n_selected,
+       ROUND(CAST(SUM(s.w) AS DOUBLE) / COUNT(s.doc_id), 6) + 0.0
+           AS avg_selected_weight
+FROM weights w LEFT JOIN selected s ON w.doc_id = s.doc_id
+GROUP BY w.lang
+ORDER BY w.lang
+"""
+
+
+@query("l77_dsir_selection", oracle=L77_ORACLE)
+def l77_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L77 — DSIR (Xie et al. 2023, "Data Selection for Language
+    Models via Importance Resampling"): score every raw-pool
+    document by how target-like its hashed n-gram feature
+    distribution is, and select the top-N. The target here is the
+    English slice of the corpus (lang='en'); the raw pool is
+    everything else; a selected doc is one whose unigram+bigram
+    bucket histogram looks more like the target's than the pool's
+    (importance weight = Σ_b cnt_b · log(p_target(b)/p_raw(b)),
+    add-1-smoothed). Unlike l54's PINNED quality model, the model
+    here is TRAINED from the data inside the query — both bucket
+    distributions are derived relations.
+
+    Spark-first shape, all codegen: one explode over unigrams+
+    bigrams → (doc, bucket) map-side-combined hash agg (≤B rows per
+    doc leave the map stage regardless of doc length); the two
+    distributions and their log-ratios are ONE B-row aggregate that
+    re-enters as a broadcast join; per-doc weights are a second
+    (doc)-keyed agg; the top-N is a TakeOrderedAndProject. At
+    100 TB: B grows to 10k (still broadcast-size), everything else
+    is the same two hash aggs — no per-token shuffle survives the
+    map-side combine, no driver loop, no Python.
+
+    Determinism: buckets are the house md5 spell (l47); the weight
+    is a DECIMAL(28,12) dot product — per-bucket log-ratios are
+    rounded to 12dp BEFORE the sum, so the aggregation is order-free
+    (the l54/l42 decimal-sum discipline) and the top-N cut line is
+    identical on both engines; ties break by doc_id. The reported
+    frame aggregates per lang (candidates, selected, r6 avg weight).
+
+    Paper parity: hashed n-gram features + smoothed log-likelihood
+    ratio is DSIR's exact estimator family; top-N rather than Gumbel
+    resampling keeps the query deterministic (the paper's §3
+    deterministic variant)."""
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), " ", -1), lambda w: w != ""
+    )
+    grams_arr = F.concat(
+        F.col("toks"),
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.concat(
+                F.element_at("toks", i),
+                F.lit(" "),
+                F.element_at("toks", i + 1),
+            ),
+        ),
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("g:"), F.col("g"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % L77_BUCKETS
+    )
+    grams = (
+        documents.select("doc_id", "lang", toks.alias("toks"))
+        .filter(F.size("toks") >= 1)
+        .select("doc_id", "lang", F.explode(grams_arr).alias("g"))
+        .select("doc_id", "lang", bucket.alias("bucket"))
+    )
+    dist = grams.groupBy("bucket").agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("c_t"),
+        F.sum(F.when(F.col("lang") != "en", 1).otherwise(0)).alias("c_r"),
+    )
+    tot = dist.agg(
+        F.sum("c_t").alias("n_t"), F.sum("c_r").alias("n_r")
+    )
+    lr = (
+        dist.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.round(
+                F.log((F.col("c_t") + 1.0) / (F.col("n_t") + L77_BUCKETS))
+                - F.log((F.col("c_r") + 1.0) / (F.col("n_r") + L77_BUCKETS)),
+                12,
+            )
+            # (18,12): |logratio| < 1e6 always fits, and the
+            # (10,0)x(18,12) product stays under precision 38 on BOTH
+            # engines — Spark would silently SHRINK the scale of an
+            # overflowing product (allowPrecisionLoss), DuckDB would
+            # not, and the two quantizations diverge at the 12th dp.
+            .cast("decimal(18,12)")
+            .alias("logratio"),
+        )
+    )
+    doc_feat = (
+        grams.filter(F.col("lang") != "en")
+        .groupBy("doc_id", "lang", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    weights = (
+        doc_feat.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum(
+                F.col("cnt").cast("decimal(10,0)") * F.col("logratio")
+            ).alias("w")
+        )
+    )
+    selected = weights.orderBy(F.col("w").desc(), "doc_id").limit(L77_TOP_N)
+    return (
+        weights.alias("w")
+        .join(
+            selected.select(F.col("doc_id").alias("s_doc")).alias("s"),
+            F.col("w.doc_id") == F.col("s_doc"),
+            "left",
+        )
+        .groupBy(F.col("w.lang").alias("lang"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+            F.count("s_doc").cast("bigint").alias("n_selected"),
+            (
+                # exact DECIMAL sum (order-free), then ONE double
+                # division of identical operands on both engines
+                F.round(
+                    F.sum(
+                        F.when(F.col("s_doc").isNotNull(), F.col("w"))
+                    ).cast("double")
+                    / F.count("s_doc"),
+                    6,
+                )
+                + 0.0
+            ).alias("avg_selected_weight"),
+        )
+        .orderBy("lang")
+    )

@@ -679,7 +679,9 @@ def _protobuf_available() -> bool:
     if _has_protobuf():
         # Breadcrumb for future debugging sessions: google.protobuf
         # is now the vendored 17-field-subset runtime, not upstream.
-        logging.getLogger(__name__).warning(
+        # INFO, not WARNING: it fires on every registry import, and at
+        # WARNING it led every artifact/log tail with vendor noise.
+        logging.getLogger(__name__).info(
             "miniproto active: no real google.protobuf found; vendored "
             "subset runtime at %s now serves google.protobuf imports",
             _MINIPROTO_DIR,
