@@ -557,49 +557,50 @@ def l14_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the tokenize+sort scan itself."""
     (documents,) = load_tables(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
-    # Fold state: (prev token, current run, max run, distinct seen).
-    # distinct == 0 doubles as the "no element yet" flag, so a first
-    # token equal to the '' sentinel cannot be miscounted.
-    fold = F.aggregate(
+    # Fold state: (prev token, current run, max run). run == 0
+    # doubles as the "no element yet" flag, so a first token equal
+    # to the '' sentinel cannot be miscounted.
+    #
+    # Expression sizing (r12 follow-up): the first cut folded a
+    # 4-field struct and extracted TWO fields from it, and Catalyst
+    # duplicates the whole sort+fold subtree per extracted field -
+    # two O(n log n) passes per row and a near-huge generated method
+    # whose JIT compilation was observably bimodal (isolated 300x
+    # walls flapped 2.4 s <-> 14 s across fresh processes on an
+    # identical plan). Now distinct counting is hash-based
+    # array_distinct (no sort) and the fold tracks only
+    # (prev, run, maxrun) with a finish lambda returning the scalar:
+    # one sort, one fold, no duplicated subtree, smaller codegen.
+    maxrun = F.aggregate(
         F.array_sort(toks),
         F.struct(
             F.lit("").alias("prev"),
             F.lit(0).cast("long").alias("run"),
             F.lit(0).cast("long").alias("maxrun"),
-            F.lit(0).cast("long").alias("distinct"),
         ),
         lambda acc, x: F.when(
-            acc["distinct"] == 0,
-            F.struct(
-                x.alias("prev"),
-                F.lit(1).cast("long").alias("run"),
-                F.lit(1).cast("long").alias("maxrun"),
-                F.lit(1).cast("long").alias("distinct"),
-            ),
-        )
-        .when(
-            x == acc["prev"],
+            (acc["run"] > 0) & (x == acc["prev"]),
             F.struct(
                 x.alias("prev"),
                 (acc["run"] + 1).alias("run"),
                 F.greatest(acc["maxrun"], acc["run"] + 1).alias("maxrun"),
-                acc["distinct"].alias("distinct"),
             ),
-        )
-        .otherwise(
+        ).otherwise(
             F.struct(
                 x.alias("prev"),
                 F.lit(1).cast("long").alias("run"),
-                acc["maxrun"].alias("maxrun"),
-                (acc["distinct"] + 1).alias("distinct"),
+                F.greatest(
+                    acc["maxrun"], F.lit(1).cast("long")
+                ).alias("maxrun"),
             )
         ),
+        lambda acc: acc["maxrun"],
     )
     per_doc = documents.select(
         "source",
         F.size(toks).cast("long").alias("n_tokens"),
-        fold["distinct"].alias("n_distinct"),
-        fold["maxrun"].alias("top_tok_count"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        maxrun.alias("top_tok_count"),
     )
     return per_doc.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -197,42 +197,70 @@ def _worker(query: str, corpus: str, runs: int) -> int:
     return 0
 
 
+#: Fresh PROCESSES per isolated leg (min across them). One process is
+#: not enough: a JVM's interpreted-expression hot path is subject to
+#: profile pollution — whether the megamorphic eval call sites inline
+#: the right concrete classes is decided by early profiling order and
+#: is then STICKY for process lifetime. Measured on l14 (higher-order
+#: fold, identical plan, fresh process each): 300x walls flapped
+#: 2.2-2.5 s <-> 13.9-15.1 s across processes and NEVER transitioned
+#: within one (8 warm passes stayed slow). Min over N fresh processes
+#: is the honest estimator of the plan's cost; the flap itself is
+#: recorded data (all attempts printed).
+ISO_PROCS = int(os.environ.get("SPARK_GRAFT_CROSSOVER_ISO_PROCS", "2"))
+
+
 def _spark_isolated_times(corpus: str, factor: int) -> dict[str, float]:
     out: dict[str, float] = {}
     for name in QUERIES:
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--worker", name, corpus, "3"],
-            capture_output=True,
-            text=True,
-            cwd=REPO,
-        )
-        if proc.returncode != 0:
-            err = proc.stderr.strip().splitlines()[-1][:200] if proc.stderr.strip() else "worker died"
+        best: float | None = None
+        capped = False
+        attempts: list[float] = []
+        err = None
+        for _ in range(max(1, ISO_PROCS)):
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--worker", name, corpus, "3"],
+                capture_output=True,
+                text=True,
+                cwd=REPO,
+            )
+            if proc.returncode != 0:
+                err = proc.stderr.strip().splitlines()[-1][:200] if proc.stderr.strip() else "worker died"
+                continue
+            rec = json.loads(proc.stdout.strip().splitlines()[-1])
+            attempts.append(rec["warm_s"])
+            if best is None or rec["warm_s"] < best:
+                best = rec["warm_s"]
+            if rec.get("capped"):
+                # cold wall already exceeded the cap — a second
+                # process would just burn another capped cold run
+                capped = True
+                break
+        if best is None:
             print(
                 json.dumps(
                     {
                         "factor": factor,
                         "engine": "spark-isolated",
                         "query": name,
-                        "error": err,
+                        "error": err or "worker died",
                     }
                 ),
                 flush=True,
             )
             continue
-        rec = json.loads(proc.stdout.strip().splitlines()[-1])
-        out[name] = rec["warm_s"]
-        print(
-            json.dumps(
-                {
-                    "factor": factor,
-                    "engine": "spark-isolated",
-                    "query": name,
-                    "warm_s": out[name],
-                }
-            ),
-            flush=True,
-        )
+        out[name] = best
+        rec = {
+            "factor": factor,
+            "engine": "spark-isolated",
+            "query": name,
+            "warm_s": best,
+        }
+        if len(attempts) > 1:
+            rec["proc_walls"] = attempts
+        if capped:
+            rec["capped"] = True
+        print(json.dumps(rec), flush=True)
     return out
 
 
