@@ -366,13 +366,23 @@ def main() -> int:
             "spark_total_resident_s": round(sum(resident.values()), 4),
         }
         if factor >= ISO_MIN_FACTOR:
-            # The RECORDED ratio at large factors is the isolated one
-            # (fresh process per query) — resident walls stay in the
-            # artifact so the contamination delta is visible data,
-            # not prose.
-            spark = _spark_isolated_times(corpus, factor)
-            entry["per_query_spark_isolated_s"] = spark
-            entry["ratio_basis"] = "isolated"
+            # The RECORDED ratio at large factors takes, per query,
+            # the MIN of the isolated walls (fresh process, min over
+            # ISO_PROCS) and the resident wall. Isolation removes
+            # shared-JVM heap contamination; but the JIT
+            # profile-pollution flap (see ISO_PROCS) can hit a fresh
+            # process while the resident session happens to run the
+            # fast mode — measured on l14 at 300x: resident 2.7 s vs
+            # two isolated processes at 14.5/11.7 s, identical plan.
+            # Every individual wall stays in the artifact; the ratio
+            # uses the best clean measurement of what the plan costs.
+            iso = _spark_isolated_times(corpus, factor)
+            entry["per_query_spark_isolated_s"] = iso
+            spark = {
+                q: min(v, resident[q]) if q in resident else v
+                for q, v in iso.items()
+            }
+            entry["ratio_basis"] = "isolated-resident-min"
         else:
             entry["ratio_basis"] = "resident"
         # Totals and the set ratio cover only queries BOTH engines
