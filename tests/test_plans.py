@@ -931,4 +931,9 @@ def test_l20_bm25_no_token_explode_and_top_k(spark):
     assert "Generate" not in plan, "l20 must not explode tokens"
     assert has_top_k(plan), "top-20 must plan as TakeOrderedAndProject"
     assert "BroadcastExchange" in plan, "1-row stats must broadcast"
-    assert shuffle_exchange_count(plan) == 0, plan
+    # The global N/avgdl/df aggregate legitimately plans one
+    # Exchange SinglePartition (partial -> final of an ungrouped
+    # agg: ~#partitions partial rows, scale-safe). The claim worth
+    # pinning is that no exchange is keyed on tokens or any other
+    # corpus-sized key.
+    assert "Exchange hashpartitioning" not in plan, plan
