@@ -83,6 +83,7 @@ ALLOWLIST: dict[str, str] = {
     "l63_cross_source_overlap": "band rows thinner than scan; pairs join raw scans",
     "l41_heavy_hitters": "candidate set is ≤ K×partitions rows by the Misra-Gries bound",
     "a29_approx_topk_contract": "explode of a 5-element sketch array from a 1-row agg",
+    "l77_dsir_selection": "broadcast sides are the B=64-row bucket log-ratio table and a 1-row total — bounded by the bucket count, never by the corpus",
 }
 
 #: query -> reason a CartesianProduct is CORRECT there.
