@@ -497,16 +497,25 @@ def l77_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.filter(
         F.split(F.lower(F.col("text")), " ", -1), lambda w: w != ""
     )
+    # Bigram arm guarded for single-token docs: sequence(1, 0) is
+    # DESCENDING [1, 0] (the l75 trap, text.py:2000), so an unguarded
+    # transform would evaluate element_at(toks, 0) and throw
+    # INVALID_INDEX_OF_ZERO. The oracle's range(1, len(toks)) yields
+    # empty for len==1 — the doc still contributes its unigram, so we
+    # must NOT filter size>=2 here, only empty the bigram list.
     grams_arr = F.concat(
         F.col("toks"),
-        F.transform(
-            F.sequence(F.lit(1), F.size("toks") - 1),
-            lambda i: F.concat(
-                F.element_at("toks", i),
-                F.lit(" "),
-                F.element_at("toks", i + 1),
+        F.when(
+            F.size("toks") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.concat(
+                    F.element_at("toks", i),
+                    F.lit(" "),
+                    F.element_at("toks", i + 1),
+                ),
             ),
-        ),
+        ).otherwise(F.array().cast("array<string>")),
     )
     bucket = (
         F.conv(

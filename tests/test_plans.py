@@ -935,5 +935,9 @@ def test_l20_bm25_no_token_explode_and_top_k(spark):
     # Exchange SinglePartition (partial -> final of an ungrouped
     # agg: ~#partitions partial rows, scale-safe). The claim worth
     # pinning is that no exchange is keyed on tokens or any other
-    # corpus-sized key.
+    # corpus-sized key — hash OR range (r13 ADVICE: a regression to a
+    # corpus-sized range-partitioned sort exchange must also fail, so
+    # only the single Exchange SinglePartition is tolerated).
     assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert shuffle_exchange_count(plan) <= 1, plan

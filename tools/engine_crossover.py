@@ -207,7 +207,10 @@ def _worker(query: str, corpus: str, runs: int) -> int:
 #: within one (8 warm passes stayed slow). Min over N fresh processes
 #: is the honest estimator of the plan's cost; the flap itself is
 #: recorded data (all attempts printed).
-ISO_PROCS = int(os.environ.get("SPARK_GRAFT_CROSSOVER_ISO_PROCS", "2"))
+#: r13: default raised 2 -> 3 — with the recorded ratio now
+#: isolated-ONLY (no resident fallback), a third fresh process is the
+#: cheap insurance against both processes landing on the slow JIT mode.
+ISO_PROCS = int(os.environ.get("SPARK_GRAFT_CROSSOVER_ISO_PROCS", "3"))
 
 
 def _spark_isolated_times(corpus: str, factor: int) -> dict[str, float]:
@@ -338,10 +341,11 @@ def _write_out(summary: dict[str, dict]) -> None:
         "min-of-3 full re-executions (fresh QueryExecution / "
         "fresh DuckDB execute), same parquet files, all cores; "
         f"at factors >= {ISO_MIN_FACTOR}x the recorded ratio uses "
-        "ISOLATED Spark walls (one fresh process per query, cold "
-        "+ min-of-3) with the resident-session walls kept "
-        "alongside — the r11 resident protocol contaminated "
-        "large-factor legs via shared-JVM heap churn"
+        f"ISOLATED Spark walls ONLY (min over {ISO_PROCS} fresh "
+        "processes per query, cold + min-of-3 each); resident-"
+        "session walls are context data and the cross-regime "
+        "min is reported separately as ratio_resident_min — the "
+        "r12 min(iso, resident) basis was biased low (r13 ADVICE)"
     )
     fam = doc.setdefault(family, {})
     fam["queries"] = QUERIES
@@ -366,23 +370,30 @@ def main() -> int:
             "spark_total_resident_s": round(sum(resident.values()), 4),
         }
         if factor >= ISO_MIN_FACTOR:
-            # The RECORDED ratio at large factors takes, per query,
-            # the MIN of the isolated walls (fresh process, min over
-            # ISO_PROCS) and the resident wall. Isolation removes
-            # shared-JVM heap contamination; but the JIT
-            # profile-pollution flap (see ISO_PROCS) can hit a fresh
-            # process while the resident session happens to run the
-            # fast mode — measured on l14 at 300x: resident 2.7 s vs
-            # two isolated processes at 14.5/11.7 s, identical plan.
-            # Every individual wall stays in the artifact; the ratio
-            # uses the best clean measurement of what the plan costs.
+            # The RECORDED ratio at large factors uses ISOLATED walls
+            # ONLY (per query: min over ISO_PROCS fresh processes).
+            # r12 recorded min(isolated, resident), but that is a
+            # biased-low estimator: it re-admits resident-session
+            # warm state (shared JVM heap/JIT/page cache) exactly and
+            # only when it favors Spark, defeating the reason
+            # isolation was introduced (r13 ADVICE). The resident
+            # walls stay in the artifact as context, and a separate
+            # `ratio_resident_min` records what the cross-regime min
+            # would have said, side by side rather than silently.
             iso = _spark_isolated_times(corpus, factor)
             entry["per_query_spark_isolated_s"] = iso
-            spark = {
-                q: min(v, resident[q]) if q in resident else v
-                for q, v in iso.items()
+            spark = iso
+            entry["ratio_basis"] = "isolated-only"
+            both_ctx = [q for q in QUERIES if q in iso and q in duck]
+            cross = {
+                q: min(iso[q], resident[q]) if q in resident else iso[q]
+                for q in both_ctx
             }
-            entry["ratio_basis"] = "isolated-resident-min"
+            d_ctx = sum(duck[q] for q in both_ctx)
+            if d_ctx > 0:
+                entry["ratio_resident_min"] = round(
+                    sum(cross.values()) / d_ctx, 3
+                )
         else:
             entry["ratio_basis"] = "resident"
         # Totals and the set ratio cover only queries BOTH engines
