@@ -62,22 +62,83 @@ GROUP BY source
 def l01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L1 — exact dedup over a simulated re-crawl (the corpus
     unioned with itself under new ids, so every text has exactly one
-    duplicate). Keeper selection is deterministic — `row_number()`
-    over (hash, doc_id), NOT `dropDuplicates`, whose survivor
-    depends on partition order. Partitioning on `md5(text)` means
-    the shuffle moves 16-byte keys; text stays columnar at the
-    scan."""
+    duplicate). Keeper selection is deterministic: the group's
+    min-doc_id row, i.e. the oracle's ``row_number() OVER (PARTITION
+    BY md5(text) ORDER BY doc_id) = 1`` — NOT `dropDuplicates`,
+    whose survivor depends on partition order.
+
+    r13 rewrite (r12 verdict): the keeper is now a pure-numeric HASH
+    AGGREGATE, not a sort-window. Three measured findings shape the
+    plan (all at the 300x corpus, 3M crawl rows):
+
+    - Spark hash-aggregates only mutable (fixed-width) buffer
+      types, so ``min(struct)``, ``min(string)`` and ``min_by`` all
+      fall back to SortAggregate. The keeper's (doc_id, source)
+      therefore rides ONE bigint: sources get a dense numeric id
+      from a broadcast ~cardinality(source) dim, and the keeper per
+      hash group is ``min(doc_id << 20 | src_id)``.
+    - Map-side partial aggregation is pure overhead here: dedup
+      keys are near-unique (multiplicity ≈ the duplicate rate, ~2,
+      and copies live in different input partitions), so the
+      partial hash map combines nothing and the partial+final pair
+      builds two corpus-sized hash tables. An explicit
+      ``repartition(h)`` BEFORE the groupBy makes the aggregation
+      a single post-shuffle HashAggregate — measured 2.85 s → 1.3 s.
+      The shuffle row is (16-byte unhexed md5, 8-byte packed long);
+      text never leaves the scan.
+    - n_input does NOT ride the keeper shuffle: feeding both
+      rollups from one repartitioned frame looks like it should
+      plan a ReusedExchange, but the self-join re-instantiates the
+      subtree with fresh expression ids and the exchanges stay
+      separate — measured as TWO full text scans + two corpus
+      shuffles (3.7-4.6 s). A plain ``groupBy(source).count()``
+      over a source-only column-pruned scan (no md5, low-key-
+      cardinality partial agg collapses it map-side) is 0.65 s and
+      runs as an independent leaf stage concurrently with the
+      keeper pipeline.
+
+    Keeper ties (same doc_id in two sources for one hash) break
+    deterministically by source rank, where the window's ORDER BY
+    doc_id left them to partition order. Packing bound: doc_id <
+    2^43 and ≤ 2^20 distinct sources."""
     (documents,) = load_tables(spark, sf_dir, "documents")
     base = documents.select("doc_id", "text", "source")
     crawl = base.unionByName(
         base.withColumn("doc_id", F.col("doc_id") + 100000)
     )
-    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
-    kept = crawl.withColumn("rn", F.row_number().over(w))
-    return kept.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_input"),
-        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
-        F.min(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("first_kept_id"),
+    # deterministic dense source ids: tiny frame (distinct sources),
+    # single-partition sort of a handful of rows
+    dim = (
+        crawl.select("source")
+        .distinct()
+        .withColumn("src_id", F.row_number().over(Window.orderBy("source")))
+    )
+    packed = F.shiftleft(F.col("doc_id"), 20) + F.col("src_id")
+    src_id = F.col("p").bitwiseAND(F.lit((1 << 20) - 1)).alias("src_id")
+    pre = (
+        crawl.join(F.broadcast(dim), "source")
+        .select(F.unhex(F.md5("text")).alias("h"), packed.alias("p"))
+        .repartition(F.col("h"))
+    )
+    keepers = pre.groupBy("h").agg(F.min("p").alias("p"))
+    kept = (
+        keepers.groupBy(src_id)
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min(F.shiftright(F.col("p"), 20)).alias("first_kept_id"),
+        )
+        .join(F.broadcast(dim), "src_id")
+    )
+    inputs = crawl.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_input")
+    )
+    return inputs.join(
+        kept.select("source", "n_kept", "first_kept_id"), "source", "left"
+    ).select(
+        "source",
+        "n_input",
+        F.coalesce("n_kept", F.lit(0).cast("bigint")).alias("n_kept"),
+        "first_kept_id",
     )
 
 

@@ -171,11 +171,11 @@ def _verified_names() -> set[str]:
 #: round and sort into tiers 0/1 via CORRECTNESS_r04.json.)
 NEW_THIS_ROUND: frozenset[str] = frozenset(
     {
-        # Round 12: rotated — CORRECTNESS_r11 certified all six
-        # round-11 additions (q1 decimal twin, l73, l74, s43, s44,
-        # t27, all driver-green), so they sort into the verified
-        # tier by staleness. Round-12 newcomers land here.
-        "l75_bpe_train_vocab",
+        # Round 13: rotated — CORRECTNESS_r12 certified the round-12
+        # additions (l75/l76/l77 all driver-green), so they sort into
+        # the verified tier by staleness. Round-13 newcomers land
+        # here.
+        "s45_parquet_robustness",
     }
 )
 
@@ -201,6 +201,19 @@ RECHECK_THIS_ROUND: frozenset[str] = frozenset(
         # family, l02_simhash_neardup, l03_knn_ivf, l04_simjoin_exact,
         # l08_image_features) — tier 3's stalest-first ordering puts
         # exactly those at the front without naming them here.
+        #
+        # Round 13: the two r13 rewrites. Their green r10/r12 rows
+        # certify the OLD plans (l01's sort-window keeper, l14's
+        # struct-state fold); both queries keep their oracles but the
+        # Spark side changed, so they re-enter the window first.
+        # After these, tier 3's stalest-first ordering fills the rest
+        # of the window with the r6 tail the r12 verdict names (t04/
+        # t08, l32-l40 family, w11-w21, f20-f31, s14/s15).
+        "l01_exact_dedup",
+        "l14_repetition_stats",
+        # l77's single-token bigram guard changes no result at any
+        # tested SF, but the Spark expression changed — re-certify.
+        "l77_dsir_selection",
     }
 )
 

@@ -2455,3 +2455,118 @@ def s44_python_datasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(len(files)).cast("bigint").alias("n_shards"),
         F.lit(True).alias("committed"),
     )
+
+
+# --------------------------------------------------------------------------
+# S45 — parquet robustness (corrupted footer + schema drift)
+# --------------------------------------------------------------------------
+
+S45_ORACLE = """
+SELECT CAST(COUNT(*) FILTER (WHERE n_nationkey % 3 <> 2) AS BIGINT)
+           AS n_ignorecorrupt,
+       CAST(1 AS BIGINT)                                  AS failfast_raised,
+       CAST(SUM(n_nationkey) FILTER (WHERE n_nationkey % 3 <> 2) AS BIGINT)
+           AS key_sum_survivors,
+       CAST(COUNT(*) AS BIGINT)                           AS n_drift_total,
+       CAST(COUNT(*) FILTER (WHERE n_nationkey % 2 = 0) AS BIGINT)
+           AS n_drift_missing_col
+FROM nation
+"""
+
+
+@query("s45_parquet_robustness", oracle=S45_ORACLE, impure=True)
+def s45_parquet_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S45 (r12 verdict item 6) — the parquet twin of the s23/s28
+    CSV/JSON torture queries: the two failure modes a long-lived
+    parquet lake actually produces, with the accounting oracle-
+    pinned against exact arithmetic over nation.
+
+    **Corrupted footer.** nation is written as three single-file
+    shards (n_nationkey % 3); shard 2's file is then truncated to
+    half its length, destroying the footer magic. The dir is read
+    twice with an EXPLICIT schema (no inference scan): once with
+    the per-read ``ignoreCorruptFiles`` option — the two intact
+    shards' rows survive, the accounting proves exactly the %3==2
+    rows were lost — and once in the default failfast mode, which
+    MUST raise (a lake that silently drops data without being told
+    to is worse than one that fails); the raise is caught and
+    recorded as `failfast_raised`.
+
+    **Schema drift.** A second dir holds one file written by an old
+    writer (3 columns) and one by a new writer (adds
+    n_name_len BIGINT); reading with ``mergeSchema`` widens the
+    union schema and old-file rows surface NULL for the new column
+    — `n_drift_missing_col` pins exactly how many.
+
+    Scale posture: both knobs are per-read options, not session
+    state; schema-explicit reads skip footer-based inference over
+    the healthy files; all aggregation is map-side over
+    column-pruned scans. At 100 TB the same two options are the
+    difference between a 1000-executor job dying at 99% on one bad
+    file and a quarantine report."""
+    (nation,) = load_tables(spark, sf_dir, "nation")
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    base = os.path.join(SCRATCH, f"s45_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+
+    cols = nation.select("n_nationkey", "n_name", "n_regionkey")
+    corrupt_dir = os.path.join(base, "corrupt")
+    os.makedirs(corrupt_dir)
+    for shard in range(3):
+        shard_dir = os.path.join(base, f"_stage{shard}")
+        cols.filter(F.col("n_nationkey") % 3 == shard).coalesce(
+            1
+        ).write.mode("overwrite").parquet(shard_dir)
+        (part,) = [
+            f for f in os.listdir(shard_dir) if f.endswith(".parquet")
+        ]
+        os.rename(
+            os.path.join(shard_dir, part),
+            os.path.join(corrupt_dir, f"shard{shard}.parquet"),
+        )
+    victim = os.path.join(corrupt_dir, "shard2.parquet")
+    size = os.path.getsize(victim)
+    with open(victim, "r+b") as fh:  # destroy the footer, keep the file
+        fh.truncate(size // 2)
+
+    schema = "n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT"
+    survivors = (
+        spark.read.schema(schema)
+        .option("ignoreCorruptFiles", "true")
+        .parquet(corrupt_dir)
+        .agg(
+            F.count(F.lit(1)).alias("n_ignorecorrupt"),
+            F.sum("n_nationkey").cast("bigint").alias("key_sum_survivors"),
+        )
+    )
+    failfast_raised = 0
+    try:
+        spark.read.schema(schema).parquet(corrupt_dir).agg(
+            F.count(F.lit(1))
+        ).collect()
+    except Exception:  # noqa: BLE001 — the raise IS the contract
+        failfast_raised = 1
+
+    drift_dir = os.path.join(base, "drift")
+    cols.filter(F.col("n_nationkey") % 2 == 0).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(drift_dir, "old"))
+    cols.filter(F.col("n_nationkey") % 2 == 1).withColumn(
+        "n_name_len", F.length("n_name").cast("bigint")
+    ).write.mode("overwrite").parquet(os.path.join(drift_dir, "new"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(drift_dir, "old"), os.path.join(drift_dir, "new")
+    )
+    drift = merged.agg(
+        F.count(F.lit(1)).alias("n_drift_total"),
+        F.count(F.when(F.col("n_name_len").isNull(), 1)).alias(
+            "n_drift_missing_col"
+        ),
+    )
+    return survivors.crossJoin(drift).select(
+        "n_ignorecorrupt",
+        F.lit(failfast_raised).cast("bigint").alias("failfast_raised"),
+        "key_sum_survivors",
+        "n_drift_total",
+        "n_drift_missing_col",
+    )

@@ -85,3 +85,48 @@ def test_plan_lint_allowlist_names_are_registered():
         assert not stale, (
             f"{allowlist_name} names not in the registry: {sorted(stale)}"
         )
+
+
+def _load_plan_lint():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "plan_lint", os.path.join(REPO, "tools", "plan_lint.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_collect_lint_package_is_clean():
+    """plan_lint rule 5 (r13): every .collect() in the package is
+    either bounded by its fluent chain (agg/limit/...) or
+    individually adjudicated in COLLECT_ALLOWLIST."""
+    mod = _load_plan_lint()
+    bounded, allowed, flagged = mod.lint_collect_sites(
+        os.path.join(REPO, "hetnetdb_spark")
+    )
+    assert not flagged, f"unadjudicated .collect() sites: {flagged}"
+    # every allowlist entry must correspond to a live site — a stale
+    # entry means the adjudication no longer guards anything
+    live_keys = {k for k, _, _ in allowed}
+    stale = set(mod.COLLECT_ALLOWLIST) - live_keys
+    assert not stale, f"stale COLLECT_ALLOWLIST entries: {sorted(stale)}"
+
+
+def test_collect_lint_flags_synthetic_violation(tmp_path):
+    """Rule 5 must exit non-clean on a bare data-sized collect: a
+    synthetic module with `df.filter(...).collect()` (no bounding op
+    in the chain, not allowlisted) is FLAGGED."""
+    mod = _load_plan_lint()
+    pkg = tmp_path / "synthpkg"
+    pkg.mkdir()
+    (pkg / "bad.py").write_text(
+        "def leak(df):\n"
+        "    rows = df.filter(df.x > 0).collect()\n"
+        "    ok = df.agg({'x': 'max'}).collect()\n"
+        "    return rows, ok\n"
+    )
+    bounded, allowed, flagged = mod.lint_collect_sites(str(pkg))
+    assert len(flagged) == 1 and flagged[0][1] == 2, flagged
+    assert len(bounded) == 1, bounded

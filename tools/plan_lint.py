@@ -1,8 +1,10 @@
 """Plan lint: mechanized 100 TB-posture audits of executed plans.
 
-Four rules, each a scale-killer class the per-round judge audit
-used to check by hand; all run over every PURE registered query's
-executed (post-AQE) physical plan:
+Five rules, each a scale-killer class the per-round judge audit
+used to check by hand. Rules 1-4 run over every PURE registered
+query's executed (post-AQE) physical plan; rule 5 is a STATIC
+source scan (so it also covers the impure/streaming queries the
+plan walk can't execute):
 
 1. **Generate-fed broadcast** (round 7). Catalyst estimates an
    explode (`Generate`) at its CHILD's size, so a relation that fans
@@ -28,6 +30,14 @@ executed (post-AQE) physical plan:
    query silently left the JVM hot path. Arrow crossings
    (ArrowEvalPython, AggregateInPandas, FlatMapGroupsInPandas,
    MapInPandas/InArrow) are sanctioned and not flagged.
+
+5. **Scalar-collect discipline** (round 13). Every `.collect()` in
+   the package must be driver control flow over a BOUNDED frame —
+   the tail of a chain containing agg/limit/head/first/take/tail,
+   or an adjudicated site (manifest reads, metadata sources,
+   1-row sink tables). A bare `df.collect()` over a data-sized
+   frame is the one driver bottleneck no executor count can fix;
+   this rule makes it impossible to add one silently.
 
 A flag is not automatically a bug: broadcasting a VOCAB-BOUNDED
 aggregate of an exploded relation is the right plan, and the
@@ -113,6 +123,102 @@ BATCH_EVAL_ALLOWLIST: dict[str, str] = {
     "u01_python_udf": "IS the U1 row-UDF contract query",
 }
 
+#: Rule 5 (round 13) — scalar-collect discipline, STATIC source rule.
+#: Every `.collect()` in the package must be the tail of a fluent
+#: chain containing a bounding operation (`agg`, `limit`, `head`,
+#: `first`, `take`, `tail` — aggregation to ≤K rows or an explicit
+#: row cap), or be individually adjudicated below. This pins the
+#: pattern the r12 verdict audited by hand: driver fetches are
+#: control-flow scalars (watermark probes, convergence sums), never
+#: data-sized results. Key = "relpath:innermost_function".
+COLLECT_BOUNDING = frozenset(
+    {"agg", "limit", "head", "first", "take", "tail"}
+)
+COLLECT_ALLOWLIST: dict[str, str] = {
+    "hetnetdb_spark/catalog.py:_catalog_table_location": (
+        "DESCRIBE FORMATTED metadata — rows bounded by column count"
+    ),
+    "hetnetdb_spark/sources/io.py:ingest": (
+        "exactly-once manifest file — one row per ingested batch"
+    ),
+    "hetnetdb_spark/sources/io.py:_cow_orders_store": (
+        "distinct o_year — bounded by the 7-year TPC-H date range"
+    ),
+    "hetnetdb_spark/operators/sql_surface.py:o10_recursive_cte": (
+        "recursive-CTE result is ≤ BOM depth rows (bounded at any "
+        "SF); collected to re-materialize under the restored row "
+        "limit"
+    ),
+    "hetnetdb_spark/streaming/queries.py:t15_listener_metrics": (
+        "1-row memory-sink count table"
+    ),
+    "hetnetdb_spark/streaming/queries.py:_time_split_events": (
+        "select(percentile_approx(...)) is an UNGROUPED aggregate "
+        "expression — 1 row; the chain heuristic can't see through "
+        "select()"
+    ),
+    "hetnetdb_spark/streaming/queries.py:t25_state_reader": (
+        "state-metadata source — one row per stateful operator"
+    ),
+}
+
+
+def lint_collect_sites(pkg_root: str) -> tuple[list, list, list]:
+    """Rule 5 core: AST-scan every .py under pkg_root for `.collect()`
+    call sites. Returns (bounded, allowed, flagged) lists of
+    (key, chain) tuples. Pure static analysis — no Spark session."""
+    import ast
+    import pathlib
+
+    repo = pathlib.Path(ROOT)
+    bounded, allowed, flagged = [], [], []
+    for path in sorted(pathlib.Path(pkg_root).rglob("*.py")):
+        try:
+            rel = str(path.relative_to(repo))
+        except ValueError:  # scanning a tree outside the repo (tests)
+            rel = path.name
+        tree = ast.parse(path.read_text())
+        funcs = [
+            (n.lineno, n.end_lineno, n.name)
+            for n in ast.walk(tree)
+            if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+        ]
+
+        def innermost(lineno: int) -> str:
+            cands = [f for f in funcs if f[0] <= lineno <= f[1]]
+            return max(cands, key=lambda f: f[0])[2] if cands else "<module>"
+
+        for node in ast.walk(tree):
+            if not (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr == "collect"
+            ):
+                continue
+            # walk the fluent chain: x.a(...).b(...).collect()
+            chain: list[str] = []
+            cur = node.func.value
+            while True:
+                if isinstance(cur, ast.Call) and isinstance(
+                    cur.func, ast.Attribute
+                ):
+                    chain.append(cur.func.attr)
+                    cur = cur.func.value
+                elif isinstance(cur, ast.Attribute):
+                    chain.append(cur.attr)
+                    cur = cur.value
+                else:
+                    break
+            key = f"{rel}:{innermost(node.lineno)}"
+            rec = (key, node.lineno, chain)
+            if set(chain) & COLLECT_BOUNDING:
+                bounded.append(rec)
+            elif key in COLLECT_ALLOWLIST:
+                allowed.append(rec)
+            else:
+                flagged.append(rec)
+    return bounded, allowed, flagged
+
 
 def _subtree_has(node, fragment: str) -> bool:
     if fragment in node.nodeName():
@@ -181,6 +287,25 @@ def _lint_plan(root) -> dict[str, int]:
 
 
 def main() -> int:
+    # Rule 5 runs first: static, no Spark, covers IMPURE queries the
+    # plan rules can't execute.
+    c_bounded, c_allowed, c_flagged = lint_collect_sites(
+        os.path.join(ROOT, "hetnetdb_spark")
+    )
+    for key, lineno, chain in c_allowed:
+        print(f"allow  {key}:{lineno} — collect: {COLLECT_ALLOWLIST[key]}")
+    for key, lineno, chain in c_flagged:
+        print(
+            f"FLAG   {key}:{lineno} — unbounded .collect() "
+            f"(chain: {'.'.join(reversed(chain)) or '<var>'}), unadjudicated"
+        )
+    print(
+        f"rule 5 (scalar-collect): {len(c_bounded)} bounded-by-chain, "
+        f"{len(c_allowed)} allowlisted, {len(c_flagged)} FLAGGED"
+    )
+    if len(sys.argv) > 1 and sys.argv[1] == "--collect-only":
+        return 1 if c_flagged else 0
+
     registry.load_all()
     filters = sys.argv[1:]
     spark = get_spark("plan-lint")
@@ -241,7 +366,7 @@ def main() -> int:
         f"batch-eval-python): "
         f"{len(allowed)} allowlisted, {len(flagged)} FLAGGED, {len(errs)} errors"
     )
-    return 1 if flagged or errs else 0
+    return 1 if flagged or errs or c_flagged else 0
 
 
 if __name__ == "__main__":
