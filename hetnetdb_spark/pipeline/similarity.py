@@ -1799,3 +1799,149 @@ def l66_embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_unnormalized"),
         F.expr("bool_and(ABS(nrm - 1.0) <= 0.01)").alias("index_normalized"),
     )
+
+
+# --------------------------------------------------------------------------
+# L78 — hybrid retrieval: BM25 + dense cosine fused by RRF
+# --------------------------------------------------------------------------
+
+RRF_K = 60
+HYBRID_TOPN = 50
+
+_L78_TEMPLATE = f"""
+WITH docs AS (
+    SELECT doc_id, string_split(text, ' ') AS toks,
+           CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+    FROM documents WHERE doc_id <> 0
+),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM docs),
+tf AS (
+    SELECT doc_id, dl, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+    FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM docs)
+    WHERE tok IN ({{terms_in}})
+    GROUP BY doc_id, dl, tok
+),
+df AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY tok),
+bm AS (
+    SELECT doc_id,
+           ROUND(SUM(
+             ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * ({{k1}} + 1.0)
+             / (tf.tf + {{k1}} * (1.0 - {{b}} + {{b}} * tf.dl / stats.avgdl))
+           ), 6) AS bm25
+    FROM tf JOIN df USING (tok), stats
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id
+    LIMIT {HYBRID_TOPN}
+),
+lexr AS (
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS r_lex
+    FROM bm
+),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+cos AS (
+    SELECT e.vec_id AS doc_id,
+           ROUND({duck_dot("e.embedding", "q.qe")}, 6) AS cosine
+    FROM embeddings e, q
+    WHERE e.vec_id <> 0
+    ORDER BY cosine DESC, doc_id
+    LIMIT {HYBRID_TOPN}
+),
+vecr AS (
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY cosine DESC, doc_id) AS INT) AS r_vec
+    FROM cos
+)
+SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+       l.r_lex AS r_lex,
+       v.r_vec AS r_vec,
+       ROUND(COALESCE(1.0 / ({RRF_K} + l.r_lex), 0.0)
+             + COALESCE(1.0 / ({RRF_K} + v.r_vec), 0.0), 6) AS rrf
+FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id
+ORDER BY rrf DESC, doc_id
+LIMIT 10
+"""
+
+
+def _l78_oracle() -> str:
+    from hetnetdb_spark.pipeline.text import _TERMS_IN, BM25_B, BM25_K1
+
+    return _L78_TEMPLATE.format(terms_in=_TERMS_IN, k1=BM25_K1, b=BM25_B)
+
+
+@query("l78_hybrid_retrieval_rrf", oracle=_l78_oracle())
+def l78_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L78 — hybrid retrieval: fuse a lexical BM25 ranking and a dense
+    cosine ranking with reciprocal-rank fusion (k=60, the Cormack et
+    al. constant every production hybrid-search stack defaults to).
+
+    The fixture's 1:1 doc_id=vec_id alignment (the l35/l50 contract)
+    makes the fusion a pure rank join: the lexical leg is l20's
+    shuffle-free BM25 scoring (``bm25_scores`` — row-wise tf, one
+    broadcast 1-row stats aggregate, contains-prefiltered scan)
+    over candidates doc_id != 0; the dense leg is emb_topk's
+    plan-time-bound query vector (vec_id=0's embedding inlined as an
+    array literal) dotted in codegen. Each leg selects its top-50 via
+    TakeOrderedAndProject — the only corpus-sized operators in the
+    plan — then ranks those 50 rows with a single-partition
+    row_number (constant-size by construction). The fusion itself is
+    a full outer join of two ≤50-row frames: a doc missing from one
+    leg contributes 0 to its RRF term, exactly the asymmetric-recall
+    case hybrid search exists for.
+
+    Scale: both legs are embarrassingly parallel scans whose reduce
+    state is top-K rows; fusion cost is O(K), independent of corpus
+    size. At 100 TB the dense leg would swap in the IVF index
+    (l03_knn_ivf) for its candidate scan without touching the fusion.
+    """
+    documents, emb = load_tables(spark, sf_dir, "documents", "embeddings")
+    from hetnetdb_spark.pipeline.text import bm25_scores
+
+    lex_top = (
+        bm25_scores(documents.filter(F.col("doc_id") != 0))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(HYBRID_TOPN)
+    )
+    lexr = lex_top.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), "doc_id"))
+        .cast("int")
+        .alias("r_lex"),
+    )
+
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    if qrow is None:
+        raise ValueError(
+            f"embeddings at {sf_dir!r} has no vec_id=0 query row; "
+            "l78_hybrid_retrieval_rrf binds its dense leg from that row"
+        )
+    qlit = F.array(*[F.lit(float(v)) for v in qrow[0]])
+    vec_top = (
+        emb.filter(F.col("vec_id") != 0)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            r6(dot(F.col("embedding"), qlit)).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "doc_id")
+        .limit(HYBRID_TOPN)
+    )
+    vecr = vec_top.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("cosine").desc(), "doc_id"))
+        .cast("int")
+        .alias("r_vec"),
+    )
+
+    rrf = r6(
+        F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("r_lex")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("r_vec")), F.lit(0.0))
+    )
+    return (
+        lexr.join(vecr, "doc_id", "full")
+        .select("doc_id", "r_lex", "r_vec", rrf.alias("rrf"))
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(10)
+    )

@@ -660,32 +660,17 @@ LIMIT 20
 """
 
 
-@query("l20_bm25_search", oracle=L20_ORACLE)
-def l20_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L-extension — BM25 document ranking for a fixed query term
-    set (k1=1.2, b=0.75, Lucene-style idf = ln(1 + (N-df+0.5)/(df+0.5))),
-    the production successor of L6's raw TF-IDF.
+def bm25_scores(documents: DataFrame) -> DataFrame:
+    """(doc_id, bm25) for every document matching ≥1 fixed query term.
 
-    Plan shape (r12 rewrite, per the r11 verdict's plan audit): the
-    query term set is FIXED and tiny, so nothing needs the exploded
-    token relation at all — the old shape generated every token of
-    every document and filtered afterwards (Generate cannot be
-    pruned by a predicate on its output; measured 8.48 s at the
-    100× corpus vs DuckDB's 0.36 s). Now each document computes its
-    per-term frequencies per ROW with `size(filter(toks, = term))`
-    (three counters in one codegen'd projection), and ALL corpus
-    statistics — N, avgdl, and the three document frequencies — are
-    ONE 1-row aggregate over that projection, broadcast into the
-    scoring pass. The scoring pass re-scans only documents that can
-    match (a substring-contains pre-filter, a strict superset of
-    token equality, prunes before tokenizing), scores in-row, and
-    the only ordering operator is the top-20 TakeOrderedAndProject.
-    Zero token-keyed exchanges at any corpus size; at 100 TB both
-    passes are embarrassingly parallel scans. A resident deployment
-    materializes the tf projection once (S6) and reuses it across
-    query sets.
+    The shuffle-free l20 scoring shape, factored so other retrieval
+    operators (l78's hybrid-fusion lexical leg) can reuse it against
+    any candidate frame: row-wise per-term tf via
+    ``size(filter(toks, = term))``, ONE 1-row corpus-stats aggregate
+    (N / avgdl / per-term df) broadcast into a contains-prefiltered
+    scoring scan. Zero token-keyed exchanges at any corpus size; the
+    caller owns ordering/limit so top-k stays TakeOrderedAndProject.
     """
-    (documents,) = load_tables(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
 
     def tf_col(term: str):
@@ -737,6 +722,37 @@ def l20_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         matches.join(F.broadcast(stats))
         .filter(sum((F.col(f"tf_{i}") > 0).cast("int") for i in range(len(BM25_TERMS))) > 0)
         .select("doc_id", r6(total).alias("bm25"))
+    )
+
+
+@query("l20_bm25_search", oracle=L20_ORACLE)
+def l20_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L-extension — BM25 document ranking for a fixed query term
+    set (k1=1.2, b=0.75, Lucene-style idf = ln(1 + (N-df+0.5)/(df+0.5))),
+    the production successor of L6's raw TF-IDF.
+
+    Plan shape (r12 rewrite, per the r11 verdict's plan audit): the
+    query term set is FIXED and tiny, so nothing needs the exploded
+    token relation at all — the old shape generated every token of
+    every document and filtered afterwards (Generate cannot be
+    pruned by a predicate on its output; measured 8.48 s at the
+    100× corpus vs DuckDB's 0.36 s). Now each document computes its
+    per-term frequencies per ROW with `size(filter(toks, = term))`
+    (three counters in one codegen'd projection), and ALL corpus
+    statistics — N, avgdl, and the three document frequencies — are
+    ONE 1-row aggregate over that projection, broadcast into the
+    scoring pass. The scoring pass re-scans only documents that can
+    match (a substring-contains pre-filter, a strict superset of
+    token equality, prunes before tokenizing), scores in-row, and
+    the only ordering operator is the top-20 TakeOrderedAndProject.
+    Zero token-keyed exchanges at any corpus size; at 100 TB both
+    passes are embarrassingly parallel scans. A resident deployment
+    materializes the tf projection once (S6) and reuses it across
+    query sets.
+    """
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    return (
+        bm25_scores(documents)
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(20)
     )

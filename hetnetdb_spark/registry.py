@@ -176,6 +176,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         # the verified tier by staleness. Round-13 newcomers land
         # here.
         "s45_parquet_robustness",
+        "l78_hybrid_retrieval_rrf",
     }
 )
 
@@ -214,6 +215,10 @@ RECHECK_THIS_ROUND: frozenset[str] = frozenset(
         # l77's single-token bigram guard changes no result at any
         # tested SF, but the Spark expression changed — re-certify.
         "l77_dsir_selection",
+        # l20's scoring body was extracted into bm25_scores() so l78
+        # can reuse it — plan and results are identical (the plan pin
+        # still passes), but the code moved, so re-certify.
+        "l20_bm25_search",
     }
 )
 

@@ -941,3 +941,16 @@ def test_l20_bm25_no_token_explode_and_top_k(spark):
     assert "Exchange hashpartitioning" not in plan, plan
     assert "Exchange rangepartitioning" not in plan, plan
     assert shuffle_exchange_count(plan) <= 1, plan
+
+
+def test_l78_hybrid_corpus_work_is_top_k_only(spark):
+    """l78 (r13): both retrieval legs must reduce corpus-sized input
+    through TakeOrderedAndProject (top-50 each) before any rank/join
+    machinery — the fusion's exchanges then carry <=50 rows by
+    construction. No token explode; corpus stats ride a broadcast."""
+    plan = executed_plan(
+        registry.QUERIES["l78_hybrid_retrieval_rrf"](spark, SF_DIR)
+    )
+    assert "Generate" not in plan, "l78 must not explode tokens"
+    assert plan.count("TakeOrderedAndProject") >= 2, plan
+    assert "BroadcastExchange" in plan, "1-row BM25 stats must broadcast"
