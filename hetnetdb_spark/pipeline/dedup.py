@@ -352,11 +352,16 @@ cand AS (
 def _l02_minhash_oracle() -> str:
     return f"""
 WITH {_mh_cand_ctes()},
+hs AS (
+    SELECT doc_id,
+           list_distinct(list_transform(sh, x -> {_mh_hash_duck(99)})) AS sh
+    FROM s
+),
 verified AS (
     SELECT c.a_id, c.b_id
     FROM cand c
-    JOIN s sa ON sa.doc_id = c.a_id
-    JOIN s sb ON sb.doc_id = c.b_id
+    JOIN hs sa ON sa.doc_id = c.a_id
+    JOIN hs sb ON sb.doc_id = c.b_id
     WHERE CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE)
           / (len(sa.sh) + len(sb.sh)
              - len(list_filter(sa.sh, x -> list_contains(sb.sh, x))))
@@ -387,35 +392,90 @@ def l02_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     VERBATIM 4-tuple (joined as CSV — no second hash, nothing to
     diverge on); pairs sharing any band bucket are candidates
     (P[candidate] ≈ 1-(1-j⁴)⁸ — >0.96 for j≥0.7). Candidates then
-    verify with exact Jaccard ≥ 0.5 (integer set sizes — the
-    threshold compare is exact on both engines). The join is an
-    equi-join on (band_id, bucket) — shuffle of 8·N short rows,
-    never N². Output is the self-measuring summary: candidate and
-    verified counts.
+    verify with exact Jaccard ≥ 0.5 over md5-HASHED shingle sets
+    (integer set sizes — the threshold compare is exact on both
+    engines, and the oracle replays the identical hash so collisions
+    cannot diverge). The band join is an equi-join on (band_id,
+    bucket) — shuffle of 8·N short rows, never N²; the verification
+    join sees only candidate members (corpus semi-joined to candidate
+    ids first) and moves 8-byte hash arrays, never shingle text —
+    the r13 fix after the local-cluster probe caught the planner
+    broadcasting the corpus-sized shingle relation (executor OOM at
+    12g AND 24g; LOCAL_CLUSTER_r13.txt). Output is the
+    self-measuring summary: candidate and verified counts.
     """
     (documents,) = load_tables(spark, sf_dir, "documents")
     documents = spread(documents)  # CPU-bound hash family: see catalog.spread
     docs = documents.select("doc_id", F.expr(_SHINGLE_SPARK).alias("sh"))
     banded = _banded_signatures(docs)
 
-    candidates = band_candidates(banded, id_col="doc_id", key="bucket")
-    sh_a = docs.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh"))
-    sh_b = docs.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh"))
+    # Verification must never join the CORPUS-sized shingle relation
+    # directly: its in-memory size is ~50x the parquet estimate (the
+    # shingle arrays materialize per row), so the planner's static
+    # estimate reads "broadcastable" and every executor would build a
+    # multi-GB hashed relation of all shingles — measured killing
+    # 12g AND 24g executor JVMs (exit 52) under local-cluster at the
+    # 30x corpus while local[32]'s single shared heap hid it
+    # (LOCAL_CLUSTER_r13.txt). Semi-join the corpus down to candidate
+    # members FIRST (ids only — the one genuinely small relation
+    # here), then recompute shingles for that sliver; every
+    # shingle-bearing join input is now candidate-sized.
+    #
+    # The pair list itself is materialized ONCE per execution with an
+    # eager localCheckpoint (the CC-loop precedent below): every
+    # extra consumer of `candidates` re-instantiates the whole
+    # signature subtree (32 md5-derived hashes per shingle — THE
+    # dominant cost; exchange reuse does not dedup it, measured 10
+    # FileScans in the un-checkpointed plan), and (a_id, b_id) pairs
+    # are the smallest relation in the query. The candidate count
+    # needs no separate agg leg either — the verification join is
+    # inner on ids that exist by construction, so its row count IS
+    # the candidate count; both tallies fall out of one aggregate.
+    candidates = band_candidates(
+        banded, id_col="doc_id", key="bucket"
+    ).localCheckpoint(eager=True)
+    cand_ids = (
+        candidates.select(
+            F.explode(F.array(F.col("a_id"), F.col("b_id"))).alias("doc_id")
+        )
+        .distinct()
+    )
+    # The verification payload is the HASHED shingle set (house
+    # portable 60-bit md5 hash, label 99 — outside the 0..31
+    # permutation family), not the shingle strings: the exact-Jaccard
+    # compare is set arithmetic either way, and 8-byte longs keep the
+    # candidate-side shuffle at "hashes and ids" — the posture the
+    # rest of this operator already holds. The oracle replays the
+    # identical hash, so even a collision (P ≈ n²/2⁶¹) is bit-equal
+    # on both engines.
+    docs_cand = documents.join(cand_ids, "doc_id", "left_semi").select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.expr(_SHINGLE_SPARK), lambda s: _mh_hash_spark(99, s)
+            )
+        ).alias("sh"),
+    )
+    sh_a = docs_cand.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh"))
+    sh_b = docs_cand.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh"))
     inter = F.size(F.array_intersect(F.col("a_sh"), F.col("b_sh")))
     union = F.size(F.col("a_sh")) + F.size(F.col("b_sh")) - inter
-    verified = (
+    flags = (
         candidates.join(sh_a, "a_id")
         .join(sh_b, "b_id")
-        .filter(inter.cast("double") / union.cast("double") >= JACCARD_THRESHOLD)
-    )
-    return (
-        candidates.agg(F.count(F.lit(1)).alias("n_candidates"))
-        .crossJoin(verified.agg(F.count(F.lit(1)).alias("n_verified")))
         .select(
-            F.lit("minhash-lsh").alias("strategy"),
-            "n_candidates",
-            "n_verified",
+            (inter.cast("double") / union.cast("double") >= JACCARD_THRESHOLD)
+            .cast("long")
+            .alias("ok")
         )
+    )
+    return flags.agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.coalesce(F.sum("ok"), F.lit(0)).cast("bigint").alias("n_verified"),
+    ).select(
+        F.lit("minhash-lsh").alias("strategy"),
+        "n_candidates",
+        "n_verified",
     )
 
 
@@ -1426,11 +1486,16 @@ cand AS (
       ON b.band_id = i.band_id AND b.bucket = i.bucket
     WHERE b.doc_id % 10 = 0 AND i.doc_id % 10 <> 0
 ),
+hs AS (
+    SELECT doc_id,
+           list_distinct(list_transform(sh, x -> {_mh_hash_duck(99)})) AS sh
+    FROM s
+),
 verified AS (
     SELECT c.batch_id, c.index_id
     FROM cand c
-    JOIN s sa ON sa.doc_id = c.batch_id
-    JOIN s sb ON sb.doc_id = c.index_id
+    JOIN hs sa ON sa.doc_id = c.batch_id
+    JOIN hs sb ON sb.doc_id = c.index_id
     WHERE CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE)
           / (len(sa.sh) + len(sb.sh)
              - len(list_filter(sa.sh, x -> list_contains(sb.sh, x))))
@@ -1488,24 +1553,56 @@ def l59_minhash_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe.join(index, ["band_id", "bucket"])
         .select("batch_id", "index_id")
         .dropDuplicates(["batch_id", "index_id"])
+        # One signature pass per execution (the l02-r13 discipline):
+        # the pair list is the smallest relation here; checkpoint it
+        # so its three consumers don't re-run the hash family.
+        .localCheckpoint(eager=True)
     )
-    sh_a = docs.select(F.col("doc_id").alias("batch_id"), F.col("sh").alias("a_sh"))
-    sh_b = docs.select(F.col("doc_id").alias("index_id"), F.col("sh").alias("b_sh"))
+    # Same discipline as l02 (r13): never join the corpus-sized
+    # shingle relation — semi-join the corpus down to candidate
+    # members first (ids only, AQE-sized at runtime), recompute
+    # shingles for that sliver, and only candidate-sized
+    # shingle-bearing inputs reach a join.
+    cand_ids = (
+        cand.select(
+            F.explode(
+                F.array(F.col("batch_id"), F.col("index_id"))
+            ).alias("doc_id")
+        )
+        .distinct()
+    )
+    docs_cand = documents.join(cand_ids, "doc_id", "left_semi").select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.expr(_SHINGLE_SPARK), lambda s: _mh_hash_spark(99, s)
+            )
+        ).alias("sh"),
+    )
+    sh_a = docs_cand.select(F.col("doc_id").alias("batch_id"), F.col("sh").alias("a_sh"))
+    sh_b = docs_cand.select(F.col("doc_id").alias("index_id"), F.col("sh").alias("b_sh"))
     inter = F.size(F.array_intersect(F.col("a_sh"), F.col("b_sh")))
     union = F.size(F.col("a_sh")) + F.size(F.col("b_sh")) - inter
-    verified = (
+    # Inner joins on ids that exist by construction preserve every
+    # cand row, so ONE joined frame yields both the candidate count
+    # and the verified count per batch doc (the l02-r13 one-aggregate
+    # discipline — no third instantiation of the signature subtree).
+    flags = (
         cand.join(sh_a, "batch_id")
         .join(sh_b, "index_id")
-        .filter(inter.cast("double") / union.cast("double") >= JACCARD_THRESHOLD)
-        .select("batch_id", "index_id")
+        .select(
+            "batch_id",
+            (inter.cast("double") / union.cast("double") >= JACCARD_THRESHOLD)
+            .cast("long")
+            .alias("ok"),
+        )
     )
     batch_docs = documents.filter(F.col("doc_id") % 10 == 0).select("doc_id")
-    n_cand = cand.groupBy("batch_id").agg(F.count(F.lit(1)).alias("nc"))
-    n_match = verified.groupBy("batch_id").agg(F.count(F.lit(1)).alias("nm"))
+    tallies = flags.groupBy("batch_id").agg(
+        F.count(F.lit(1)).alias("nc"), F.sum("ok").alias("nm")
+    )
     return (
-        batch_docs.join(n_cand, batch_docs["doc_id"] == n_cand["batch_id"], "left")
-        .drop("batch_id")
-        .join(n_match, batch_docs["doc_id"] == n_match["batch_id"], "left")
+        batch_docs.join(tallies, batch_docs["doc_id"] == tallies["batch_id"], "left")
         .drop("batch_id")
         .select(
             "doc_id",

@@ -219,6 +219,14 @@ RECHECK_THIS_ROUND: frozenset[str] = frozenset(
         # can reuse it — plan and results are identical (the plan pin
         # still passes), but the code moved, so re-certify.
         "l20_bm25_search",
+        # r13 scale fix: the local-cluster probe caught l02/l59's
+        # verification leg broadcasting the corpus-sized shingle
+        # relation (executor OOM at 12g and 24g). Both now semi-join
+        # to candidate members, verify over md5-hashed shingle sets
+        # (oracle replays the hash), and checkpoint the pair list —
+        # Spark side and oracle both changed, so re-certify.
+        "l02_minhash_neardup",
+        "l59_minhash_index_probe",
     }
 )
 
