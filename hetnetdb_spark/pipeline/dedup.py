@@ -448,21 +448,30 @@ def l02_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rest of this operator already holds. The oracle replays the
     # identical hash, so even a collision (P ≈ n²/2⁶¹) is bit-equal
     # on both engines.
+    # The hashed column is named hv, NOT sh: plan pins distinguish
+    # "raw shingles may never enter an exchange" (sh) from "hashed
+    # candidate-member sets may" (hv). Both verification joins are
+    # pinned to sort-merge: the relation below them is a semi-join
+    # output with no materialized stage, so AQE can only see the
+    # static estimate — which reads "broadcastable" while the real
+    # deserialized LongHashedRelation is GBs (measured: executor OOM
+    # in HashedRelation.readLongArray at the 100x corpus under
+    # local-cluster 12g). SMJ spills; a broadcast build does not.
     docs_cand = documents.join(cand_ids, "doc_id", "left_semi").select(
         "doc_id",
         F.array_distinct(
             F.transform(
                 F.expr(_SHINGLE_SPARK), lambda s: _mh_hash_spark(99, s)
             )
-        ).alias("sh"),
+        ).alias("hv"),
     )
-    sh_a = docs_cand.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh"))
-    sh_b = docs_cand.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh"))
-    inter = F.size(F.array_intersect(F.col("a_sh"), F.col("b_sh")))
-    union = F.size(F.col("a_sh")) + F.size(F.col("b_sh")) - inter
+    sh_a = docs_cand.select(F.col("doc_id").alias("a_id"), F.col("hv").alias("a_hv"))
+    sh_b = docs_cand.select(F.col("doc_id").alias("b_id"), F.col("hv").alias("b_hv"))
+    inter = F.size(F.array_intersect(F.col("a_hv"), F.col("b_hv")))
+    union = F.size(F.col("a_hv")) + F.size(F.col("b_hv")) - inter
     flags = (
-        candidates.join(sh_a, "a_id")
-        .join(sh_b, "b_id")
+        candidates.join(sh_a.hint("merge"), "a_id")
+        .join(sh_b.hint("merge"), "b_id")
         .select(
             (inter.cast("double") / union.cast("double") >= JACCARD_THRESHOLD)
             .cast("long")
@@ -1577,19 +1586,19 @@ def l59_minhash_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(
                 F.expr(_SHINGLE_SPARK), lambda s: _mh_hash_spark(99, s)
             )
-        ).alias("sh"),
+        ).alias("hv"),
     )
-    sh_a = docs_cand.select(F.col("doc_id").alias("batch_id"), F.col("sh").alias("a_sh"))
-    sh_b = docs_cand.select(F.col("doc_id").alias("index_id"), F.col("sh").alias("b_sh"))
-    inter = F.size(F.array_intersect(F.col("a_sh"), F.col("b_sh")))
-    union = F.size(F.col("a_sh")) + F.size(F.col("b_sh")) - inter
+    sh_a = docs_cand.select(F.col("doc_id").alias("batch_id"), F.col("hv").alias("a_hv"))
+    sh_b = docs_cand.select(F.col("doc_id").alias("index_id"), F.col("hv").alias("b_hv"))
+    inter = F.size(F.array_intersect(F.col("a_hv"), F.col("b_hv")))
+    union = F.size(F.col("a_hv")) + F.size(F.col("b_hv")) - inter
     # Inner joins on ids that exist by construction preserve every
     # cand row, so ONE joined frame yields both the candidate count
     # and the verified count per batch doc (the l02-r13 one-aggregate
     # discipline — no third instantiation of the signature subtree).
     flags = (
-        cand.join(sh_a, "batch_id")
-        .join(sh_b, "index_id")
+        cand.join(sh_a.hint("merge"), "batch_id")
+        .join(sh_b.hint("merge"), "index_id")
         .select(
             "batch_id",
             (inter.cast("double") / union.cast("double") >= JACCARD_THRESHOLD)
