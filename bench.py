@@ -87,6 +87,47 @@ def _sf_from_dir(path: str) -> float:
 #: measured and recorded in every BENCH artifact.
 FLOOR_DIR = os.environ.get("SPARK_GRAFT_FLOOR_DIR", "/root/testdata/sf0.001")
 
+#: Load-sentinel references (r13 verdict item 1). BENCH_r13 recorded a
+#: +34% headline / +46% floor jump with ZERO headline code changed
+#: that round — box contention during the driver's recording window,
+#: indistinguishable in the artifact from a plan regression. The
+#: sentinel makes contention self-reporting: a fixed tiny job is
+#: timed before the warm-up passes and again after the timed passes,
+#: and the sf0.001 fixed-floor total is compared against the last
+#: quiet-box recording. Quiet-box calibration (this box, load avg
+#: <0.3, 3 sessions × min-of-12): sentinel min 0.15-0.22 s; floor
+#: totals across quiet recordings: r12 0.877 s, r11 1.156 s.
+SENTINEL_REF_S = 0.16  # quiet-box sentinel min
+SENTINEL_CONTENDED_MULT = 2.0  # both pre+post mins above 2× ref → contended
+FLOOR_REF_S = 0.88  # BENCH_r12's quiet-box fixed_floor_total
+FLOOR_CONTENDED_MULT = 1.4  # r13's contended 1.277 flags; r11's 1.156 doesn't
+
+
+def _sentinel_min(spark, passes: int = 9) -> float:
+    """Min wall of a fixed 8-task shuffle+agg job — a pure load probe.
+
+    The job is constant-size (1M synthetic longs, one exchange, one
+    Arrow fetch) so its wall moves only with JVM/CPU contention, never
+    with the corpus or the engine's plans.
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    def run() -> None:
+        (
+            spark.range(0, 1 << 20, 1, 8)
+            .groupBy((F.col("id") % 7).alias("k"))
+            .agg(F.count("*").alias("c"))
+            .toPandas()
+        )
+
+    run()  # one untimed pass: plan + codegen for the probe itself
+    best = float("inf")
+    for _ in range(passes):
+        t0 = time.perf_counter()
+        run()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
 
 def _scale_story(spark, names: list[str]) -> dict:
     """The r10-verdict item-1 block: fixed-floor decomposition plus
@@ -161,6 +202,7 @@ def main() -> None:
     # Legacy `collect()` deserializes row-by-row into Row objects
     # and was costing ~0.6 s alone on the 9.5k-row sessionize
     # result — driver-fetch overhead, not query time.
+    sentinel_pre = _sentinel_min(spark)
     for _ in range(3):  # warm-up passes: plan + JIT (C2) + page cache
         for name in names:
             registry.QUERIES[name](spark, SF_DIR).toPandas()
@@ -171,6 +213,7 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, SF_DIR).toPandas()
             best[name] = min(best[name], time.perf_counter() - t0)
+    sentinel_post = _sentinel_min(spark)
     timings = {name: round(best[name], 4) for name in names}
     for name in names:
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
@@ -184,6 +227,37 @@ def main() -> None:
         "sf": _sf_from_dir(SF_DIR),
     }
     payload["scale"] = _scale_story(spark, names)
+
+    # Contention verdict: the sentinel catches load DURING the timed
+    # passes; the fixed-floor total (measured by _scale_story on the
+    # near-empty corpus) catches a slow box overall. Either signal
+    # marks the artifact so a bad number reads as "contended
+    # recording", not "plan regression".
+    floor_total = payload["scale"].get("fixed_floor_total")
+    sentinel_over = min(sentinel_pre, sentinel_post) > (
+        SENTINEL_REF_S * SENTINEL_CONTENDED_MULT
+    )
+    floor_over = (
+        floor_total is not None
+        and floor_total > FLOOR_REF_S * FLOOR_CONTENDED_MULT
+    )
+    payload["load_sentinel"] = {
+        "pre_s": sentinel_pre,
+        "post_s": sentinel_post,
+        "ref_s": SENTINEL_REF_S,
+        "floor_ref_s": FLOOR_REF_S,
+        "sentinel_over": sentinel_over,
+        "floor_over": floor_over,
+    }
+    payload["contended"] = bool(sentinel_over or floor_over)
+    if payload["contended"]:
+        print(
+            "# WARNING: contended recording — sentinel "
+            f"pre={sentinel_pre}s post={sentinel_post}s (quiet ref "
+            f"{SENTINEL_REF_S}s), floor_total={floor_total}s (quiet ref "
+            f"{FLOOR_REF_S}s). Timings unreliable; re-record on a quiet box.",
+            file=sys.stderr,
+        )
 
     if FULL:
         suite: dict[str, float] = {}

@@ -171,12 +171,12 @@ def _verified_names() -> set[str]:
 #: round and sort into tiers 0/1 via CORRECTNESS_r04.json.)
 NEW_THIS_ROUND: frozenset[str] = frozenset(
     {
-        # Round 13: rotated — CORRECTNESS_r12 certified the round-12
-        # additions (l75/l76/l77 all driver-green), so they sort into
-        # the verified tier by staleness. Round-13 newcomers land
-        # here.
-        "s45_parquet_robustness",
-        "l78_hybrid_retrieval_rrf",
+        # Round 14: rotated — CORRECTNESS_r13 certified the round-13
+        # additions (s45_parquet_robustness, l78_hybrid_retrieval_rrf
+        # both driver-green), so they sort into the verified tier by
+        # staleness. Round-14 newcomers land here.
+        "l79_prep_pipeline_e2e",
+        "l80_ivf_index_probe",
     }
 )
 
@@ -203,30 +203,18 @@ RECHECK_THIS_ROUND: frozenset[str] = frozenset(
         # l08_image_features) — tier 3's stalest-first ordering puts
         # exactly those at the front without naming them here.
         #
-        # Round 13: the two r13 rewrites. Their green r10/r12 rows
-        # certify the OLD plans (l01's sort-window keeper, l14's
-        # struct-state fold); both queries keep their oracles but the
-        # Spark side changed, so they re-enter the window first.
-        # After these, tier 3's stalest-first ordering fills the rest
-        # of the window with the r6 tail the r12 verdict names (t04/
-        # t08, l32-l40 family, w11-w21, f20-f31, s14/s15).
-        "l01_exact_dedup",
-        "l14_repetition_stats",
-        # l77's single-token bigram guard changes no result at any
-        # tested SF, but the Spark expression changed — re-certify.
-        "l77_dsir_selection",
-        # l20's scoring body was extracted into bm25_scores() so l78
-        # can reuse it — plan and results are identical (the plan pin
-        # still passes), but the code moved, so re-certify.
-        "l20_bm25_search",
-        # r13 scale fix: the local-cluster probe caught l02/l59's
-        # verification leg broadcasting the corpus-sized shingle
-        # relation (executor OOM at 12g and 24g). Both now semi-join
-        # to candidate members, verify over md5-hashed shingle sets
-        # (oracle replays the hash), and checkpoint the pair list —
-        # Spark side and oracle both changed, so re-certify.
-        "l02_minhash_neardup",
-        "l59_minhash_index_probe",
+        # Round 14: rotated — CORRECTNESS_r13 re-certified all six
+        # round-13 rewrites (l01 packed-long keeper, l14 packed fold,
+        # l77 bigram guard, l20 bm25_scores extraction, l02/l59
+        # no-broadcast hashed verification — all driver-green), so the
+        # bounded window goes to the staleness tail: the r13 verdict
+        # names the 37 queries whose latest cert is r07
+        # (emb_topk_cosine, a27, f27, l08_frame_sample, l33, l37, l39,
+        # l41-l49, l51-l57, l60/l61/l64/l65, s11/s12/s13/s19/s21/s23,
+        # u10/u11/u17, w20) — tier 3's stalest-first ordering puts
+        # exactly those at the front without naming them here. Any
+        # round-14 rewrite that changes a certified query's Spark side
+        # or oracle re-enters here.
     }
 )
 

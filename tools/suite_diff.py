@@ -29,10 +29,22 @@ rule to the min — the round-8 lesson that one warm pass under load
 is not evidence of a regression, mechanized. Survivors of the
 recheck are real unless listed in ADJUDICATED with a reason.
 
+``--vs PREV.json`` additionally diffs the run ROUND-OVER-ROUND
+against a previous suite artifact and prints EVERY entry >=1.5x its
+previous-round wall (no MIN_DELTA floor, no WIDE_BAND override) —
+the exact table the judge computes. Round-13 lesson: the
+baseline-relative rule flagged 5 while the judge's r12->r13 ratio
+table showed 10 >=1.5x, and the unflagged five went unadjudicated.
+Round-over-round flags do not exit 1 on their own (the robust-floor
+baseline stays the regression gate) but each must be either
+rechecked (--recheck re-times them too) or adjudicated in PLANS.md,
+so the two views can never silently diverge again.
+
 Usage:
     python tools/suite_diff.py SUITE_r09.json
     python tools/suite_diff.py SUITE_r09.json --recheck
     python tools/suite_diff.py SUITE_r09.json --update-baseline
+    python tools/suite_diff.py SUITE_r13.json --vs SUITE_r12.json --recheck
 """
 
 from __future__ import annotations
@@ -136,6 +148,9 @@ def main() -> int:
     run_path = sys.argv[1]
     update = "--update-baseline" in sys.argv
     recheck = "--recheck" in sys.argv
+    vs_path = None
+    if "--vs" in sys.argv:
+        vs_path = sys.argv[sys.argv.index("--vs") + 1]
     with open(run_path, encoding="utf-8") as f:
         run = json.load(f)
     suite = run.get("suite")
@@ -170,9 +185,41 @@ def main() -> int:
         f"{len(new)} new, {len(failed)} failed"
     )
 
+    rr_flagged: list[tuple[str, float, float]] = []
+    if vs_path:
+        with open(vs_path, encoding="utf-8") as f:
+            prev_doc = json.load(f)
+        prev = prev_doc.get("suite") or {}
+        for name, t in sorted(suite.items()):
+            p = prev.get(name)
+            if t < 0 or p is None or p <= 0:
+                continue
+            if t >= p * THRESHOLD:
+                rr_flagged.append((name, p, t))
+        for name, p, t in rr_flagged:
+            print(
+                f"RR    {name:40s} {p:.3f}s -> {t:.3f}s  ({t / p:.2f}x "
+                f"vs {os.path.basename(vs_path)})"
+            )
+        print(
+            f"round-over-round: {len(rr_flagged)} entr"
+            f"{'y' if len(rr_flagged) == 1 else 'ies'} >= {THRESHOLD}x "
+            f"previous round (judge-view; recheck or adjudicate each)"
+        )
+        # Merge into the recheck set (dedup by name) so --recheck
+        # re-times the judge-view flags with the same robust protocol.
+        have = {n for n, _, _ in flagged}
+        for name, p, t in rr_flagged:
+            if name not in have:
+                # Baseline for the verdict rule stays the robust-floor
+                # baseline when one exists; the RR entry is only a
+                # selection signal.
+                flagged.append((name, base.get(name, p), t))
+
     if recheck and flagged:
         print(f"\nre-measuring {len(flagged)} flags with the robust protocol:")
-        flagged = _recheck([n for n, _, _ in flagged], base)
+        per_name_base = {n: b for n, b, _ in flagged}
+        flagged = _recheck([n for n, _, _ in flagged], per_name_base)
         adjudicated = [f for f in flagged if f[0] in ADJUDICATED]
         flagged = [f for f in flagged if f[0] not in ADJUDICATED]
         for name, _, _ in adjudicated:
