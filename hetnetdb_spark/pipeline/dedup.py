@@ -379,7 +379,7 @@ def l02_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     since round 5: the hash family is the portable md5-derived
     h_j(x) = int(md5('j:'||x)[:15 hex]) instead of engine-private
     xxhash64, so the DuckDB twin replays signatures, banding,
-    candidate join, and exact-Jaccard verification end to end —
+    candidate join, and hashed-Jaccard verification end to end —
     the same approximate-yet-verifiable upgrade l04's hyperplane
     replay made in round 4. (In a single-engine production deploy
     the family swaps back to xxhash64 for hash throughput — the
@@ -392,10 +392,12 @@ def l02_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     VERBATIM 4-tuple (joined as CSV — no second hash, nothing to
     diverge on); pairs sharing any band bucket are candidates
     (P[candidate] ≈ 1-(1-j⁴)⁸ — >0.96 for j≥0.7). Candidates then
-    verify with exact Jaccard ≥ 0.5 over md5-HASHED shingle sets
-    (integer set sizes — the threshold compare is exact on both
-    engines, and the oracle replays the identical hash so collisions
-    cannot diverge). The band join is an equi-join on (band_id,
+    verify with COLLISION-EXACT HASHED Jaccard ≥ 0.5 over md5-HASHED
+    shingle sets — not literally exact Jaccard over raw shingles: a
+    60-bit hash collision (P ≈ n²/2⁶¹) would alter intersection/union
+    sizes, and cross-engine parity holds because the oracle replays
+    the identical hash, making even a collision bit-equal on both
+    engines (integer set sizes — the threshold compare is exact). The band join is an equi-join on (band_id,
     bucket) — shuffle of 8·N short rows, never N²; the verification
     join sees only candidate members (corpus semi-joined to candidate
     ids first) and moves 8-byte hash arrays, never shingle text —
@@ -442,7 +444,7 @@ def l02_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # The verification payload is the HASHED shingle set (house
     # portable 60-bit md5 hash, label 99 — outside the 0..31
-    # permutation family), not the shingle strings: the exact-Jaccard
+    # permutation family), not the shingle strings: the hashed-Jaccard
     # compare is set arithmetic either way, and 8-byte longs keep the
     # candidate-side shuffle at "hashes and ids" — the posture the
     # rest of this operator already holds. The oracle replays the
@@ -457,14 +459,28 @@ def l02_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deserialized LongHashedRelation is GBs (measured: executor OOM
     # in HashedRelation.readLongArray at the 100x corpus under
     # local-cluster 12g). SMJ spills; a broadcast build does not.
-    docs_cand = documents.join(cand_ids, "doc_id", "left_semi").select(
+    # r14 ORDER FIX: hv is computed BEFORE the semi-join, not after.
+    # The r13 spelling (semi-join documents, then project hv) let the
+    # STATIC planner spell the semi-join as SMJ and hang its
+    # hashpartitioning(doc_id) exchange below the projection — AQE
+    # re-planned the join to broadcast at runtime, but the corpus
+    # exchange had already materialized as a stage boundary CARRYING
+    # RAW TEXT (caught by the r14 l79 plan pin; the PIPELINE_DEMO_r13
+    # "zero text exchanges" reading was wrong — its 1526 MB l02
+    # shuffle is corpus-text-sized). With hv projected first, the
+    # worst-case exchange payload at any scale is (doc_id, hv):
+    # fixed-width pseudonymized longs, never raw text. Cost: the
+    # label-99 hash family runs over ALL docs instead of candidate
+    # members — one extra pass next to the 32 the signatures already
+    # pay (~3%), and it runs map-side in the scan projection.
+    docs_cand = documents.select(
         "doc_id",
         F.array_distinct(
             F.transform(
                 F.expr(_SHINGLE_SPARK), lambda s: _mh_hash_spark(99, s)
             )
         ).alias("hv"),
-    )
+    ).join(cand_ids, "doc_id", "left_semi")
     sh_a = docs_cand.select(F.col("doc_id").alias("a_id"), F.col("hv").alias("a_hv"))
     sh_b = docs_cand.select(F.col("doc_id").alias("b_id"), F.col("hv").alias("b_hv"))
     inter = F.size(F.array_intersect(F.col("a_hv"), F.col("b_hv")))
@@ -1537,7 +1553,8 @@ def l59_minhash_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, near-dup flag) with zero-candidate docs preserved via the
     left join — admission decisions need the explicit "no collision"
     row, not an absent one. Same portable md5 hash family, banding
-    (8×4), and exact-Jaccard verification as l02 (shared
+    (8×4), and collision-exact hashed-Jaccard verification as l02
+    (shared
     `_banded_signatures` builder), so the DuckDB twin replays the
     whole pipeline.
 
@@ -1580,14 +1597,17 @@ def l59_minhash_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    docs_cand = documents.join(cand_ids, "doc_id", "left_semi").select(
+    # hv BEFORE the semi-join (the r14 order fix, see l02): the
+    # static SMJ spelling of the semi-join must exchange (doc_id,
+    # hv), never (doc_id, text).
+    docs_cand = documents.select(
         "doc_id",
         F.array_distinct(
             F.transform(
                 F.expr(_SHINGLE_SPARK), lambda s: _mh_hash_spark(99, s)
             )
         ).alias("hv"),
-    )
+    ).join(cand_ids, "doc_id", "left_semi")
     sh_a = docs_cand.select(F.col("doc_id").alias("batch_id"), F.col("hv").alias("a_hv"))
     sh_b = docs_cand.select(F.col("doc_id").alias("index_id"), F.col("hv").alias("b_hv"))
     inter = F.size(F.array_intersect(F.col("a_hv"), F.col("b_hv")))
@@ -2437,4 +2457,272 @@ def l73_semantic_dedup_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_members", "n_dropped", "n_kept", "dropped_id_sum",
         )
         .orderBy("cluster_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# L79 — end-to-end prep pipeline as ONE declared query (r13 verdict item 8)
+# --------------------------------------------------------------------------
+
+#: One bin budget, one spelling: l12's constant (imported lazily at
+#: module bottom to keep the pipeline package import-order-free).
+from hetnetdb_spark.pipeline.splits import PACK_BUDGET as _L79_PACK_BUDGET  # noqa: E402
+
+
+
+#: The l09 gate's language allowlist with dense ids for the packed
+#: exact-keeper aggregate (3 low bits of the keeper long; bounded by
+#: the gate's own IN-list, never by the corpus).
+_L79_LANGS = ("de", "en", "es", "fr")
+
+
+def _l79_oracle() -> str:
+    """Replay of the whole prep funnel: the l09 quality gate, the l01
+    min-doc_id exact keeper (grouped by text — the hash-pair device
+    is Spark-private; results agree barring a 128-bit xxhash
+    collision, the accepted l01 device), the l02 MinHash banding +
+    collision-exact hashed-Jaccard verification over the GATED set
+    (``_mh_cand_ctes("gated")`` — one spelling of the banding
+    family, everywhere), greedy higher-id drop, and the l12 cumsum
+    packing — summarized per language so the funnel is one bounded
+    frame. Near-dup runs on the gated set, not the exact-kept set:
+    identical texts have hashed Jaccard exactly 1.0, so every
+    non-keeper exact duplicate is ALSO a verified pair's higher id
+    and the greedy drop subsumes exact dedup (final survivor sets
+    are provably identical — candidacy depends only on a doc's own
+    signature, and any pair through a duplicate has an equal-Jaccard
+    pair through its keeper with a smaller id). That subsumption is
+    what lets the Spark plan keep raw text out of every exchange."""
+    return f"""
+WITH gated AS (
+    SELECT doc_id, lang, text FROM documents
+    WHERE lang IN ('en', 'es', 'de', 'fr')
+      AND n_chars BETWEEN 50 AND 5000
+      AND len(string_split(text, ' ')) >= 10
+      AND CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+          / length(text) < 0.10
+),
+exact AS (
+    SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY text
+),
+kept AS (
+    SELECT g.doc_id, g.lang FROM gated g JOIN exact e USING (doc_id)
+),
+{_mh_cand_ctes("gated")},
+hs AS (
+    SELECT doc_id,
+           list_distinct(list_transform(sh, x -> {_mh_hash_duck(99)})) AS sh
+    FROM s
+),
+verified AS (
+    SELECT c.a_id, c.b_id
+    FROM cand c
+    JOIN hs sa ON sa.doc_id = c.a_id
+    JOIN hs sb ON sb.doc_id = c.b_id
+    WHERE CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE)
+          / (len(sa.sh) + len(sb.sh)
+             - len(list_filter(sa.sh, x -> list_contains(sb.sh, x))))
+          >= {JACCARD_THRESHOLD}
+),
+dropped AS (SELECT DISTINCT b_id AS doc_id FROM verified),
+final AS (
+    SELECT g.doc_id, g.lang, len(string_split(g.text, ' ')) AS n_tokens
+    FROM gated g LEFT JOIN dropped d ON g.doc_id = d.doc_id
+    WHERE d.doc_id IS NULL
+),
+packed AS (
+    SELECT lang,
+           CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) - n_tokens)
+                      / {_L79_PACK_BUDGET}) AS BIGINT) AS bin_id,
+           n_tokens
+    FROM final
+),
+raw  AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_raw FROM documents GROUP BY lang),
+gsum AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_gated FROM gated GROUP BY lang),
+ksum AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_exact_kept FROM kept GROUP BY lang),
+fsum AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_final,
+                CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+         FROM final GROUP BY lang),
+bsum AS (SELECT lang, CAST(COUNT(DISTINCT bin_id) AS BIGINT) AS n_bins
+         FROM packed GROUP BY lang)
+SELECT g.lang, r.n_raw, g.n_gated, k.n_exact_kept, f.n_final, b.n_bins,
+       f.total_tokens
+FROM gsum g
+JOIN raw  r USING (lang)
+JOIN ksum k USING (lang)
+JOIN fsum f USING (lang)
+JOIN bsum b USING (lang)
+ORDER BY g.lang
+"""
+
+
+@query("l79_prep_pipeline_e2e", oracle=_l79_oracle())
+def l79_prep_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L79 — the whole training-data prep chain as ONE declared,
+    oracle-checked query: quality gate (l09's predicates) → exact
+    dedup (l01's xxhash-pair min-doc_id keeper) → MinHash near-dup
+    drop (l02's banding + collision-exact hashed-Jaccard
+    verification, greedy higher-id drop) → sequence packing (l12's
+    lang-partitioned cumsum bins) — reported as a per-language
+    funnel: raw → gated → exact-kept → final counts, bin count, and
+    total packed tokens. PIPELINE_DEMO_r13 measured the stages
+    individually; this declares the COMPOSITION so the driver
+    certifies end-to-end semantics every round, and
+    tests/test_plans.py pins the zero-text-exchange property for
+    the composed plan itself.
+
+    The structural move that keeps text out of every exchange: the
+    near-dup greedy drop SUBSUMES exact dedup (identical texts have
+    hashed Jaccard exactly 1.0, identical signatures land in every
+    band together, and any verified pair through a duplicate has an
+    equal pair through its smaller-id keeper — so the final survivor
+    set over the gated corpus equals kept-then-near-dup; proof
+    sketch in `_l79_oracle`). Exact-kept therefore never REJOINS the
+    corpus — its funnel count is an l01-style pure aggregate with
+    the lang packed into the keeper long's 3 low bits — and the only
+    per-doc joins left are the l02 shape: corpus semi-joined to
+    CHECKPOINTED candidate ids (materialized → AQE sizes them for
+    real) projecting (doc_id, hashed-shingle array), and the final
+    anti-join against the distinct dropped ids. The first l79 draft
+    did exact dedup as a corpus semi-join on doc_id and the executed
+    plan answered with a ReusedExchange shuffling (doc_id, text,
+    lang) — exactly the regression the plan pin now forbids.
+
+    Scale posture, stage by stage (measured on the component queries
+    at the 300x corpus): gate = codegen'd scan predicate; exact
+    keeper shuffles (h1, h2, packed) at 24 B/row; banding shuffles
+    (band key, doc_id); verification moves md5-hashed shingle sets
+    of candidate members only (the r13 l02 OOM discipline:
+    verification joins pinned sort-merge — the semi-join subtree
+    below them is sized by its misleading static estimate); packing
+    shuffles (lang, doc_id, n_tokens) triples.
+    """
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    text = F.col("text")
+    punct_ratio = (
+        F.length(F.regexp_replace(text, "[a-z0-9 ]", "")).cast("double")
+        / F.length(text)
+    )
+    gated = documents.filter(
+        F.col("lang").isin(*_L79_LANGS)
+        & F.col("n_chars").between(50, 5000)
+        & (F.size(F.split(text, " ")) >= 10)
+        & (punct_ratio < 0.10)
+    ).select("doc_id", "lang", "text")
+
+    # exact-keeper funnel count: pure aggregate, no corpus rejoin
+    # (l01 discipline + lang packed into the low bits; doc_id is
+    # unique so min(packed) IS the min-doc_id row's packed value)
+    lang_id = F.array_position(
+        F.array(*[F.lit(lg) for lg in _L79_LANGS]), F.col("lang")
+    ).cast("long")
+    keepers = (
+        gated.select(
+            F.xxhash64("text").alias("h1"),
+            F.xxhash64(F.lit(1), "text").alias("h2"),
+            (F.shiftleft(F.col("doc_id"), 3) + lang_id).alias("p"),
+        )
+        .groupBy("h1", "h2")
+        .agg(F.min("p").alias("p"))
+    )
+    lang_of = F.element_at(
+        F.array(*[F.lit(lg) for lg in _L79_LANGS]),
+        F.col("p").bitwiseAND(F.lit(7)).cast("int"),
+    )
+    ksum = (
+        keepers.select(lang_of.alias("lang"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_exact_kept"))
+    )
+
+    # near-dup over the GATED set (subsumes exact dedup — docstring):
+    # banding, candidate pairs, hashed-set verification, greedy drop
+    s = gated.select("doc_id", F.expr(_SHINGLE_SPARK).alias("sh"))
+    banded = _banded_signatures(s)
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cand_ids = (
+        cand.select(
+            F.explode(F.array(F.col("a_id"), F.col("b_id"))).alias("doc_id")
+        )
+        .distinct()
+    )
+    # hv BEFORE the semi-join (see the l02 r14 order fix): the static
+    # SMJ spelling of this semi-join exchanges (doc_id, hv), never
+    # (doc_id, text).
+    docs_cand = gated.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.expr(_SHINGLE_SPARK), lambda x: _mh_hash_spark(99, x)
+            )
+        ).alias("hv"),
+    ).join(cand_ids, "doc_id", "left_semi")
+    sh_a = docs_cand.select(F.col("doc_id").alias("a_id"), F.col("hv").alias("a_hv"))
+    sh_b = docs_cand.select(F.col("doc_id").alias("b_id"), F.col("hv").alias("b_hv"))
+    inter = F.size(F.array_intersect(F.col("a_hv"), F.col("b_hv")))
+    union = F.size(F.col("a_hv")) + F.size(F.col("b_hv")) - inter
+    dropped = (
+        cand.join(sh_a.hint("merge"), "a_id")
+        .join(sh_b.hint("merge"), "b_id")
+        .filter(
+            inter.cast("double") / union.cast("double") >= JACCARD_THRESHOLD
+        )
+        .select(F.col("b_id").alias("doc_id"))
+        .distinct()
+    )
+    # n_tokens BEFORE the anti-join, same reasoning: the static SMJ
+    # spelling exchanges (doc_id, lang, n_tokens), never text.
+    final = gated.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    ).join(dropped, "doc_id", "left_anti")
+
+    # packing: l12's cumsum bins over the final survivor set
+    w_pack = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = final.withColumn(
+        "bin_id",
+        F.floor(
+            (F.sum("n_tokens").over(w_pack) - F.col("n_tokens"))
+            / _L79_PACK_BUDGET
+        ),
+    )
+
+    raw = documents.groupBy("lang").agg(F.count(F.lit(1)).alias("n_raw"))
+    gsum = gated.groupBy("lang").agg(F.count(F.lit(1)).alias("n_gated"))
+    fsum = final.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_final"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+    bsum = packed.groupBy("lang").agg(
+        F.countDistinct("bin_id").alias("n_bins")
+    )
+    return (
+        gsum.join(raw, "lang")
+        .join(ksum, "lang")
+        .join(fsum, "lang")
+        .join(bsum, "lang")
+        .select(
+            "lang", "n_raw", "n_gated", "n_exact_kept", "n_final", "n_bins",
+            "total_tokens",
+        )
+        .orderBy("lang")
     )

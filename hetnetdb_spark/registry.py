@@ -215,6 +215,14 @@ RECHECK_THIS_ROUND: frozenset[str] = frozenset(
         # exactly those at the front without naming them here. Any
         # round-14 rewrite that changes a certified query's Spark side
         # or oracle re-enters here.
+        #
+        # r14 order fix: l02/l59's verification hv array is now
+        # computed BEFORE the candidate semi-join so the static SMJ
+        # spelling exchanges (doc_id, hv) instead of (doc_id, text)
+        # — results identical, oracles unchanged, but the Spark
+        # expression tree moved, so re-certify.
+        "l02_minhash_neardup",
+        "l59_minhash_index_probe",
     }
 )
 

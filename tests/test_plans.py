@@ -954,3 +954,35 @@ def test_l78_hybrid_corpus_work_is_top_k_only(spark):
     assert "Generate" not in plan, "l78 must not explode tokens"
     assert plan.count("TakeOrderedAndProject") >= 2, plan
     assert "BroadcastExchange" in plan, "1-row BM25 stats must broadcast"
+
+
+def test_l79_text_stays_out_of_exchanges(spark):
+    """l79 (r14): the end-to-end prep chain's exchanges may carry
+    hashes, ids, band keys, langs and token counts — never the raw
+    text column (PIPELINE_DEMO_r13 measured this per stage; this
+    pins it for the COMPOSED plan). No cartesian anywhere."""
+    plan = executed_plan(
+        registry.QUERIES["l79_prep_pipeline_e2e"](spark, SF_DIR)
+    )
+    assert "CartesianProduct" not in plan, plan
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln or "Exchange rangepartitioning" in ln:
+            assert "text#" not in ln, ln
+
+
+def test_l80_probe_broadcasts_bounded_sides(spark):
+    """l80 (r14): the serving path must broadcast the two BOUNDED
+    relations — the 8-row centroid table into the probe scoring pass
+    and the (batch × nprobe) probe list into the stored-index join —
+    and read the index back from its cluster-partitioned store (a
+    second FileScan rooted in the scratch store, not lineage into
+    the training subtree). No cartesian (the centroid cross joins
+    are broadcast-implemented)."""
+    plan = executed_plan(
+        registry.QUERIES["l80_ivf_index_probe"](spark, SF_DIR)
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastExchange") + plan.count(
+        "BroadcastQueryStage"
+    ) >= 2, plan
+    assert "l80_index" in plan, "probe must scan the persisted index store"

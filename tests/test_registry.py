@@ -80,7 +80,13 @@ def test_plan_lint_allowlist_names_are_registered():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     registry.load_all()
-    for allowlist_name in ("ALLOWLIST", "CARTESIAN_ALLOWLIST", "DRIVER_ROWS_ALLOWLIST"):
+    for allowlist_name in (
+        "ALLOWLIST",
+        "CARTESIAN_ALLOWLIST",
+        "DRIVER_ROWS_ALLOWLIST",
+        "BATCH_EVAL_ALLOWLIST",
+        "BROADCAST_FACT_ALLOWLIST",
+    ):
         stale = set(getattr(mod, allowlist_name)) - set(registry.QUERIES)
         assert not stale, (
             f"{allowlist_name} names not in the registry: {sorted(stale)}"
@@ -112,6 +118,42 @@ def test_collect_lint_package_is_clean():
     live_keys = {k for k, _, _ in allowed}
     stale = set(mod.COLLECT_ALLOWLIST) - live_keys
     assert not stale, f"stale COLLECT_ALLOWLIST entries: {sorted(stale)}"
+
+
+def test_broadcast_fact_lint_flags_synthetic_violation(spark):
+    """plan_lint rule 6 (r14): a broadcast-hinted join whose build
+    side is an UNAGGREGATED fact-table projection — the exact shape
+    that OOMed l02/l59's verification leg on real executor JVMs
+    (static estimate ~50× under the in-memory HashedRelation) — is
+    flagged; the same join with an aggregated build side is not."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_DIR
+
+    mod = _load_plan_lint()
+
+    def lint(df):
+        jplan = df._jdf.queryExecution().executedPlan()
+        jplan.executeCollect()
+        try:
+            root = jplan.finalPhysicalPlan()
+        except Exception:
+            root = jplan
+        return mod._lint_plan(root)
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    probe = docs.select("doc_id")
+
+    bad = probe.join(docs.select("doc_id", "lang").hint("broadcast"), "doc_id")
+    assert lint(bad)["broadcast_fact_scan"] >= 1, (
+        "unaggregated documents broadcast must flag (l02-OOM shape)"
+    )
+
+    dim = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    good = docs.select("doc_id", "lang").join(dim.hint("broadcast"), "lang")
+    assert lint(good)["broadcast_fact_scan"] == 0, (
+        "aggregated (lang-bounded) build side must not flag"
+    )
 
 
 def test_collect_lint_flags_synthetic_violation(tmp_path):

@@ -1,10 +1,10 @@
 """Plan lint: mechanized 100 TB-posture audits of executed plans.
 
-Five rules, each a scale-killer class the per-round judge audit
-used to check by hand. Rules 1-4 run over every PURE registered
-query's executed (post-AQE) physical plan; rule 5 is a STATIC
-source scan (so it also covers the impure/streaming queries the
-plan walk can't execute):
+Six rules, each a scale-killer class the per-round judge audit
+used to check by hand. Rules 1-4 and 6 run over every PURE
+registered query's executed (post-AQE) physical plan; rule 5 is a
+STATIC source scan (so it also covers the impure/streaming queries
+the plan walk can't execute):
 
 1. **Generate-fed broadcast** (round 7). Catalyst estimates an
    explode (`Generate`) at its CHILD's size, so a relation that fans
@@ -38,6 +38,23 @@ plan walk can't execute):
    1-row sink tables). A bare `df.collect()` over a data-sized
    frame is the one driver bottleneck no executor count can fix;
    this rule makes it impossible to add one silently.
+
+6. **Broadcast of an unbounded fact-table subtree** (round 14 — the
+   generalized l02 OOM lesson). The r13 local-cluster probe caught
+   l02/l59 broadcasting a semi-join of `documents` whose in-memory
+   HashedRelation was ~50× its static estimate: AQE re-plans joins
+   from MATERIALIZED stage statistics, but a broadcast subtree with
+   no shuffle boundary below it is sized from the static estimate
+   alone — filters and semi-joins look arbitrarily selective on
+   paper and the "broadcast" OOMs real executors (dedup.py:448
+   comment). Flag every BroadcastExchange whose build subtree
+   reaches a fact-table scan (documents/lineitem/orders/events/
+   embeddings — the tables that grow with the corpus) without an
+   intervening bounding node (aggregation, top-k, limit). Known
+   limitation, accepted per the r13 verdict's prescription: an
+   aggregation whose GROUP BY key is itself corpus-sized (e.g.
+   per-doc_id) also "bounds" under this rule — the allowlist
+   reasons must argue actual boundedness, not just rule passage.
 
 A flag is not automatically a bug: broadcasting a VOCAB-BOUNDED
 aggregate of an exploded relation is the right plan, and the
@@ -220,6 +237,61 @@ def lint_collect_sites(pkg_root: str) -> tuple[list, list, list]:
     return bounded, allowed, flagged
 
 
+#: Rule 6 — fact tables: the fixtures that scale with the corpus.
+#: Matched as path fragments, so bucketed/persisted DERIVED copies
+#: (e.g. a spark-warehouse `orders_buckets` table) match too — a
+#: corpus-sized copy is exactly as unbroadcastable as its source.
+FACT_TABLES = ("documents", "lineitem", "orders", "events", "embeddings")
+
+#: Rule 6 — plan nodes that bound a broadcast build subtree.
+#: HashAggregate/SortAggregate/ObjectHashAggregate/AggregateInPandas
+#: all contain "Aggregate"; CollectLimit/GlobalLimit/LocalLimit all
+#: contain "Limit".
+RULE6_BOUNDING = ("Aggregate", "TakeOrderedAndProject", "Limit")
+
+#: query -> reason a fact-scan-fed BroadcastExchange is CORRECT there
+#: (argue actual boundedness at 100 TB, not just that the rule fires).
+BROADCAST_FACT_ALLOWLIST: dict[str, str] = {}
+
+
+def _scan_location(node) -> str:
+    """Best-effort source location string for a scan node."""
+    cls = node.getClass().getSimpleName()
+    if "FileSourceScan" not in cls and "BatchScan" not in cls:
+        return ""
+    try:
+        paths = node.relation().location().rootPaths()
+        return ";".join(str(paths.apply(i)) for i in range(paths.size()))
+    except Exception:
+        # DSv2 / renamed accessor: the verbose string carries the
+        # location (possibly truncated — acceptable for a fallback).
+        try:
+            return node.verboseString(25)
+        except Exception:
+            return node.toString()
+
+
+def _unbounded_fact_scans(node) -> set[str]:
+    """Fact tables reachable below *node* with no bounding op between."""
+    cls = node.getClass().getSimpleName()
+    if "QueryStage" in cls:
+        return _unbounded_fact_scans(node.plan())
+    if "ReusedExchange" in cls:
+        try:
+            return _unbounded_fact_scans(node.child())
+        except Exception:
+            return set()
+    if any(f in node.nodeName() for f in RULE6_BOUNDING):
+        return set()
+    found: set[str] = set()
+    loc = _scan_location(node)
+    if loc:
+        found |= {t for t in FACT_TABLES if f"/{t}" in loc}
+    for i in range(node.children().size()):
+        found |= _unbounded_fact_scans(node.children().apply(i))
+    return found
+
+
 def _subtree_has(node, fragment: str) -> bool:
     if fragment in node.nodeName():
         return True
@@ -250,12 +322,17 @@ def _lint_plan(root) -> dict[str, int]:
         "driver_rows": 0,
         "accessor_error": 0,
         "batch_eval_python": 0,
+        "broadcast_fact_scan": 0,
     }
 
     def walk(node) -> None:
         name = node.nodeName()
         if "BroadcastExchange" in name and _subtree_has(node, "Generate"):
             hits["generate_broadcast"] += 1
+        if "BroadcastExchange" in name:
+            tables = _unbounded_fact_scans(node)
+            if tables:
+                hits["broadcast_fact_scan"] += 1
         if "CartesianProduct" in name:
             hits["cartesian"] += 1
         # Rule 4: BatchEvalPython is the PICKLED row-at-a-time UDF
@@ -334,6 +411,11 @@ def main() -> int:
             "pickled row-UDF (BatchEvalPython)",
             BATCH_EVAL_ALLOWLIST,
         ),
+        (
+            "broadcast_fact_scan",
+            "broadcast of unbounded fact-table subtree (l02-OOM shape)",
+            BROADCAST_FACT_ALLOWLIST,
+        ),
     )
     flagged, allowed, errs = [], [], []
     for name in names:
@@ -363,7 +445,7 @@ def main() -> int:
     print(
         f"\n{len(names)} pure queries linted at {SF_DIR} "
         f"(rules: generate-broadcast, cartesian, driver-rows>{DRIVER_ROWS_K}, "
-        f"batch-eval-python): "
+        f"batch-eval-python, broadcast-fact-scan): "
         f"{len(allowed)} allowlisted, {len(flagged)} FLAGGED, {len(errs)} errors"
     )
     return 1 if flagged or errs or c_flagged else 0
