@@ -954,6 +954,14 @@ def test_l78_hybrid_corpus_work_is_top_k_only(spark):
     assert "Generate" not in plan, "l78 must not explode tokens"
     assert plan.count("TakeOrderedAndProject") >= 2, plan
     assert "BroadcastExchange" in plan, "1-row BM25 stats must broadcast"
+    # r14 (r13 ADVICE): bound the shuffles so a regression that
+    # re-introduces a corpus-sized exchange into the fusion (e.g.
+    # losing the limit-before-window shape) fails. The one tolerated
+    # exchange is the BM25 stats aggregate's SinglePartition merge;
+    # corpus-keyed hash/range exchanges stay forbidden outright.
+    assert shuffle_exchange_count(plan) <= 1, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
 
 
 def test_l79_text_stays_out_of_exchanges(spark):

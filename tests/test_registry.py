@@ -143,10 +143,27 @@ def test_broadcast_fact_lint_flags_synthetic_violation(spark):
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     probe = docs.select("doc_id")
+    some_ids = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id")
 
-    bad = probe.join(docs.select("doc_id", "lang").hint("broadcast"), "doc_id")
+    # the l02 shape: a SEMI-JOIN of documents (join output — static
+    # estimate does not scale with the corpus) force-broadcast
+    bad_build = (
+        docs.select("doc_id", "lang")
+        .join(some_ids, "doc_id", "left_semi")
+        .hint("broadcast")
+    )
+    bad = probe.join(bad_build, "doc_id")
     assert lint(bad)["broadcast_fact_scan"] >= 1, (
-        "unaggregated documents broadcast must flag (l02-OOM shape)"
+        "join-fed documents broadcast must flag (l02-OOM shape)"
+    )
+
+    # filter-over-scan build: static estimate scales with the corpus,
+    # so production-scale planning self-corrects — must NOT flag
+    plain = probe.join(
+        docs.select("doc_id", "lang").hint("broadcast"), "doc_id"
+    )
+    assert lint(plain)["broadcast_fact_scan"] == 0, (
+        "plain projected-scan broadcast is rule-6-clean (linear estimate)"
     )
 
     dim = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
