@@ -11,10 +11,13 @@ whose local-cluster wall blows past its local[32] wall by much more
 than the expected serialization overhead is moving payload a real
 cluster would feel — that is the signal this probe records.
 
-Method: per (mode, query) one FRESH process (the isolated-wall
-lesson of the r12 crossover protocol), cold + min-of-3 warm, same
+Method: per (mode, query) SPARK_GRAFT_LC_PROCS fresh processes
+(default 1; use 3 before trusting a flag — the r14 headline probe
+read q3 at 2.40x and window at 1.55x from single processes, and the
+min over 3 resolved them to 1.26x and 0.99x: process-to-process JIT
+variance, the Q3_HINT_AB lesson), each cold + min-of-3 warm, same
 corpus, same session conf. Writes one JSON line per measurement and
-a final summary with per-query local-cluster/local ratios.
+a final summary with per-query min-basis local-cluster/local ratios.
 
 Usage:
     python tools/local_cluster_probe.py                # 30x corpus
@@ -59,6 +62,16 @@ MODES = {
     "local-cluster": "local-cluster[2,16,12288]",
 }
 
+#: r14 finding: local-cluster[w,c,MEM] sizes the WORKER's resource
+#: pool only — the executor JVM still launches with the 1 GiB
+#: spark.executor.memory DEFAULT (executor stderr showed a 432 MiB
+#: MemoryStore under the "12 GiB" worker), and q3/q5 at the 300×
+#: corpus exited code 52 (JVM OOM) in heaps 12× smaller than
+#: intended. Every probe must set executor memory explicitly to the
+#: worker allocation; 11g leaves headroom for the worker's own
+#: bookkeeping inside the 12288 MiB pool.
+EXECUTOR_MEM = os.environ.get("SPARK_GRAFT_LC_EXECUTOR_MEM", "11g")
+
 
 def _worker(master: str, query: str, corpus: str) -> int:
     from pyspark.sql import SparkSession  # noqa: PLC0415
@@ -73,6 +86,8 @@ def _worker(master: str, query: str, corpus: str) -> int:
         .config("spark.driver.memory", "8g")
         .config("spark.ui.enabled", "false")
     )
+    if master.startswith("local-cluster"):
+        builder = builder.config("spark.executor.memory", EXECUTOR_MEM)
     for k, v in SESSION_CONF.items():
         builder = builder.config(k, v)
     spark = configure(builder.getOrCreate())
@@ -89,43 +104,58 @@ def _worker(master: str, query: str, corpus: str) -> int:
     return 0
 
 
+PROCS = int(os.environ.get("SPARK_GRAFT_LC_PROCS", "1"))
+
+
 def main() -> int:
     walls: dict[str, dict[str, float]] = {m: {} for m in MODES}
-    for mode, master in MODES.items():
-        for name in QUERIES:
-            proc = subprocess.run(
-                [
-                    sys.executable,
-                    os.path.abspath(__file__),
-                    "--worker",
-                    master,
-                    name,
-                    CORPUS,
-                ],
-                capture_output=True,
-                text=True,
-                cwd=REPO,
-            )
-            if proc.returncode != 0:
+    for rnd in range(PROCS):
+        for mode, master in MODES.items():
+            for name in QUERIES:
+                proc = subprocess.run(
+                    [
+                        sys.executable,
+                        os.path.abspath(__file__),
+                        "--worker",
+                        master,
+                        name,
+                        CORPUS,
+                    ],
+                    capture_output=True,
+                    text=True,
+                    cwd=REPO,
+                )
+                if proc.returncode != 0:
+                    print(
+                        json.dumps(
+                            {
+                                "mode": mode,
+                                "query": name,
+                                "round": rnd,
+                                "error": proc.stderr.strip().splitlines()[-1][:200]
+                                if proc.stderr.strip()
+                                else "worker died",
+                            }
+                        ),
+                        flush=True,
+                    )
+                    continue
+                rec = json.loads(proc.stdout.strip().splitlines()[-1])
+                prev = walls[mode].get(name)
+                walls[mode][name] = (
+                    rec["warm_s"] if prev is None else min(prev, rec["warm_s"])
+                )
                 print(
                     json.dumps(
                         {
                             "mode": mode,
                             "query": name,
-                            "error": proc.stderr.strip().splitlines()[-1][:200]
-                            if proc.stderr.strip()
-                            else "worker died",
+                            "round": rnd,
+                            "warm_s": rec["warm_s"],
                         }
                     ),
                     flush=True,
                 )
-                continue
-            rec = json.loads(proc.stdout.strip().splitlines()[-1])
-            walls[mode][name] = rec["warm_s"]
-            print(
-                json.dumps({"mode": mode, "query": name, "warm_s": rec["warm_s"]}),
-                flush=True,
-            )
     summary = {
         q: {
             "local_s": walls["local"].get(q),
