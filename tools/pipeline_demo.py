@@ -63,6 +63,29 @@ def _walk_metrics(node, out: dict) -> None:
             out["n_shuffles"] += 1
         else:
             out["n_broadcasts"] += 1
+        # Per-exchange attribution (r14): the aggregate byte total
+        # cannot distinguish the fixture-split spread() repartition
+        # (text, by design, no-op at production split counts) from a
+        # plan regression moving corpus payloads. simpleString's
+        # first line carries the partitioning + origin tag
+        # (REPARTITION_BY_NUM vs ENSURE_REQUIREMENTS) and the output
+        # columns.
+        if is_shuffle:
+            try:
+                desc = node.simpleString(8).splitlines()[0][:160]
+            except Exception:
+                desc = name
+            b = r = 0
+            it = node.metrics().keysIterator()
+            while it.hasNext():
+                k = it.next()
+                if k == "shuffleBytesWritten":
+                    b = node.metrics().apply(k).value()
+                elif k == "shuffleRecordsWritten":
+                    r = node.metrics().apply(k).value()
+            out.setdefault("exchanges", []).append(
+                {"node": desc, "bytes": int(b), "records": int(r)}
+            )
     for i in range(node.children().size()):
         _walk_metrics(node.children().apply(i), out)
 
@@ -75,7 +98,10 @@ def main() -> int:
     spark = get_spark("pipeline-demo")
     spark.sparkContext.setLogLevel("ERROR")
     rows = []
+    only = {s for s in os.environ.get("SPARK_GRAFT_DEMO_STAGES", "").split(",") if s}
     for name, desc in CHAIN:
+        if only and name not in only:
+            continue
         fn = registry.QUERIES[name]
         fn(spark, corpus).toPandas()  # cold pass: JIT + page cache
         t0 = time.perf_counter()
