@@ -99,8 +99,23 @@ FLOOR_DIR = os.environ.get("SPARK_GRAFT_FLOOR_DIR", "/root/testdata/sf0.001")
 #: totals across quiet recordings: r12 0.877 s, r11 1.156 s.
 SENTINEL_REF_S = 0.16  # quiet-box sentinel min
 SENTINEL_CONTENDED_MULT = 2.0  # both pre+post mins above 2× ref → contended
-FLOOR_REF_S = 0.88  # BENCH_r12's quiet-box fixed_floor_total
-FLOOR_CONTENDED_MULT = 1.4  # r13's contended 1.277 flags; r11's 1.156 doesn't
+#: Floor reference recalibrated r14: same-session quiet-box floors
+#: read 1.143 AND 1.278 s (sentinel clean both times), bracketing
+#: r13's "contended" 1.277 — the sf0.001 floor moves with process
+#: JIT draws as much as with load, so it CONTEXTUALIZES but cannot
+#: gate. The r12 0.877 s reference was itself a favorable draw.
+FLOOR_REF_S = 1.15  # median of r14 quiet-box same-HEAD floor draws
+FLOOR_CONTENDED_MULT = 1.5
+
+#: Per-process JIT-draw variance is the bigger lever than any of the
+#: above (r14 measurement: two quiet-box single-process headline
+#: totals at the SAME HEAD read 2.45 s and 3.16 s — a ±15% band that
+#: brackets both r12's 2.33 "good" and r13's 3.11 "regressed"
+#: recordings). min-of-9 passes inside ONE process cannot escape a
+#: slow whole-process compilation draw (the l14/q3-A/B lesson), so
+#: the default recording now takes the per-query MIN over DRAWS
+#: fresh subprocess sessions. The artifact keeps every draw's total.
+DRAWS = int(os.environ.get("SPARK_GRAFT_BENCH_DRAWS", "2"))
 
 
 def _sentinel_min(spark, passes: int = 9) -> float:
@@ -187,7 +202,67 @@ def _scale_story(spark, names: list[str]) -> dict:
     return out
 
 
+def _multi_draw() -> None:
+    """Re-exec this script DRAWS times (single-draw worker mode) and
+    merge: per-query min across draws, sentinel/floor mins, contended
+    only if EVERY draw was contended (one clean draw means the min
+    walls are trustworthy). Full-suite mode stays single-draw — its
+    regression tool (suite_diff --recheck) has its own robust
+    protocol, and doubling a ~15-minute run buys nothing."""
+    import subprocess
+
+    env = dict(os.environ, SPARK_GRAFT_BENCH_DRAWS="1")
+    draws = []
+    for _ in range(DRAWS):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            capture_output=True,
+            text=True,
+            env=env,
+        )
+        sys.stderr.write(proc.stderr)
+        line = next(
+            (ln for ln in reversed(proc.stdout.splitlines()) if ln.startswith("{")),
+            None,
+        )
+        if proc.returncode != 0 or line is None:
+            print(f"# DRAW FAILED rc={proc.returncode}", file=sys.stderr)
+            continue
+        draws.append(json.loads(line))
+    if not draws:
+        raise SystemExit("all bench draws failed")
+    merged = dict(draws[0])
+    merged["queries"] = {
+        name: min(d["queries"][name] for d in draws if name in d["queries"])
+        for name in draws[0]["queries"]
+    }
+    merged["value"] = round(sum(merged["queries"].values()), 4)
+    merged["draw_totals"] = [d["value"] for d in draws]
+    merged["contended"] = all(d.get("contended") for d in draws)
+    sentinels = [d.get("load_sentinel", {}) for d in draws]
+    if all(sentinels):
+        merged["load_sentinel"] = {
+            "pre_s": min(s["pre_s"] for s in sentinels),
+            "post_s": min(s["post_s"] for s in sentinels),
+            "ref_s": SENTINEL_REF_S,
+            "floor_ref_s": FLOOR_REF_S,
+            "sentinel_over": all(s["sentinel_over"] for s in sentinels),
+            "floor_over": all(s["floor_over"] for s in sentinels),
+        }
+    floors = [
+        d["scale"]["fixed_floor_total"]
+        for d in draws
+        if d.get("scale", {}).get("fixed_floor_total") is not None
+    ]
+    if floors and "scale" in merged:
+        merged["scale"]["fixed_floor_total"] = min(floors)
+    print(json.dumps(merged))
+
+
 def main() -> None:
+    if DRAWS > 1 and not FULL:
+        _multi_draw()
+        return
     registry.load_all()
     names = [n for n in HEADLINE if n in registry.QUERIES]
     skipped = [n for n in HEADLINE if n not in registry.QUERIES]
