@@ -177,6 +177,8 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         # staleness. Round-14 newcomers land here.
         "l79_prep_pipeline_e2e",
         "l80_ivf_index_probe",
+        "s46_merge_into",
+        "t28_three_stream_join",
     }
 )
 

@@ -2742,3 +2742,80 @@ def t27_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table("t27_stream_agg").orderBy("bucket")
+
+
+# --------------------------------------------------------------------------
+# T28 — three-stream chained join (r13 verdict "what's missing" item 3)
+# --------------------------------------------------------------------------
+
+T28_ORACLE = """
+WITH s AS (SELECT user_id, ts FROM events WHERE event_type = 'signup'),
+c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+SELECT CAST(COUNT(*) AS BIGINT)                 AS n_triples,
+       CAST(COUNT(DISTINCT s.user_id) AS BIGINT) AS n_users
+FROM s
+JOIN c ON c.user_id = s.user_id
+      AND c.ts >= s.ts AND c.ts <= s.ts + INTERVAL 24 HOUR
+JOIN p ON p.user_id = s.user_id
+      AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+"""
+
+
+@query("t28_three_stream_join", oracle=T28_ORACLE, impure=True)
+def t28_three_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T28 (beyond contract; r13 verdict "what's missing" item 3) —
+    the full funnel as a CHAINED stream-stream join: signup → click
+    (within 24 h) → purchase (within 1 h of the click), three
+    watermarked streams, two stateful join operators back to back.
+    t07/t12/t17 certified the pairwise machinery; this pins the
+    chained case, where the FIRST join's append-mode output becomes a
+    streaming input to the second and Spark must propagate the state
+    watermark through the intermediate relation (the part that has no
+    pairwise analogue — a wrong propagation either drops matches at
+    the second join or leaks its buffer forever).
+
+    Each input carries a 2-hour watermark and both joins carry
+    explicit event-time range bounds, so both state stores evict:
+    the first join keeps ≤ watermark+24 h of signups / ≤ watermark of
+    clicks, the second ≤ watermark+1 h of joined pairs / ≤ watermark
+    of purchases — bounded state at any stream length, the only
+    posture that survives an unbounded production stream.
+    availableNow over the fixed file set makes the emitted append
+    rows exactly the batch three-way theta join — the oracle."""
+    path = table_path(sf_dir, "events")
+
+    def leg(event_type: str, prefix: str) -> DataFrame:
+        return (
+            _events_stream(spark, path)
+            .filter(F.col("event_type") == event_type)
+            .select(
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", "2 hours")
+        )
+
+    signups, clicks, purchases = leg("signup", "s"), leg("click", "c"), leg("purchase", "p")
+    # The intermediate relation must carry exactly ONE event-time
+    # column into the second stateful join (Spark 4's
+    # more-than-one-event-time-column rule): s_ts has done its work
+    # in the first join's range bound, so it is dropped and c_ts
+    # alone drives the second join's state watermark.
+    funnel = signups.join(
+        clicks,
+        (F.col("c_user") == F.col("s_user"))
+        & (F.col("c_ts") >= F.col("s_ts"))
+        & (F.col("c_ts") <= F.col("s_ts") + F.expr("INTERVAL 24 HOURS")),
+    ).drop("s_ts").join(
+        purchases,
+        (F.col("p_user") == F.col("s_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    _run_to_memory(funnel, "t28_triples", "append")
+    emitted = spark.table("t28_triples")
+    return emitted.agg(
+        F.count(F.lit(1)).alias("n_triples"),
+        F.countDistinct("s_user").alias("n_users"),
+    )
