@@ -218,13 +218,20 @@ RECHECK_THIS_ROUND: frozenset[str] = frozenset(
         # round-14 rewrite that changes a certified query's Spark side
         # or oracle re-enters here.
         #
-        # r14 order fix: l02/l59's verification hv array is now
-        # computed BEFORE the candidate semi-join so the static SMJ
-        # spelling exchanges (doc_id, hv) instead of (doc_id, text)
-        # — results identical, oracles unchanged, but the Spark
-        # expression tree moved, so re-certify.
-        "l02_minhash_neardup",
-        "l59_minhash_index_probe",
+        # Round 15: rotated — CORRECTNESS_r14 re-certified the r14
+        # hv-ordering rewires (l02_minhash_neardup and
+        # l59_minhash_index_probe, both driver-green).
+        #
+        # r15 s46 fix: the r14 driver red (hash_match FALSE on a
+        # Decimal-object vs float64 representation divergence) is
+        # fixed by casting the DECIMAL(18,6) price_sum back to
+        # double+round6 per the q1_decimal house pattern, and the
+        # synthetic CDC key shifts moved from +10M/+20M literals
+        # (collide with real o_orderkeys at SF>=2) to negated keys
+        # (disjoint at every SF). Both the Spark side and the oracle
+        # changed, so the red row's auto-front placement is joined by
+        # an explicit recheck entry per convention.
+        "s46_merge_into",
     }
 )
 

@@ -2586,13 +2586,13 @@ cdc AS (
     SELECT o_orderkey AS k, 'D' AS op, CAST(NULL AS DOUBLE) AS new_price
     FROM orders WHERE o_orderkey % 10 = 3
     UNION ALL
-    SELECT o_orderkey + 20000000, 'D', CAST(NULL AS DOUBLE)
+    SELECT -o_orderkey, 'D', CAST(NULL AS DOUBLE)
     FROM orders WHERE o_orderkey % 10 = 9
     UNION ALL
     SELECT o_orderkey, 'U', ROUND(o_totalprice + 50.0, 6)
     FROM orders WHERE o_orderkey % 10 IN (1, 5)
     UNION ALL
-    SELECT o_orderkey + 10000000, 'I', ROUND(o_totalprice / 2, 6)
+    SELECT -o_orderkey, 'I', ROUND(o_totalprice / 2, 6)
     FROM orders WHERE o_orderkey % 10 = 0
 ),
 merged AS (
@@ -2617,7 +2617,7 @@ merged AS (
 SELECT action,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(SUM(k) AS BIGINT)   AS key_sum,
-       ROUND(SUM(CAST(price AS DECIMAL(18,6))), 6) AS price_sum
+       ROUND(CAST(SUM(CAST(price AS DECIMAL(18,6))) AS DOUBLE), 6) AS price_sum
 FROM merged
 WHERE action IN ('updated', 'match_skipped', 'carried', 'inserted')
 GROUP BY action
@@ -2649,8 +2649,16 @@ def s46_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     (broadcast while the CDC batch is small — AQE decides from the
     materialized batch; bucketed layouts, s09, make it shuffle-free),
     survivors written once; no per-row mutation, no driver
-    materialization. Summary sums use DECIMAL(18,6) so the order-free
-    aggregation is exact on both engines.
+    materialization. Summary sums aggregate in DECIMAL(18,6) (exact,
+    order-free) then cast back to double+round6 as the wire format —
+    the q1_pricing_summary_decimal house pattern (operators/tpch.py
+    q1 r6 cast-back); returning live DecimalType was the r14 driver
+    hash_match red (Decimal object-dtype vs the oracle's float64).
+    Synthetic CDC keys for the NOT-MATCHED insert and absent-key
+    delete clauses are NEGATED o_orderkeys: o_orderkey >= 1 at every
+    scale factor, so negative keys can never collide with real target
+    keys (the previous +10M/+20M literal shifts collided at SF>=2 and
+    silently degraded those clauses to matched rows).
     """
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     store = os.path.join(SCRATCH, f"s46_store_{tag}")
@@ -2671,7 +2679,7 @@ def s46_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(None).cast("double").alias("new_price"))
         .unionByName(
             orders.filter(k % 10 == 9).select(
-                (k + 20000000).alias("k"), F.lit("D").alias("op"),
+                (-k).alias("k"), F.lit("D").alias("op"),
                 F.lit(None).cast("double").alias("new_price"),
             )
         )
@@ -2683,7 +2691,7 @@ def s46_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(
             orders.filter(k % 10 == 0).select(
-                (k + 10000000).alias("k"), F.lit("I").alias("op"),
+                (-k).alias("k"), F.lit("I").alias("op"),
                 F.round(F.col("o_totalprice") / 2, 6).alias("new_price"),
             )
         )
@@ -2732,7 +2740,9 @@ def s46_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.sum("k").alias("key_sum"),
-            F.sum(F.col("price").cast("decimal(18,6)")).alias("price_sum"),
+            r6(
+                F.sum(F.col("price").cast("decimal(18,6)")).cast("double")
+            ).alias("price_sum"),
         )
         .orderBy("action")
     )

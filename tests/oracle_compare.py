@@ -8,8 +8,21 @@ so this only absorbs representation noise, not semantic drift.
 
 from __future__ import annotations
 
+import decimal
+
 import numpy as np
 import pandas as pd
+
+
+def _is_decimal_object(col: pd.Series) -> bool:
+    """True when an object-dtype column actually carries decimal.Decimal
+    values (live DecimalType leaking through toPandas)."""
+    if not pd.api.types.is_object_dtype(col):
+        return False
+    non_null = col.dropna()
+    return len(non_null) > 0 and all(
+        isinstance(v, decimal.Decimal) for v in non_null.head(16)
+    )
 
 
 def _canonical(df: pd.DataFrame) -> pd.DataFrame:
@@ -41,6 +54,28 @@ def assert_frames_match(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: s
     assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
         f"{name}: columns {sorted(spark_pdf.columns)} != {sorted(duck_pdf.columns)}"
     )
+    # Decimal-vs-numeric divergence check BEFORE _canonical, which
+    # stringifies object columns and would let the float branch parse
+    # them back — exactly how the s46 Decimal price_sum passed locally
+    # while the driver (which hashes the raw pandas values: Decimal
+    # objects vs float64) flagged hash_match FALSE in r14. Mirrors the
+    # int-vs-float strict-dtype rule below.
+    for c in sorted(spark_pdf.columns):
+        sv_raw, dv_raw = spark_pdf[c], duck_pdf[c]
+        s_dec, d_dec = _is_decimal_object(sv_raw), _is_decimal_object(dv_raw)
+        s_num = pd.api.types.is_numeric_dtype(sv_raw)
+        d_num = pd.api.types.is_numeric_dtype(dv_raw)
+        if (s_dec and d_num) or (d_dec and s_num):
+            side = "spark" if s_dec else "oracle"
+            raise AssertionError(
+                f"{name}: column {c!r} is object-dtype decimal.Decimal on the "
+                f"{side} side but numeric ({(dv_raw if s_dec else sv_raw).dtype}) "
+                f"on the other — the driver hashes raw values, so this is a "
+                f"driver hash FAIL. Cast the decimal aggregate back to the "
+                f"wire format: r6(F.sum(...).cast('double')) / "
+                f"ROUND(CAST(SUM(...) AS DOUBLE), 6) (q1_decimal house "
+                f"pattern, operators/tpch.py)"
+            )
     s, d = _canonical(spark_pdf), _canonical(duck_pdf)
     for c in s.columns:
         sv, dv = s[c], d[c]

@@ -703,6 +703,41 @@ def test_comparator_rejects_signed_zero_divergence():
     assert np.signbit(b["v"].to_numpy()[0])
 
 
+def test_comparator_rejects_decimal_vs_float_divergence():
+    """Driver-faithful Decimal discipline (the s46 r14 red-row class):
+    a live DecimalType column reaches toPandas as object-dtype
+    decimal.Decimal while the DuckDB oracle's ROUND(...) comes out of
+    fetchdf as float64; the driver hashes raw values so numerically
+    identical frames hash-mismatch. The old _canonical stringified
+    object columns and the float branch parsed them back — silently
+    local-green on a driver-red. Inject the exact s46 shape and
+    require a loud assertion, in both orientations."""
+    import decimal
+
+    import pandas as pd
+    import pytest as _pytest
+
+    dec = pd.DataFrame(
+        {
+            "action": ["carried", "updated"],
+            "price_sum": [
+                decimal.Decimal("2635374662.420000"),
+                decimal.Decimal("101.500000"),
+            ],
+        }
+    )
+    flt = pd.DataFrame(
+        {"action": ["carried", "updated"], "price_sum": [2635374662.42, 101.5]}
+    )
+    with _pytest.raises(AssertionError, match="decimal.Decimal"):
+        assert_frames_match(dec, flt, "injected")
+    with _pytest.raises(AssertionError, match="decimal.Decimal"):
+        assert_frames_match(flt, dec, "injected-flipped")
+    # sanity: float-vs-float of the same values still passes, and a
+    # genuinely non-numeric object column (strings) is untouched.
+    assert_frames_match(flt, flt.copy(), "matched")
+
+
 @settings(
     max_examples=10,
     deadline=None,
