@@ -90,6 +90,59 @@ def has_window_group_limit(plan: str) -> bool:
     return "WindowGroupLimit" in plan
 
 
+def shuffle_exchange_outputs(df: DataFrame) -> list[dict]:
+    """Execute ``df`` and return, per shuffle exchange in the FINAL
+    adaptive plan, the attribute names the exchange actually carries.
+
+    Why this exists (r14 ADVICE, medium): ShuffleExchangeExec's plan
+    LINE prints only the partitioning expressions and shuffle origin —
+    an exchange hash-partitioned on doc_id whose payload includes the
+    raw text column prints ``Exchange hashpartitioning(doc_id#0L,
+    200), ENSURE_REQUIREMENTS`` with no ``text#`` anywhere, so the
+    line-grep pins (l34/l37/l64/l70/l79) were vacuous for their
+    stated guarantee: they only caught exchanges partitioned BY the
+    forbidden column. The payload IS the node's ``output()`` (an
+    Exchange preserves its child's output schema); this walks the
+    executed plan JVM-side and reports it, so tests can assert the
+    forbidden column is absent from what every shuffle MOVES — the
+    claim that matters at 100 TB.
+
+    ReusedExchange nodes are skipped (payload identical to the
+    original, already reported); query-stage wrappers are descended
+    through. Returns ``[{"node": first-line, "columns": [names]}]``.
+    """
+    jplan = df._jdf.queryExecution().executedPlan()
+    jplan.executeCollect()
+    try:
+        root = jplan.finalPhysicalPlan()
+    except Exception:  # non-adaptive plan: walk it directly
+        root = jplan
+
+    out: list[dict] = []
+
+    def walk(node) -> None:
+        cls = node.getClass().getSimpleName()
+        if "QueryStage" in cls:
+            walk(node.plan())
+            return
+        if "ReusedExchange" in cls:
+            return
+        name = node.nodeName()
+        if "Exchange" in name and "Broadcast" not in name:
+            attrs = node.output()
+            cols = [attrs.apply(i).name() for i in range(attrs.size())]
+            try:
+                first = node.simpleString(8).splitlines()[0]
+            except Exception:
+                first = name
+            out.append({"node": first[:200], "columns": cols})
+        for i in range(node.children().size()):
+            walk(node.children().apply(i))
+
+    walk(root)
+    return out
+
+
 def profile(df: DataFrame) -> list[dict]:
     """Execute ``df`` and return per-operator runtime metrics.
 

@@ -175,10 +175,10 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         # additions (s45_parquet_robustness, l78_hybrid_retrieval_rrf
         # both driver-green), so they sort into the verified tier by
         # staleness. Round-14 newcomers land here.
-        "l79_prep_pipeline_e2e",
-        "l80_ivf_index_probe",
-        "s46_merge_into",
-        "t28_three_stream_join",
+        # Round 15: rotated — CORRECTNESS_r14 certified l79/l80/t28
+        # (driver-green; s46's red row re-enters via RECHECK above).
+        # Round-15 newcomers:
+        "s47_merge_snapshot_diff",
     }
 )
 

@@ -17,7 +17,40 @@ from hetnetdb_spark.plans.audit import (
     has_window_group_limit,
     scan_read_columns,
     shuffle_exchange_count,
+    shuffle_exchange_outputs,
 )
+
+
+def assert_no_exchange_carries(df, forbidden: set[str]) -> None:
+    """Assert no shuffle exchange in df's executed plan CARRIES any
+    of the forbidden columns (exact attribute-name match on the
+    exchange's output schema, walked JVM-side).
+
+    The line-grep spelling these pins used before r15 was vacuous for
+    payload claims: an Exchange's plan line prints only partitioning
+    expressions + shuffle origin, so a doc_id-partitioned exchange
+    moving raw text printed no 'text#' at all (r14 ADVICE; the r14
+    l02 static-SMJ text leak passed the grep while moving the corpus
+    through a shuffle).
+
+    One narrow exemption: exchanges with REPARTITION_BY_NUM origin.
+    That origin only arises from an explicit .repartition(n, ...) —
+    here the catalog's spread() fixture device, which re-splits the
+    single-row-group fixture scan across cores and whole-row by
+    design, with a guard that makes it a no-op once the input
+    arrives in >= defaultParallelism splits (i.e. at any production
+    layout; the r14 pipeline demo's per-exchange attribution counts
+    it separately for the same reason). Planner-inserted
+    ENSURE_REQUIREMENTS exchanges — the join/agg shuffles that DO
+    scale with the corpus — get no exemption."""
+    for ex in shuffle_exchange_outputs(df):
+        if "REPARTITION_BY_NUM" in ex["node"]:
+            continue
+        carried = forbidden & set(ex["columns"])
+        assert not carried, (
+            f"exchange carries forbidden column(s) {sorted(carried)}: "
+            f"{ex['node']} -> output {ex['columns']}"
+        )
 from tests.conftest import SF_DIR
 
 registry.load_all()
@@ -445,6 +478,12 @@ def test_l34_text_stays_out_of_shuffles(spark):
             assert "passage#" not in ln and "text#" not in ln.replace(
                 "clean_text", ""
             ), ln
+    # r15 (r14 ADVICE): the line grep above only catches exchanges
+    # partitioned BY text; assert the payload too.
+    assert_no_exchange_carries(
+        registry.QUERIES["l34_passage_dedup"](spark, SF_DIR),
+        {"text", "passage", "clean_text"},
+    )
     assert plan.count("BroadcastHashJoin") >= 2, plan
     # Both the duplicate-hash agg and the drop-position semi-join
     # must read the CACHED passage-id relation, not re-derive it
@@ -503,6 +542,10 @@ def test_l37_probe_is_broadcast_map_side(spark):
     for ln in plan.splitlines():
         if "Exchange hashpartitioning" in ln:
             assert "text#" not in ln, ln
+    # r15 (r14 ADVICE): payload check — the grep above is key-only.
+    assert_no_exchange_carries(
+        registry.QUERIES["l37_portable_bloom_probe"](spark, SF_DIR), {"text"}
+    )
 
 
 def test_l38_pagerank_iteration_shape(spark):
@@ -837,6 +880,10 @@ def test_l67_gram_exchanges_carry_hash_not_text(spark):
                 line.strip()[:160]
             )
     assert seen_gram_exchange, "expected a hash exchange on the md5 gram key"
+    # r15 (r14 ADVICE): payload check — the grep above is key-only.
+    assert_no_exchange_carries(
+        registry.QUERIES["l67_substring_dedup"](spark, SF_DIR), {"gram", "text"}
+    )
 
 
 def test_l70_band_exchanges_carry_no_shingles(spark):
@@ -854,6 +901,11 @@ def test_l70_band_exchanges_carry_no_shingles(spark):
             assert " sh#" not in line and "text#" not in line, (
                 line.strip()[:160]
             )
+    # r15 (r14 ADVICE): payload check — the grep above is key-only.
+    assert_no_exchange_carries(
+        registry.QUERIES["l70_minhash_recall_curve"](spark, SF_DIR),
+        {"sh", "shingles", "text"},
+    )
 
 
 def test_l69_ivf_probe_is_broadcast(spark):
@@ -976,6 +1028,13 @@ def test_l79_text_stays_out_of_exchanges(spark):
     for ln in plan.splitlines():
         if "Exchange hashpartitioning" in ln or "Exchange rangepartitioning" in ln:
             assert "text#" not in ln, ln
+    # r15 (r14 ADVICE): the grep above is key-only — it would have
+    # PASSED the very r13 static-SMJ text leak this test's docstring
+    # forbids. Assert the payload of every exchange in the composed
+    # chain: nothing may CARRY raw text through a shuffle.
+    assert_no_exchange_carries(
+        registry.QUERIES["l79_prep_pipeline_e2e"](spark, SF_DIR), {"text"}
+    )
 
 
 def test_l80_probe_broadcasts_bounded_sides(spark):
@@ -994,3 +1053,28 @@ def test_l80_probe_broadcasts_bounded_sides(spark):
         "BroadcastQueryStage"
     ) >= 2, plan
     assert "l80_index" in plan, "probe must scan the persisted index store"
+
+
+def test_s47_diff_reads_store_two_scans_one_join(spark):
+    """s47 (r15): the CDC read must be computed FROM THE STORE —
+    exactly two FileScans rooted in the s47 scratch store (gen1,
+    gen2), combined by ONE key-equi full outer join (sort-merge or
+    shuffled-hash; Spark cannot broadcast either side of a full
+    outer, and neither side is bounded anyway), never a cartesian
+    and never lineage back into the orders scan that built the
+    store. No driver materialization: the change relation stays a
+    distributed select over the join."""
+    plan = executed_plan(
+        registry.QUERIES["s47_merge_snapshot_diff"](spark, SF_DIR)
+    )
+    assert "CartesianProduct" not in plan, plan
+    store_scans = [
+        ln for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "s47_store_" in ln
+    ]
+    assert len(store_scans) == 2, plan
+    assert "FullOuter" in plan, plan
+    assert plan.count("FileScan parquet") == 2, (
+        "diff must read only the persisted generations, not re-derive "
+        "the merge lineage:\n" + plan
+    )

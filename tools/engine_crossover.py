@@ -235,10 +235,19 @@ def _spark_isolated_times(corpus: str, factor: int) -> dict[str, float]:
             if best is None or rec["warm_s"] < best:
                 best = rec["warm_s"]
             if rec.get("capped"):
-                # cold wall already exceeded the cap — a second
-                # process would just burn another capped cold run
                 capped = True
-                break
+                # Stop drawing only while NO process has produced an
+                # uncapped warm min. r14's l02 leg showed why the old
+                # unconditional break is wrong: proc 1 measured 71.3 s
+                # warm, proc 2's COLD run hit the 240 s cap (a cold
+                # wall — page cache + JIT, not a plan cost), and the
+                # break then suppressed proc 3 entirely, leaving a
+                # "bimodal" artifact built from one warm min and one
+                # cold draw. With an uncapped min in hand, later
+                # capped draws are recorded data (the distribution),
+                # not a reason to abandon the min-of-N protocol.
+                if all(a >= CAP_S for a in attempts):
+                    break
         if best is None:
             print(
                 json.dumps(

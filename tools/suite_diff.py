@@ -249,6 +249,7 @@ def main() -> int:
     base = base_doc["suite"]
 
     flagged, new, failed = [], [], []
+    rr_only: set[str] = set()
     for name, t in sorted(suite.items()):
         if t < 0:
             failed.append(name)
@@ -299,7 +300,14 @@ def main() -> int:
             if name not in have:
                 # Baseline for the verdict rule stays the robust-floor
                 # baseline when one exists; the RR entry is only a
-                # selection signal.
+                # selection signal — track it so that WITHOUT
+                # --recheck it cannot flip the exit code (the header
+                # contract: RR flags don't exit 1 on their own; r14
+                # ADVICE caught this path merging them straight into
+                # the exit decision). With --recheck, survivors of
+                # the robust re-measure are genuine regressions
+                # whatever their selection channel, and DO exit 1.
+                rr_only.add(name)
                 flagged.append((name, base.get(name, p), t))
 
     if recheck and flagged:
@@ -340,7 +348,17 @@ def main() -> int:
             json.dump(base_doc, f, indent=1)
             f.write("\n")
         print(f"baseline updated: robust floors over {len(merged)} queries")
-    return 1 if flagged or failed else 0
+    # Exit contract (header): without --recheck, RR-only entries are
+    # judge-view selection signals, not verdicts — only robust-floor
+    # flags and failures exit 1. After --recheck, `flagged` holds the
+    # robust survivors, which exit 1 regardless of origin.
+    gating = flagged if recheck else [f for f in flagged if f[0] not in rr_only]
+    if not recheck and len(gating) != len(flagged):
+        print(
+            f"exit: {len(flagged) - len(gating)} RR-only flag(s) excluded "
+            "from the exit code (re-run with --recheck to adjudicate them)"
+        )
+    return 1 if gating or failed else 0
 
 
 if __name__ == "__main__":
