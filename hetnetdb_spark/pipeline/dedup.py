@@ -25,6 +25,8 @@ fuzziness:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -33,6 +35,7 @@ from hetnetdb_spark.catalog import load_tables, spread
 from hetnetdb_spark.expr import dot, r6
 from hetnetdb_spark.pipeline.similarity import band_candidates, duck_dot
 from hetnetdb_spark.registry import query
+from hetnetdb_spark.scratch import SCRATCH  # per-process; see scratch.py
 
 # --------------------------------------------------------------------------
 # L1 — exact dedup (hash-groupBy, deterministic keeper)
@@ -1640,6 +1643,142 @@ def l59_minhash_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce("nm", F.lit(0)) > 0).alias("is_near_dup"),
         )
         .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# L81 — incremental MinHash index MAINTENANCE (apply a corpus CDC)
+# --------------------------------------------------------------------------
+
+#: Checksum modulus: band-key hashes are 60-bit; summing them raw
+#: overflows BIGINT at corpus scale, so each row contributes
+#: h % L81_MOD (< 1e9; sums stay far inside 2^63 at any fixture SF).
+L81_MOD = 1_000_000_007
+
+
+def _l81_oracle() -> str:
+    mh_cols = ",\n           ".join(
+        f"list_min(list_transform(sh, x -> {_mh_hash_duck(j)})) AS mh{j}"
+        for j in range(N_HASHES)
+    )
+    band_rows = "\n    UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, "
+        + " || ',' || ".join(
+            f"CAST(mh{b * ROWS_PER_BAND + r} AS VARCHAR)"
+            for r in range(ROWS_PER_BAND)
+        )
+        + " AS bucket FROM mh"
+        for b in range(N_BANDS)
+    )
+    row_hash = _mh_hash_duck(777, "bucket || '|' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH post AS (
+    SELECT doc_id, text FROM documents
+    WHERE doc_id % 10 <> 0 AND doc_id % 7 <> 3
+    UNION ALL
+    SELECT -doc_id, text FROM documents WHERE doc_id % 7 = 2
+),
+s AS (
+    SELECT doc_id, {_SHINGLE_DUCK} AS sh FROM post
+),
+mh AS (
+    SELECT doc_id,
+           {mh_cols}
+    FROM s
+),
+banded AS (
+    {band_rows}
+)
+SELECT CAST(band_id AS INTEGER)          AS band_id,
+       CAST(COUNT(*) AS BIGINT)          AS n_rows,
+       CAST(COUNT(DISTINCT bucket) AS BIGINT) AS n_buckets,
+       CAST(SUM({row_hash} % {L81_MOD}) AS BIGINT) AS checksum
+FROM banded
+GROUP BY band_id
+ORDER BY band_id
+"""
+
+
+@query("l81_index_maintenance", oracle=_l81_oracle(), impure=True)
+def l81_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L81 (r15) — the WRITE side of l59's incremental story: apply
+    a corpus CDC to the PERSISTED band-key index without touching
+    the unchanged corpus. l59 probes a (re)computed index; a
+    production corpus also churns — docs get taken down (license,
+    opt-out) and new docs arrive — and re-running the l02 backfill
+    per churn cycle is the O(corpus) cost this operator removes.
+
+    Build phase (the one-time backfill, allowed to hash everything):
+    the index corpus (doc_id % 10 != 0, l59's split) is banded
+    (shared `_banded_signatures`, 32-hash/8x4) and persisted as
+    gen1. The CDC: takedowns = index docs with doc_id % 7 == 3;
+    arrivals = every doc_id % 7 == 2 re-ingested under a fresh
+    (negated — SF-collision-free, the s46 r15 lesson) id.
+    Maintenance phase — which reads ONLY the stored gen1 and the
+    ARRIVAL docs: takedowns leave by a broadcast-able anti-join on
+    doc_id (band keys never recomputed for survivors); arrivals'
+    band keys are hashed from just the delta rows and appended;
+    the maintained index persists as gen2.
+
+    The output reads gen2 back and summarizes per band (row count,
+    distinct buckets, order-free content checksum = sum of a
+    portable 60-bit row hash mod 1e9+7), and the ORACLE computes
+    the same summary from a FULL REBUILD over the post-CDC corpus —
+    the maintenance-equals-rebuild equivalence that makes
+    incremental maintenance trustworthy (banding is per-doc
+    independent, so delete+append must commute with rebuild; this
+    pins it). Plan test: the maintenance subtree scans the stored
+    index, not a re-derivation (tests/test_plans.py).
+
+    Scale posture: maintenance cost is O(|delta| hashing + |index|
+    anti-join on ids); the anti-join shuffles (band key rows x id)
+    only when the takedown list outgrows broadcast, and a
+    (band_id, bucket)-bucketed store localizes the append. Never a
+    corpus re-hash, never N^2.
+    """
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    documents = spread(documents)  # CPU-bound hash family: see catalog.spread
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    store = os.path.join(SCRATCH, f"l81_index_{tag}")
+
+    # ---- build + persist gen1 (one-time backfill) ----
+    idx_docs = documents.filter(F.col("doc_id") % 10 != 0).select(
+        "doc_id", F.expr(_SHINGLE_SPARK).alias("sh")
+    )
+    _banded_signatures(idx_docs).write.mode("overwrite").parquet(
+        os.path.join(store, "gen1")
+    )
+
+    # ---- maintenance: stored index + delta only ----
+    takedowns = documents.filter(
+        (F.col("doc_id") % 10 != 0) & (F.col("doc_id") % 7 == 3)
+    ).select("doc_id")
+    arrivals = documents.filter(F.col("doc_id") % 7 == 2).select(
+        (-F.col("doc_id")).alias("doc_id"), "text"
+    )
+    add_keys = _banded_signatures(
+        arrivals.select("doc_id", F.expr(_SHINGLE_SPARK).alias("sh"))
+    )
+    stored = spark.read.parquet(os.path.join(store, "gen1"))
+    maintained = stored.join(takedowns, "doc_id", "left_anti").unionByName(
+        add_keys
+    )
+    maintained.write.mode("overwrite").parquet(os.path.join(store, "gen2"))
+
+    # ---- summary read from the persisted maintained index ----
+    row_hash = _mh_hash_spark(
+        777,
+        F.concat(F.col("bucket"), F.lit("|"), F.col("doc_id").cast("string")),
+    )
+    return (
+        spark.read.parquet(os.path.join(store, "gen2"))
+        .groupBy(F.col("band_id").cast("int").alias("band_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("bucket").alias("n_buckets"),
+            F.sum(row_hash % L81_MOD).alias("checksum"),
+        )
+        .orderBy("band_id")
     )
 
 

@@ -179,6 +179,8 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         # (driver-green; s46's red row re-enters via RECHECK above).
         # Round-15 newcomers:
         "s47_merge_snapshot_diff",
+        "t29_stream_cdc_merge",
+        "l81_index_maintenance",
     }
 )
 

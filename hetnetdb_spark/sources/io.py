@@ -2677,23 +2677,17 @@ def s46_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _merge_cow_store(spark: SparkSession, sf_dir: str, store: str) -> None:
-    """Build the s46 copy-on-write merge store: snapshot gen1 from
-    `orders`, apply the deterministic CDC batch with one full outer
-    join, persist survivors as gen2 tagged with their merge action.
-    Shared by s46 (merge summary) and s47 (snapshot-diff read)."""
-    (orders,) = load_tables(spark, sf_dir, "orders")
-
-    target = orders.select(
-        F.col("o_orderkey").alias("k"),
-        F.col("o_totalprice").alias("price"),
-        F.col("o_orderpriority").alias("prio"),
-        F.lit(1).alias("version"),
-    )
-    target.write.mode("overwrite").parquet(os.path.join(store, "gen1"))
-
+def merge_cdc_batch(orders: DataFrame) -> DataFrame:
+    """The deterministic CDC batch the merge family applies — shared
+    by s46 (batch MERGE), s47 (snapshot diff) and t29 (streaming
+    merge apply), and mirrored verbatim in their oracles. One op row
+    per key, key sets disjoint across op groups (matched deletes
+    k%10==3, absent deletes -k for k%10==9, updates k%10 in (1,5),
+    inserts -k for k%10==0 — negated keys cannot collide with real
+    o_orderkeys >= 1 at any SF), which is what makes the merge
+    outcome independent of how a consumer batches the feed."""
     k = F.col("o_orderkey")
-    cdc = (
+    return (
         orders.filter(k % 10 == 3)
         .select(k.alias("k"), F.lit("D").alias("op"),
                 F.lit(None).cast("double").alias("new_price"))
@@ -2716,6 +2710,24 @@ def _merge_cow_store(spark: SparkSession, sf_dir: str, store: str) -> None:
             )
         )
     )
+
+
+def _merge_cow_store(spark: SparkSession, sf_dir: str, store: str) -> None:
+    """Build the s46 copy-on-write merge store: snapshot gen1 from
+    `orders`, apply the deterministic CDC batch with one full outer
+    join, persist survivors as gen2 tagged with their merge action.
+    Shared by s46 (merge summary) and s47 (snapshot-diff read)."""
+    (orders,) = load_tables(spark, sf_dir, "orders")
+
+    target = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderpriority").alias("prio"),
+        F.lit(1).alias("version"),
+    )
+    target.write.mode("overwrite").parquet(os.path.join(store, "gen1"))
+
+    cdc = merge_cdc_batch(orders)
 
     t = spark.read.parquet(os.path.join(store, "gen1"))
     matched = F.col("prio").isNotNull()

@@ -2819,3 +2819,183 @@ def t28_three_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_triples"),
         F.countDistinct("s_user").alias("n_users"),
     )
+
+
+# --------------------------------------------------------------------------
+# T29 — streaming CDC merge apply (foreachBatch copy-on-write upsert)
+# --------------------------------------------------------------------------
+
+T29_ORACLE = """
+WITH t AS (
+    SELECT o_orderkey AS k, o_totalprice AS price,
+           o_orderpriority AS prio
+    FROM orders
+),
+cdc AS (
+    SELECT o_orderkey AS k, 'D' AS op, CAST(NULL AS DOUBLE) AS new_price
+    FROM orders WHERE o_orderkey % 10 = 3
+    UNION ALL
+    SELECT -o_orderkey, 'D', CAST(NULL AS DOUBLE)
+    FROM orders WHERE o_orderkey % 10 = 9
+    UNION ALL
+    SELECT o_orderkey, 'U', ROUND(o_totalprice + 50.0, 6)
+    FROM orders WHERE o_orderkey % 10 IN (1, 5)
+    UNION ALL
+    SELECT -o_orderkey, 'I', ROUND(o_totalprice / 2, 6)
+    FROM orders WHERE o_orderkey % 10 = 0
+),
+merged AS (
+    SELECT COALESCE(t.k, c.k) AS k,
+           CASE
+             WHEN t.k IS NOT NULL AND c.op = 'D' THEN 'deleted'
+             WHEN t.k IS NOT NULL AND c.op = 'U'
+                  AND t.prio <> '1-URGENT'       THEN 'updated'
+             WHEN t.k IS NOT NULL AND c.op = 'U' THEN 'match_skipped'
+             WHEN t.k IS NOT NULL                THEN 'carried'
+             WHEN c.op = 'I'                     THEN 'inserted'
+             ELSE 'noop_delete'
+           END AS action,
+           CASE
+             WHEN t.k IS NOT NULL AND c.op = 'U'
+                  AND t.prio <> '1-URGENT'       THEN c.new_price
+             WHEN t.k IS NOT NULL                THEN t.price
+             WHEN c.op = 'I'                     THEN c.new_price
+           END AS price
+    FROM t FULL OUTER JOIN cdc c ON t.k = c.k
+)
+SELECT action,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(k) AS BIGINT)   AS key_sum,
+       ROUND(CAST(SUM(CAST(price AS DECIMAL(18,6))) AS DOUBLE), 6) AS price_sum
+FROM merged
+WHERE action IN ('updated', 'match_skipped', 'carried', 'inserted')
+GROUP BY action
+ORDER BY action
+"""
+
+T29_FRAGMENTS = 4
+T29_FILES_PER_TRIGGER = 2
+
+
+@query("t29_stream_cdc_merge", oracle=T29_ORACLE, impure=True)
+def t29_stream_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T29 (r15) — s46's MERGE INTO applied from a STREAM: the CDC
+    feed lands as parquet files, ``readStream`` paces them with
+    ``maxFilesPerTrigger`` under availableNow (t11's back-pressure
+    shape, here 4 fragments / 2 per trigger = 2 micro-batches), and
+    a ``foreachBatch`` sink runs one copy-on-write merge per
+    micro-batch — the Delta/Iceberg "streaming upsert" deployment
+    shape (foreachBatch + MERGE is the documented pattern for
+    streaming CDC apply on every lakehouse format).
+
+    Each micro-batch merge is the s46 kernel: full outer join of
+    the CURRENT generation with the batch on the business key,
+    clause classification (conditional UPDATE, DELETE,
+    NOT-MATCHED INSERT, absent-key no-op), survivors written as the
+    NEXT generation — rows untouched by this batch carry their
+    existing action tag forward, so after the feed drains each key
+    wears the action of the one op that touched it (the CDC op
+    groups are key-disjoint — merge_cdc_batch in sources/io.py —
+    which is precisely why the final store state is independent of
+    how the feed is batched). The oracle is therefore the BATCH
+    merge summary (s46's), asserting the streaming-apply/batch-merge
+    convergence contract the same way t01 asserts tumbling parity.
+
+    Scale posture: per micro-batch ONE key-equi join (broadcast
+    while the batch is small — AQE decides; bucketed gen layouts
+    make it shuffle-free) and one survivors write; state lives in
+    the store generations, not the streaming state manager, so
+    checkpoint size is O(file offsets). The generation chain is the
+    time-travel record s13/s21/s47 read.
+    """
+    import shutil
+
+    from hetnetdb_spark.sources.io import merge_cdc_batch
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    land = os.path.join(SCRATCH, f"t29_cdc_{tag}")
+    store = os.path.join(SCRATCH, f"t29_store_{tag}")
+    for p in (land, store):
+        shutil.rmtree(p, ignore_errors=True)
+
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderpriority").alias("prio"),
+        F.lit("carried").alias("action"),
+    ).write.mode("overwrite").parquet(os.path.join(store, "gen0"))
+
+    merge_cdc_batch(orders).repartition(T29_FRAGMENTS).write.mode(
+        "overwrite"
+    ).parquet(land)
+
+    schema = spark.read.parquet(land).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", T29_FILES_PER_TRIGGER)
+        .parquet(land)
+    )
+
+    gen = {"n": 0}
+
+    def apply_batch(bdf: DataFrame, _bid: int) -> None:
+        cur = spark.read.parquet(os.path.join(store, f"gen{gen['n']}"))
+        j = cur.join(bdf, "k", "full_outer")
+        # Presence flag is the store's own action tag (never null for
+        # present rows) — NOT prio, which is null for rows inserted
+        # by an earlier micro-batch.
+        matched = F.col("action").isNotNull()
+        is_u = F.col("op") == "U"
+        action = (
+            F.when(matched & (F.col("op") == "D"), "deleted")
+            .when(matched & is_u & (F.col("prio") != "1-URGENT"), "updated")
+            .when(matched & is_u, "match_skipped")
+            .when(matched, F.col("action"))
+            .when(F.col("op") == "I", "inserted")
+            .otherwise("noop_delete")
+        )
+        price = (
+            F.when(
+                matched & is_u & (F.col("prio") != "1-URGENT"),
+                F.col("new_price"),
+            )
+            .when(matched, F.col("price"))
+            .when(F.col("op") == "I", F.col("new_price"))
+        )
+        nxt = (
+            j.select(
+                "k",
+                action.alias("action"),
+                price.alias("price"),
+                "prio",
+            )
+            .filter(~F.col("action").isin("deleted", "noop_delete"))
+        )
+        nxt.write.mode("overwrite").parquet(
+            os.path.join(store, f"gen{gen['n'] + 1}")
+        )
+        gen["n"] += 1
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", os.path.join(store, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    from hetnetdb_spark.expr import r6
+
+    return (
+        spark.read.parquet(os.path.join(store, f"gen{gen['n']}"))
+        .groupBy("action")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("k").alias("key_sum"),
+            r6(
+                F.sum(F.col("price").cast("decimal(18,6)")).cast("double")
+            ).alias("price_sum"),
+        )
+        .orderBy("action")
+    )
