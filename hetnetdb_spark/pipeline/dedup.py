@@ -1699,6 +1699,28 @@ ORDER BY band_id
 """
 
 
+def _l81_maintained(
+    spark: SparkSession, documents: DataFrame, store: str
+) -> DataFrame:
+    """The l81 maintenance subtree, factored so the plan test can pin
+    its shape directly: takedowns leave the STORED gen1 band keys by
+    an id anti-join; arrivals' band keys are hashed from the delta
+    rows only. Exactly two parquet scans — the stored index and the
+    documents scan the arrival filter prunes — never a corpus-wide
+    re-hash (tests/test_plans.py::test_l81_maintenance_reads_store)."""
+    takedowns = documents.filter(
+        (F.col("doc_id") % 10 != 0) & (F.col("doc_id") % 7 == 3)
+    ).select("doc_id")
+    arrivals = documents.filter(F.col("doc_id") % 7 == 2).select(
+        (-F.col("doc_id")).alias("doc_id"), "text"
+    )
+    add_keys = _banded_signatures(
+        arrivals.select("doc_id", F.expr(_SHINGLE_SPARK).alias("sh"))
+    )
+    stored = spark.read.parquet(os.path.join(store, "gen1"))
+    return stored.join(takedowns, "doc_id", "left_anti").unionByName(add_keys)
+
+
 @query("l81_index_maintenance", oracle=_l81_oracle(), impure=True)
 def l81_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L81 (r15) — the WRITE side of l59's incremental story: apply
@@ -1750,19 +1772,7 @@ def l81_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # ---- maintenance: stored index + delta only ----
-    takedowns = documents.filter(
-        (F.col("doc_id") % 10 != 0) & (F.col("doc_id") % 7 == 3)
-    ).select("doc_id")
-    arrivals = documents.filter(F.col("doc_id") % 7 == 2).select(
-        (-F.col("doc_id")).alias("doc_id"), "text"
-    )
-    add_keys = _banded_signatures(
-        arrivals.select("doc_id", F.expr(_SHINGLE_SPARK).alias("sh"))
-    )
-    stored = spark.read.parquet(os.path.join(store, "gen1"))
-    maintained = stored.join(takedowns, "doc_id", "left_anti").unionByName(
-        add_keys
-    )
+    maintained = _l81_maintained(spark, documents, store)
     maintained.write.mode("overwrite").parquet(os.path.join(store, "gen2"))
 
     # ---- summary read from the persisted maintained index ----

@@ -2121,8 +2121,25 @@ def l80_ivf_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_rank = Window.partitionBy("q_id").orderBy(
         F.col("cosine").desc(), F.col("nn_id")
     )
+    # Shard selection (r15, r14 verdict item 8): the router KNOWS its
+    # probed cluster ids — a set bounded by N_CENTROIDS (8) by
+    # construction, not by data — so push them into the store scan as
+    # a STATIC partition filter. Spark's DPP planned only a degenerate
+    # dynamicpruningexpression(true) here (measured: the broadcast-
+    # reuse path never materialized a pruning filter), and a serving
+    # deployment routes to shards client-side anyway: this is the
+    # inverted-list read pattern, the probe scans ONLY the
+    # cluster=<probed> directories (PartitionFilters + files-read
+    # pinned in tests/test_plans.py). The checkpoint materializes the
+    # (batch × nprobe) probe list once for both the router fetch and
+    # the join build side.
+    probes = probes.localCheckpoint(eager=True)
+    probed_clusters = sorted(
+        probes.agg(F.collect_set("cluster").alias("cs")).first()["cs"]
+    )
     return (
-        idx_s.join(F.broadcast(probes), "cluster")
+        idx_s.filter(F.col("cluster").isin(probed_clusters))
+        .join(F.broadcast(probes), "cluster")
         .select(
             "q_id",
             "nn_id",

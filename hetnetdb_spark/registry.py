@@ -234,6 +234,13 @@ RECHECK_THIS_ROUND: frozenset[str] = frozenset(
         # changed, so the red row's auto-front placement is joined by
         # an explicit recheck entry per convention.
         "s46_merge_into",
+        # r15 l80 probe rewire: shard selection is now a static
+        # partition filter (router collects its <=N_CENTROIDS probed
+        # cluster ids and pushes cluster IN (...) into the store
+        # scan; measured: DPP only ever planned
+        # dynamicpruningexpression(true) here). Results identical,
+        # oracle unchanged, Spark expression tree moved — re-certify.
+        "l80_ivf_index_probe",
     }
 )
 
