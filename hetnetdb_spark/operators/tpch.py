@@ -48,6 +48,27 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
+def _sorted_small(df: DataFrame, *cols) -> DataFrame:
+    """Global ORDER BY for a provably BOUNDED-cardinality result.
+
+    ``orderBy`` on an unlimited result plans a rangepartitioning
+    Exchange, and building its range bounds runs a separate sampling
+    pass over the input — one extra job + AQE stage per execution.
+    For results bounded by group-key cardinality (q1: ≤16
+    returnflag×linestatus groups, q5: 25 nations) that machinery
+    sorts a handful of rows. ``coalesce(1)`` merges the final-agg
+    partitions without an exchange (AQE already coalesces these
+    KB-sized aggregates to one partition anyway) and the sort runs
+    in-partition — same rows, same global order, one fewer exchange
+    and no sampling job. Measured at sf0.1 (min-of-9, same session):
+    q5 0.3586 s → 0.3166 s; a 25-row orderBy probe isolates the
+    range-sort tax at ~60 ms/execution. Scale-safe by construction:
+    only bounded outputs may use this helper — an unbounded result
+    would serialize its sort on one core.
+    """
+    return df.coalesce(1).sortWithinPartitions(*cols)
+
+
 def _micros(c: "F.Column") -> "F.Column":
     """Exact integer micro-units of a ≤6dp money expression.
 
@@ -151,7 +172,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(overflow.cast("double"))
         )
 
-    return agg.select(
+    out = agg.select(
         "l_returnflag",
         "l_linestatus",
         r6(F.col("_sq")).alias("sum_qty"),
@@ -165,7 +186,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.col("_sd") / F.col("count_order")).alias("avg_disc"),
         r6(F.col("_sqd")).alias("sum_qty_discounted"),
         "count_order",
-    ).orderBy("l_returnflag", "l_linestatus")
+    )
+    return _sorted_small(out, "l_returnflag", "l_linestatus")
 
 
 @query("q1_pricing_summary_decimal", oracle=Q1_ORACLE)
@@ -200,7 +222,7 @@ def q1_pricing_summary_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("count_order"),
         )
     )
-    return agg.select(
+    out = agg.select(
         "l_returnflag",
         "l_linestatus",
         r6(F.col("_sq")).alias("sum_qty"),
@@ -212,7 +234,8 @@ def q1_pricing_summary_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.col("_sd") / F.col("count_order")).alias("avg_disc"),
         r6(F.col("_sqd")).alias("sum_qty_discounted"),
         "count_order",
-    ).orderBy("l_returnflag", "l_linestatus")
+    )
+    return _sorted_small(out, "l_returnflag", "l_linestatus")
 
 
 Q3_ORACLE = """
@@ -294,7 +317,7 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
     )
-    return (
+    joined = (
         lineitem.join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(
@@ -306,8 +329,8 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
         .agg(r6(F.sum(revenue())).alias("revenue"))
-        .orderBy(F.col("revenue").desc(), "n_name")
     )
+    return _sorted_small(joined, F.col("revenue").desc(), "n_name")
 
 
 Q10_ORACLE = """

@@ -266,14 +266,40 @@ def window_top3_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
     (WindowGroupLimit pushes rn<=3 below the sort), so no partition
     ever materializes more than k rows per key past the shuffle.
     Output bounded to the first 100 (custkey, rank) rows for a
-    stable cross-engine result set."""
+    stable cross-engine result set.
+
+    Limit pushdown THROUGH the window (r15 optimization, guide
+    §2.3/§2.4 "shuffle fewer bytes / remove shuffles outright"):
+    the final ORDER BY (o_custkey, order_rank) LIMIT 100 means every
+    output row's custkey lies among the 100 SMALLEST DISTINCT
+    custkeys in orders — each distinct custkey contributes at least
+    one ranked row (rn=1 always exists), so by the 100th output row
+    at most 100 distinct custkeys have been consumed. Ranks within
+    a custkey are unaffected by dropping other custkeys' rows.
+    The plan therefore (1) computes those ≤100 keys from a
+    single-column scan (partial-distinct map side, one exchange of
+    distinct keys only), then (2) broadcast-joins them back onto
+    orders, so the window's exchange+sort sees ~100 customers'
+    orders instead of the full table. Before: the whole orders
+    table (45M rows at the 300× corpus, ~1.1 GB) crossed the
+    custkey exchange and was sorted for a 100-row result; after:
+    the wide exchange disappears, the only full-table work is two
+    column-pruned scans and a map-side distinct. Measured at 300×
+    (fresh-process min-of-3): 5.03 s → see OPTIMIZATION_r15.md;
+    value-identical vs the unchanged oracle at sf0.001/0.01/0.1."""
     (orders,) = load_tables(spark, sf_dir, "orders")
-    orders = _parallel_by(spark, orders, "o_custkey")
+    need = orders.select("o_custkey", "o_orderkey", "o_totalprice")
+    # ≤100 rows forever (LIMIT 100 on ≥1-row-per-key output) — the
+    # broadcast is bounded by the query's own limit, not the corpus.
+    top_keys = (
+        need.select("o_custkey").distinct().orderBy("o_custkey").limit(100)
+    )
+    pruned = need.join(F.broadcast(top_keys), "o_custkey")
     w = Window.partitionBy("o_custkey").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey")
     )
     return (
-        orders.withColumn("rn", F.row_number().over(w))
+        pruned.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select(
             "o_custkey",

@@ -79,6 +79,23 @@ def test_q1_filter_pushed_and_columns_pruned(plans):
     )
 
 
+def test_q1_single_shuffle_no_range_sort(plans):
+    """r15: the final ORDER BY of the ≤16-group result must NOT plan
+    a rangepartitioning exchange (whose range-bound sampling is a
+    separate job per execution) — the bounded result is coalesced
+    and sorted in-partition, leaving the group-by exchange as q1's
+    only shuffle."""
+    plan = plans["q1_pricing_summary"]
+    assert shuffle_exchange_count(plan) == 1, plan
+    assert "rangepartitioning" not in plan, plan
+
+
+def test_q5_no_range_sort(spark):
+    """r15: same bounded-result rule for q5's 25-nation ORDER BY."""
+    plan = executed_plan(registry.QUERIES["q5_local_supplier"](spark, SF_DIR))
+    assert "rangepartitioning" not in plan, plan
+
+
 def test_q3_filters_pushed_before_joins(plans):
     plan = plans["q3_shipping_priority"]
     assert has_pushed_filter(plan, "c_mktsegment"), "segment filter must reach customer scan"
@@ -102,6 +119,27 @@ def test_window_top3_limits_below_shuffle(plans):
     assert has_window_group_limit(plan), (
         "per-group top-k must push a WindowGroupLimit below the exchange"
     )
+
+
+def test_window_top3_limit_pushed_through_window(plans):
+    """r15: ORDER BY (custkey, rank) LIMIT 100 implies every output
+    row's custkey is among the 100 smallest distinct custkeys (each
+    key yields ≥1 ranked row), so the window must run on a
+    prefiltered orders table: a broadcast of the ≤100-key relation
+    (itself a TakeOrderedAndProject over a distinct aggregate)
+    joined onto the scan, a PARTIAL WindowGroupLimit before the
+    custkey exchange, and no full-table exchange anywhere. Before
+    r15 the whole orders table (45M rows at 300×) crossed the window
+    exchange for this 100-row result; after, only ~100 customers'
+    orders do (300× fresh-process walls 5.03–6.13 s → 1.03–1.14 s)."""
+    plan = plans["window_top3_orders_per_cust"]
+    assert "BroadcastExchange" in plan, plan
+    assert "Partial" in plan and "WindowGroupLimit" in plan, plan
+    # both the key subquery's distinct agg and the window repartition
+    # survive; what must be GONE is any full-width orders exchange —
+    # every shuffle now carries either bare custkeys (distinct agg)
+    # or the ≤300 prefiltered rows.
+    assert shuffle_exchange_count(plan) <= 2, plan
 
 
 def test_docs_token_counts_partial_agg_and_pruning(plans):
