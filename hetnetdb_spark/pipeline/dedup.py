@@ -26,6 +26,8 @@ fuzziness:
 from __future__ import annotations
 
 import os
+from functools import reduce
+from operator import or_
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -738,17 +740,54 @@ def l71_simhash_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(l02) certified by this audit at fixture scale"
         )
     documents = spread(documents)  # CPU-bound hash family: see catalog.spread
-    fps, pairs = _simhash_fps_and_pairs(documents)
+    fps, _ = _simhash_fps_and_pairs(documents)
 
+    # Join-free recovery test (r15 optimization). Before r15 this
+    # query materialized the banded candidate-PAIR relation
+    # (explode → self-join → dropDuplicates) and LEFT-JOINED 4M truth
+    # pairs against 2.7M candidates on (a_id, b_id) — and that join,
+    # not the N² popcount, owned the wall (decomposed at sf0.1:
+    # truth-BNLJ 0.94 s; truth+left-SMJ 8.77 s noop). But banding
+    # membership is a PER-ROW predicate on the two signatures the
+    # truth pair already carries: (a, b) is a candidate iff SOME of
+    # the 4 operator bands are bit-equal — exactly the band-equality
+    # condition `_simhash_fps_and_pairs`' join produces pairs from
+    # (dropDuplicates only collapses multi-band hits, which
+    # membership doesn't care about). So `hit` is an OR of 4
+    # shift/mask compares in the same codegen pass that computes the
+    # hamming distance: no banding explode, no pair self-join, no
+    # left join. Measured at sf0.1: 7.78 s → 0.9 s (fresh
+    # QueryExecution per pass); oracle (which keeps the relational
+    # cand-CTE spelling) re-verified identical at all three SFs —
+    # the equivalence is definitional, and the driver's hash compare
+    # re-checks it every round.
     fa = fps.select(F.col("doc_id").alias("a_id"), F.col("simhash").alias("sa"))
     fb = fps.select(F.col("doc_id").alias("b_id"), F.col("simhash").alias("sb"))
     hd = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    band_mask = (1 << BITS_PER_SIMHASH_BAND) - 1
+
+    def _band(col: "F.Column", b: int) -> "F.Column":
+        return F.shiftrightunsigned(col, b * BITS_PER_SIMHASH_BAND).bitwiseAND(
+            F.lit(band_mask)
+        )
+
+    shares_band = reduce(
+        or_,
+        [
+            _band(F.col("sa"), b) == _band(F.col("sb"), b)
+            for b in range(SIMHASH_BANDS)
+        ],
+    )
     truth = (
         fa.join(F.broadcast(fb), F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", hd.alias("hd"))
+        .select(
+            "a_id",
+            "b_id",
+            hd.alias("hd"),
+            shares_band.cast("int").alias("hit"),
+        )
         .filter(F.col("hd") <= MAX_HAMMING)
     )
-    cand = pairs.select("a_id", "b_id").withColumn("hit", F.lit(1))
 
     bucket = (
         F.when(F.col("hd") <= 3, "0-3")
@@ -757,17 +796,11 @@ def l71_simhash_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("hd_bucket")
     )
     return (
-        truth.join(cand, ["a_id", "b_id"], "left")
-        .groupBy(bucket)
+        truth.groupBy(bucket)
         .agg(
             F.count(F.lit(1)).alias("n_true_pairs"),
-            F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias(
-                "n_recovered"
-            ),
-            r6(
-                F.sum(F.coalesce("hit", F.lit(0))) * F.lit(1.0)
-                / F.count(F.lit(1))
-            ).alias("recall"),
+            F.sum("hit").cast("bigint").alias("n_recovered"),
+            r6(F.sum("hit") * F.lit(1.0) / F.count(F.lit(1))).alias("recall"),
         )
     )
 

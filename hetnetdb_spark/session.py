@@ -42,6 +42,18 @@ SESSION_CONF: dict[str, str] = {
     # 1.5 s at 8–16 MB), mid-size build sides are cheaper to shuffle.
     # A threshold, not a pin: bounded dims still broadcast; planner
     # estimates beyond it (a TB-scale customer) shuffle-join safely.
+    # Runtime Bloom-filter join pre-filtering (SPARK-32268) was
+    # A/B'd in r15 for q3's orders→lineitem join at the 300× corpus
+    # and deliberately left at Spark defaults: with the filter
+    # verified FIRING (creationSideThreshold=1GB +
+    # applicationSideScanSizeThreshold=100MB; might_contain in every
+    # treated plan), interleaved fresh-process warm min-of-3 read
+    # 15.05/12.27/12.34 s vs 9.66/14.52/14.62 s untreated — the
+    # 22M-key filter build costs what the pruned lineitem shuffle
+    # saves at this scale. (An earlier draft A/B that moved only
+    # creationSideThreshold showed a phantom 30% win — the filter
+    # never fired; OPTIMIZATION_r15.md records the lesson: verify
+    # the treatment in the plan before believing an A/B.)
     "spark.sql.autoBroadcastJoinThreshold": "16MB",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # events.ts is TIMESTAMP(NANOS) parquet. Spark 4.0 honors this

@@ -1221,3 +1221,79 @@ def test_l81_maintenance_reads_store_not_rederivation(spark):
         ln.split("]")[0].count(",") == 0 and "doc_id" in ln.split("]")[0]
         for ln in doc_scans
     ), "takedown scan must prune to doc_id:\n" + "\n".join(doc_scans)
+
+
+def test_l71_recovery_is_join_free(spark):
+    """r15: l71's banding-recovery test is computed per-row from the
+    two signatures the truth pair already carries (an OR of 4
+    shift/mask band compares), NOT by left-joining the banded
+    candidate-pair relation — that join, not the N² popcount, owned
+    the wall (sf0.1 decomposition: truth-BNLJ 0.94 s vs truth+left-
+    join 8.77 s; full query 7.78 s → 0.72 s after). The plan must
+    contain exactly one join (the fenced all-pairs nested loop) and
+    no banding explode/self-join/sort-merge anywhere."""
+    plan = executed_plan(registry.QUERIES["l71_simhash_recall_curve"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    # exactly the one truth join — no candidate-pair join survives
+    n_joins = sum(plan.count(j) for j in
+                  ("BroadcastNestedLoopJoin", "BroadcastHashJoin"))
+    assert n_joins == 1, plan
+
+
+def test_l71_hit_equals_banding_membership(spark):
+    """r15 equivalence pin for the join-free rewrite: for every
+    truth pair, the arithmetic `hit` (OR of 4 band-equality
+    compares) must equal membership in the banded candidate-pair
+    relation `_simhash_fps_and_pairs` produces — the definitional
+    identity the rewrite rests on, checked end-to-end on the real
+    fixture corpus."""
+    from pyspark.sql import functions as F
+
+    from hetnetdb_spark.catalog import load_tables, spread
+    from hetnetdb_spark.pipeline.dedup import (
+        MAX_HAMMING,
+        _simhash_fps_and_pairs,
+    )
+
+    (documents,) = load_tables(spark, SF_DIR, "documents")
+    fps, pairs = _simhash_fps_and_pairs(spread(documents))
+    fa = fps.select(F.col("doc_id").alias("a_id"), F.col("simhash").alias("sa"))
+    fb = fps.select(F.col("doc_id").alias("b_id"), F.col("simhash").alias("sb"))
+    hd = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    truth = (
+        fa.join(F.broadcast(fb), F.col("a_id") < F.col("b_id"))
+        .withColumn("hd", hd)
+        .filter(F.col("hd") <= MAX_HAMMING)
+    )
+    joined = truth.join(
+        pairs.select("a_id", "b_id").withColumn("member", F.lit(1)),
+        ["a_id", "b_id"],
+        "left",
+    )
+    from hetnetdb_spark.pipeline.dedup import (
+        BITS_PER_SIMHASH_BAND,
+        SIMHASH_BANDS,
+    )
+    mask = (1 << BITS_PER_SIMHASH_BAND) - 1
+    shares = None
+    for b in range(SIMHASH_BANDS):
+        eq = (
+            F.shiftrightunsigned(F.col("sa"), b * BITS_PER_SIMHASH_BAND).bitwiseAND(F.lit(mask))
+            == F.shiftrightunsigned(F.col("sb"), b * BITS_PER_SIMHASH_BAND).bitwiseAND(F.lit(mask))
+        )
+        shares = eq if shares is None else (shares | eq)
+    mismatches = joined.filter(
+        shares.cast("int") != F.coalesce(F.col("member"), F.lit(0))
+    ).count()
+    assert mismatches == 0
+
+
+def test_s17_profile_has_no_expand(spark):
+    """r15: the per-column UNION spelling must keep the Expand-based
+    multi-distinct aggregate out of the plan (6×N narrow rows
+    instead of 7×N wide expanded rows; 2.11 s → 1.07 s at sf0.1)."""
+    plan = executed_plan(registry.QUERIES["s17_table_profile"](spark, SF_DIR))
+    assert "Expand" not in plan, plan
+    assert plan.count("Union") >= 1, plan
