@@ -48,7 +48,15 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
-def _sorted_small(df: DataFrame, *cols) -> DataFrame:
+#: Ceiling on the cardinality proof callers must state to use
+#: _sorted_small. Large enough for any bounded-by-key-domain result
+#: (q1: 16, q5: 25), small enough that a misuse on an unbounded
+#: result cannot be argued past review: sorting this many rows on
+#: one core is still microseconds.
+_SORTED_SMALL_MAX_BOUND = 10_000
+
+
+def _sorted_small(df: DataFrame, *cols, bound: int) -> DataFrame:
     """Global ORDER BY for a provably BOUNDED-cardinality result.
 
     ``orderBy`` on an unlimited result plans a rangepartitioning
@@ -65,7 +73,18 @@ def _sorted_small(df: DataFrame, *cols) -> DataFrame:
     range-sort tax at ~60 ms/execution. Scale-safe by construction:
     only bounded outputs may use this helper — an unbounded result
     would serialize its sort on one core.
+
+    ``bound`` (r16, per ADVICE r15) is the caller's stated
+    cardinality proof — the data-independent maximum row count of
+    ``df`` (group-key domain size, LIMIT value, ...). It is asserted
+    against a hard ceiling so a future caller on an unbounded result
+    fails at import/review time instead of silently serializing a
+    big sort onto one core.
     """
+    assert 0 < bound <= _SORTED_SMALL_MAX_BOUND, (
+        f"_sorted_small requires a bounded result (stated bound {bound}; "
+        f"ceiling {_SORTED_SMALL_MAX_BOUND}); use orderBy for unbounded"
+    )
     return df.coalesce(1).sortWithinPartitions(*cols)
 
 
@@ -187,7 +206,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.col("_sqd")).alias("sum_qty_discounted"),
         "count_order",
     )
-    return _sorted_small(out, "l_returnflag", "l_linestatus")
+    return _sorted_small(out, "l_returnflag", "l_linestatus", bound=16)
 
 
 @query("q1_pricing_summary_decimal", oracle=Q1_ORACLE)
@@ -235,7 +254,7 @@ def q1_pricing_summary_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.col("_sqd")).alias("sum_qty_discounted"),
         "count_order",
     )
-    return _sorted_small(out, "l_returnflag", "l_linestatus")
+    return _sorted_small(out, "l_returnflag", "l_linestatus", bound=16)
 
 
 Q3_ORACLE = """
@@ -330,7 +349,7 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(r6(F.sum(revenue())).alias("revenue"))
     )
-    return _sorted_small(joined, F.col("revenue").desc(), "n_name")
+    return _sorted_small(joined, F.col("revenue").desc(), "n_name", bound=25)
 
 
 Q10_ORACLE = """

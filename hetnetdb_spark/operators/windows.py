@@ -286,7 +286,18 @@ def window_top3_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
     the wide exchange disappears, the only full-table work is two
     column-pruned scans and a map-side distinct. Measured at 300×
     (fresh-process min-of-3): 5.03 s → see OPTIMIZATION_r15.md;
-    value-identical vs the unchanged oracle at sf0.001/0.01/0.1."""
+    value-identical vs the unchanged oracle at sf0.001/0.01/0.1.
+
+    PRECONDITION (r16, per ADVICE r15): the rewrite assumes
+    ``o_custkey`` is NON-NULL. The inner join on o_custkey drops
+    NULL-custkey rows, whereas the pre-rewrite window would have
+    ranked them as their own partition (Spark partitionBy groups
+    NULLs together) and ascending sort puts NULL first — so a NULL
+    key, if present, would belong in the output and the plans would
+    diverge. The fixture schema writes o_custkey from a non-null
+    generator and tests/test_plans.py pins zero NULL custkeys on
+    every fixture SF so a future data change surfaces here instead
+    of as a silent row drop."""
     (orders,) = load_tables(spark, sf_dir, "orders")
     need = orders.select("o_custkey", "o_orderkey", "o_totalprice")
     # ≤100 rows forever (LIMIT 100 on ≥1-row-per-key output) — the

@@ -756,8 +756,10 @@ def l71_simhash_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # membership doesn't care about). So `hit` is an OR of 4
     # shift/mask compares in the same codegen pass that computes the
     # hamming distance: no banding explode, no pair self-join, no
-    # left join. Measured at sf0.1: 7.78 s → 0.9 s (fresh
-    # QueryExecution per pass); oracle (which keeps the relational
+    # left join. Measured at sf0.1: 7.78 s → 0.72 s (fresh
+    # QueryExecution per pass, min-of-5 — the same protocol and
+    # number as test_l71_recovery_is_join_free's docstring; a single
+    # same-session pass reads ~0.9 s); oracle (which keeps the relational
     # cand-CTE spelling) re-verified identical at all three SFs —
     # the equivalence is definitional, and the driver's hash compare
     # re-checks it every round.

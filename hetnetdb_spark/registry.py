@@ -176,11 +176,12 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         # both driver-green), so they sort into the verified tier by
         # staleness. Round-14 newcomers land here.
         # Round 15: rotated — CORRECTNESS_r14 certified l79/l80/t28
-        # (driver-green; s46's red row re-enters via RECHECK above).
-        # Round-15 newcomers:
-        "s47_merge_snapshot_diff",
-        "t29_stream_cdc_merge",
-        "l81_index_maintenance",
+        # (driver-green; s46's red row re-entered via RECHECK).
+        # Round 16: rotated — CORRECTNESS_r15 certified the round-15
+        # newcomers (s47_merge_snapshot_diff, t29_stream_cdc_merge,
+        # l81_index_maintenance, all driver-green), so they sort into
+        # the verified tier by staleness. No round-16 newcomers: this
+        # is an optimization round, no new features.
     }
 )
 
@@ -224,23 +225,23 @@ RECHECK_THIS_ROUND: frozenset[str] = frozenset(
         # hv-ordering rewires (l02_minhash_neardup and
         # l59_minhash_index_probe, both driver-green).
         #
-        # r15 s46 fix: the r14 driver red (hash_match FALSE on a
-        # Decimal-object vs float64 representation divergence) is
-        # fixed by casting the DECIMAL(18,6) price_sum back to
-        # double+round6 per the q1_decimal house pattern, and the
-        # synthetic CDC key shifts moved from +10M/+20M literals
-        # (collide with real o_orderkeys at SF>=2) to negated keys
-        # (disjoint at every SF). Both the Spark side and the oracle
-        # changed, so the red row's auto-front placement is joined by
-        # an explicit recheck entry per convention.
-        "s46_merge_into",
-        # r15 l80 probe rewire: shard selection is now a static
-        # partition filter (router collects its <=N_CENTROIDS probed
-        # cluster ids and pushes cluster IN (...) into the store
-        # scan; measured: DPP only ever planned
-        # dynamicpruningexpression(true) here). Results identical,
-        # oracle unchanged, Spark expression tree moved — re-certify.
-        "l80_ivf_index_probe",
+        # Round 16: rotated — CORRECTNESS_r15 re-certified the r15
+        # entries (s46_merge_into and l80_ivf_index_probe, both
+        # driver-green, hash_match true).
+        #
+        # r16 entries, per the r15 verdict's "close the certification
+        # gap": the five r15 optimizer rewrites changed each query's
+        # Spark expression tree (oracles unchanged, 334/334 local
+        # sweeps green at sf0.001 and sf0.01) but none landed in the
+        # r15 driver sample, so the driver has never certified the
+        # rewritten plans. Re-enter them per the standing convention
+        # that any rewrite of a certified query's Spark side re-enters
+        # here:
+        "q1_pricing_summary",          # r15 §2: _sorted_small (no rangepartitioning)
+        "q1_pricing_summary_decimal",  # r15 §2: same helper
+        "q5_local_supplier",           # r15 §2: same helper
+        "window_top3_orders_per_cust", # r15 §1: LIMIT pushed through window
+        "s17_table_profile",           # r15 §4: per-column union, no Expand
     }
 )
 

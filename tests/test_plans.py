@@ -142,6 +142,23 @@ def test_window_top3_limit_pushed_through_window(plans):
     assert shuffle_exchange_count(plan) <= 2, plan
 
 
+def test_window_top3_custkey_nonnull_precondition(spark):
+    """r16 (ADVICE r15): the limit-through-window rewrite inner-joins
+    on o_custkey, which drops NULL-custkey rows; the original window
+    would have ranked them as their own (first-sorted) partition.
+    The equivalence therefore REQUIRES o_custkey non-null. Pin that
+    property on the fixture so a future data change fails loudly
+    here instead of silently dropping output rows."""
+    from hetnetdb_spark.catalog import load_tables
+
+    (orders,) = load_tables(spark, SF_DIR, "orders")
+    n_null = orders.filter("o_custkey IS NULL").count()
+    assert n_null == 0, (
+        f"{n_null} NULL o_custkey rows: the window_top3 limit-pushdown "
+        "precondition no longer holds — revisit windows.py"
+    )
+
+
 def test_docs_token_counts_partial_agg_and_pruning(plans):
     plan = plans["docs_token_counts"]
     assert shuffle_exchange_count(plan) == 1

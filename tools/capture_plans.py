@@ -3,11 +3,12 @@
 Usage:
     python tools/capture_plans.py <suffix> [query ...]
 
-Writes plans/r15/<query>_<suffix>.txt for each query (default: the
-bench HEADLINE set). Explain only — nothing is executed, so this is
-safe to run while other jobs own the box. The round's optimization
-deliverable: the judge checks plan claims in OPTIMIZATION_r15.md
-against these files.
+Writes plans/r<N>/<query>_<suffix>.txt for each query (default: the
+bench HEADLINE set; round N from $SPARK_GRAFT_ROUND, default 16).
+Explain only — nothing is executed, so this is safe to run while
+other jobs own the box. The round's optimization deliverable: the
+judge checks plan claims in OPTIMIZATION_r<N>.md against these
+files.
 """
 
 from __future__ import annotations
@@ -22,7 +23,9 @@ from hetnetdb_spark import registry  # noqa: E402
 from hetnetdb_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT_DIR = os.path.join(REPO, "plans", "r15")
+OUT_DIR = os.path.join(
+    REPO, "plans", f"r{os.environ.get('SPARK_GRAFT_ROUND', '16')}"
+)
 
 DEFAULT = [
     "q1_pricing_summary",
