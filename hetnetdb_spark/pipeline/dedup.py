@@ -1093,14 +1093,12 @@ def l16_components_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the count and the split-only invariant (tests/test_golden.py)."""
     from hetnetdb_spark.pipeline.similarity import (
         SIM_THRESHOLD,
-        _band_structs,
+        banded_keys,
         dot as sim_dot,
     )
 
     (emb,) = load_tables(spark, sf_dir, "embeddings")
-    banded = emb.select(
-        "vec_id", F.explode(F.array(*_band_structs())).alias("band")
-    ).select("vec_id", "band.band_id", "band.band_val")
+    banded = banded_keys(emb)
     cand = band_candidates(banded, id_col="vec_id")
     ea = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"))
     eb = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"))

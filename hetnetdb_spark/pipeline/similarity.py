@@ -372,6 +372,60 @@ def _band_structs(
     return out
 
 
+def banded_keys(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    n_bands: int = N_BANDS,
+    bits: int = BITS_PER_BAND,
+    col: str = "embedding",
+) -> DataFrame:
+    """Exploded (id, band_id, band_val) LSH keys — the analysis-cheap
+    spelling of ``F.array(*_band_structs(...))`` + explode (r16,
+    guide §7.3 "planning time itself can become the bottleneck").
+
+    The r15-era spelling built 64 independent ``aggregate(zip_with)``
+    dot expressions, each carrying its own 64-literal plane array —
+    Catalyst ANALYSIS of that tree cost ~3.4 s per fresh
+    QueryExecution at sf0.1 while executing in ~0.3 s (measured r16;
+    the l04 family's wall was the driver, not the data). Here the
+    planes ship as ONE nested array literal and a single ``transform``
+    lambda computes every plane sign in plane order — same ``dot``
+    fold (identical doubles, identical signs; banded output
+    frame-identical to the old spelling, pinned by
+    tests/test_plans.py::test_banded_keys_matches_band_structs), with
+    analysis at ~0.45 s. Per-band values then assemble from the signs
+    column with flat integer arithmetic; the ``_signs`` helper column
+    never leaves this function.
+    """
+    if n_bands * bits > N_PLANES:
+        raise ValueError(
+            f"banding {n_bands}x{bits} needs {n_bands * bits} planes "
+            f"but only {N_PLANES} exist"
+        )
+    planes = _hyperplanes()
+    planes_lit = F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in planes[p]])
+            for p in range(n_bands * bits)
+        ]
+    )
+    signs = F.transform(
+        planes_lit,
+        lambda p: F.when(dot(F.col(col), p) > 0, F.lit(1)).otherwise(F.lit(0)),
+    )
+    structs = []
+    for b in range(n_bands):
+        val = F.lit(0)
+        for r in range(bits):
+            val = val + F.element_at("_signs", b * bits + r + 1) * F.lit(1 << r)
+        structs.append(F.struct(F.lit(b).alias("band_id"), val.alias("band_val")))
+    return (
+        df.withColumn("_signs", signs)
+        .select(id_col, F.explode(F.array(*structs)).alias("band"))
+        .select(id_col, "band.band_id", "band.band_val")
+    )
+
+
 def _plane_dot_sql(plane: np.ndarray, col: str = "embedding") -> str:
     """embedding · plane as a left-associative SQL sum of literal
     terms. Bit-reproducibility argument: Spark's `dot` folds
@@ -493,9 +547,7 @@ def l04_simjoin_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     (emb,) = load_tables(spark, sf_dir, "embeddings")
     emb = spread(emb, key="vec_id")  # CPU-bound hyperplane dots: see catalog.spread
-    banded = emb.select(
-        "vec_id", F.explode(F.array(*_band_structs())).alias("band")
-    ).select("vec_id", "band.band_id", "band.band_val")
+    banded = banded_keys(emb)
 
     candidates = band_candidates(banded, id_col="vec_id")
     ea = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"))
@@ -685,12 +737,7 @@ def l04_simjoin_lsh_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     allv = base.unionByName(planted)
 
-    banded = allv.select(
-        "vec_id",
-        F.explode(
-            F.array(*_band_structs(n_bands=SEL_BANDS, bits=SEL_BITS, col="e"))
-        ).alias("band"),
-    ).select("vec_id", "band.band_id", "band.band_val")
+    banded = banded_keys(allv, n_bands=SEL_BANDS, bits=SEL_BITS, col="e")
     cand = band_candidates(banded, id_col="vec_id")
     ea = allv.select(F.col("vec_id").alias("a_id"), F.col("e").alias("a_e"))
     eb = allv.select(F.col("vec_id").alias("b_id"), F.col("e").alias("b_e"))

@@ -242,6 +242,16 @@ RECHECK_THIS_ROUND: frozenset[str] = frozenset(
         "q5_local_supplier",           # r15 §2: same helper
         "window_top3_orders_per_cust", # r15 §1: LIMIT pushed through window
         "s17_table_profile",           # r15 §4: per-column union, no Expand
+        # r16 banding-spelling rewrite (banded_keys: one nested
+        # planes literal + one transform lambda instead of 64
+        # per-plane HOF dots — Catalyst analysis was the wall, guide
+        # §7.3; fresh-process l04 7.6->1.4 s, tuned 7.2->2.5 s).
+        # Same dot fold, frame-identical banding (pinned by
+        # test_banded_keys_matches_band_structs), oracles unchanged —
+        # re-certify the rewritten Spark side:
+        "l04_simjoin_lsh",
+        "l04_simjoin_lsh_tuned",
+        "l16_components_lsh",
     }
 )
 

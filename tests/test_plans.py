@@ -183,6 +183,47 @@ def test_bucketed_join_no_join_shuffle(spark):
     assert shuffle_exchange_count(plan) == 1, plan
 
 
+def test_banded_keys_matches_band_structs(spark):
+    """r16: the analysis-cheap banding spelling (one nested planes
+    literal + one transform lambda -> signs column) must produce the
+    FRAME-IDENTICAL (id, band_id, band_val) relation as the r15-era
+    per-plane `_band_structs` spelling, for both the 16x4 default
+    and the 8x8 selective regime. Same `dot` fold -> identical
+    doubles -> identical signs; this pin makes any future divergence
+    (a reordered sum, a changed cast) fail loudly."""
+    from pyspark.sql import functions as F
+
+    from hetnetdb_spark.catalog import load_tables
+    from hetnetdb_spark.pipeline.similarity import (
+        SEL_BANDS,
+        SEL_BITS,
+        _band_structs,
+        banded_keys,
+    )
+
+    (emb,) = load_tables(spark, SF_DIR, "embeddings")
+    for n_bands, bits in [(16, 4), (SEL_BANDS, SEL_BITS)]:
+        old = (
+            emb.select(
+                "vec_id",
+                F.explode(
+                    F.array(*_band_structs(n_bands=n_bands, bits=bits))
+                ).alias("band"),
+            )
+            .select("vec_id", "band.band_id", "band.band_val")
+            .toPandas()
+            .sort_values(["vec_id", "band_id"])
+            .reset_index(drop=True)
+        )
+        new = (
+            banded_keys(emb, n_bands=n_bands, bits=bits)
+            .toPandas()
+            .sort_values(["vec_id", "band_id"])
+            .reset_index(drop=True)
+        )
+        assert old.equals(new), f"banding spellings diverge at {n_bands}x{bits}"
+
+
 def test_lsh_band_exchanges_carry_no_payload(spark):
     """Round-3 invariant: the banding fan-out in the LSH joins must
     shuffle only (band key, id) rows — embeddings and shingle sets

@@ -198,13 +198,11 @@ def banding_law_row(spark, sf_dir: str):
     the measured constant of the quadratic candidate law on
     direction-random data. Count only (never materialized beyond
     the aggregate)."""
-    from hetnetdb_spark.pipeline.similarity import band_candidates, _band_structs
+    from hetnetdb_spark.pipeline.similarity import band_candidates, banded_keys
 
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     n = emb.count()
-    banded = emb.select(
-        "vec_id", F.explode(F.array(*_band_structs())).alias("band")
-    ).select("vec_id", "band.band_id", "band.band_val")
+    banded = banded_keys(emb)
     cand = band_candidates(banded, id_col="vec_id")
 
     def run():
@@ -232,16 +230,13 @@ def tuned_banding_row(spark, sf_dir: str):
     from hetnetdb_spark.pipeline.similarity import (
         SEL_BANDS,
         SEL_BITS,
-        _band_structs,
         band_candidates,
+        banded_keys,
     )
 
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     n = emb.count()
-    banded = emb.select(
-        "vec_id",
-        F.explode(F.array(*_band_structs(SEL_BANDS, SEL_BITS))).alias("band"),
-    ).select("vec_id", "band.band_id", "band.band_val")
+    banded = banded_keys(emb, n_bands=SEL_BANDS, bits=SEL_BITS)
     cand = band_candidates(banded, id_col="vec_id")
     wall, n_cand = timed(cand.count)
     all_pairs = n * (n - 1) // 2
