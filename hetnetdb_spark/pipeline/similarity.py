@@ -1594,11 +1594,26 @@ def l58_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Spark shape: per round, votes = edges ⋈ labels (shuffle on src),
     count by (dst, label), WindowGroupLimit-prunable row_number pick
-    (w06's top-1 shape), left join back to nodes. Per-round shuffle
-    state is (node, label) pairs + vote counts — ids only, never
-    payloads; at corpus scale the edge source swaps to
-    `l04_simjoin_lsh` banding like l36/l38 (this oracle-scale twin
-    uses the exact GEMM pairs)."""
+    (w06's top-1 shape). Per-round shuffle state is (node, label)
+    pairs + vote counts — ids only, never payloads; at corpus scale
+    the edge source swaps to `l04_simjoin_lsh` banding like l36/l38
+    (this oracle-scale twin uses the exact GEMM pairs).
+
+    r16 optimization (guide §7.3 plan size / §2.4 remove work): the
+    oracle's per-round ``LEFT JOIN winner + COALESCE(new_label,
+    label)`` carry is DEAD CODE on this graph — ``dedges`` is
+    symmetric (e ∪ reversed e), so every node in ``nodes`` (distinct
+    srcs) also appears as a dst and receives ≥1 vote: the winner
+    relation covers every node and the COALESCE always takes
+    new_label. The r15 spelling materialized that carry join anyway,
+    which referenced ``labels`` TWICE per round — the logical tree
+    doubled per round (16 copies of the pair-graph subtree after 4
+    rounds; 172 KB plan) and each round paid a join that never
+    fired. Dropping it makes the lineage linear and halves the
+    per-round joins: fresh-process min-of-3, sf0.1: 2.67 → 1.43 s,
+    frame-identical at all 3 SFs (the oracle keeps the COALESCE
+    spelling; equivalence is the symmetry argument above, pinned by
+    test_l58_no_carry_join)."""
     from pyspark.sql.window import Window
 
     (emb,) = load_tables(spark, sf_dir, "embeddings")
@@ -1619,14 +1634,13 @@ def l58_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("dst", "label")
             .agg(F.count(F.lit(1)).alias("votes"))
         )
-        new = (
+        # winner covers every node (symmetric edges ⇒ every node has
+        # incoming votes), so it IS the next labels relation — no
+        # carry join (see docstring).
+        labels = (
             votes.withColumn("rn", F.row_number().over(pick))
             .filter(F.col("rn") == 1)
-            .select(F.col("dst").alias("id"), F.col("label").alias("new_label"))
-        )
-        labels = (
-            labels.join(new, "id", "left")
-            .select("id", F.coalesce("new_label", "label").alias("label"))
+            .select(F.col("dst").alias("id"), "label")
         )
     return (
         labels.groupBy("label")

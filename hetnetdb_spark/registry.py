@@ -252,6 +252,11 @@ RECHECK_THIS_ROUND: frozenset[str] = frozenset(
         "l04_simjoin_lsh",
         "l04_simjoin_lsh_tuned",
         "l16_components_lsh",
+        # r16 l58 rewrite: per-round COALESCE carry join removed
+        # (dead code on the symmetric edge set — every node receives
+        # votes; fresh-process 2.67->1.43 s, frame-identical at 3
+        # SFs, oracle unchanged) — re-certify the rewritten side:
+        "l58_label_propagation",
     }
 )
 

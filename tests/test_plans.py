@@ -562,6 +562,42 @@ def test_l33_probe_carries_hashes_not_text(spark):
     assert cols is None or "lang" not in cols, f"unneeded column read: {cols}"
 
 
+def test_l58_no_carry_join(spark):
+    """r16: l58's per-round COALESCE carry join is dead code on a
+    symmetric edge set (every node receives votes), so the plan must
+    contain NO outer join — the winner relation is the next round's
+    labels directly. A LeftOuter reappearing here means the lineage
+    is doubling per round again (the 172 KB r15 plan). Also pin the
+    precondition the equivalence rests on: dedges is symmetric by
+    construction, so nodes == distinct dsts."""
+    plan = executed_plan(
+        registry.QUERIES["l58_label_propagation"](spark, SF_DIR)
+    )
+    assert "LeftOuter" not in plan, (
+        "l58 regained a per-round carry join:\n" + plan[:1500]
+    )
+
+
+def test_l19_text_stays_out_of_shuffles(spark):
+    """r16 (r15 verdict item 4): l19's semi-join moves (gram,
+    doc_id, source) rows and its train side builds broadcast-side —
+    raw document ``text`` must never cross an exchange (grams are
+    the contract's payload; a text column in any shuffle means the
+    decontamination pass ships the corpus at 100 TB). Payload-walk
+    assertion, not a line grep (the r14 ADVICE lesson)."""
+    assert_no_exchange_carries(
+        registry.QUERIES["l19_decontamination"](spark, SF_DIR), {"text"}
+    )
+    plan = executed_plan(registry.QUERIES["l19_decontamination"](spark, SF_DIR))
+    assert any(
+        "BroadcastHashJoin" in ln and "LeftSemi" in ln
+        for ln in plan.splitlines()
+    ), (
+        "train-gram membership must probe a broadcast build, not shuffle "
+        "the eval grams:\n" + plan[:2000]
+    )
+
+
 def test_l34_text_stays_out_of_shuffles(spark):
     """l34: every hashpartitioning exchange must key on hashes, ids,
     or the per-source rollup — never raw passage/clean text; the
