@@ -257,6 +257,10 @@ RECHECK_THIS_ROUND: frozenset[str] = frozenset(
         # votes; fresh-process 2.67->1.43 s, frame-identical at 3
         # SFs, oracle unchanged) — re-certify the rewritten side:
         "l58_label_propagation",
+        # r16 f25 rewrite: global sort moved below the xml/xpath
+        # projections (the range-sampling pass re-executed them;
+        # 1.95->1.21 s, frames identical, oracle unchanged):
+        "f25_xml_roundtrip",
     }
 )
 

@@ -562,6 +562,24 @@ def test_l33_probe_carries_hashes_not_text(spark):
     assert cols is None or "lang" not in cols, f"unneeded column read: {cols}"
 
 
+def test_f25_sort_below_xml_projection(spark):
+    """r16: f25's global sort must run on the scanned columns BELOW
+    the xml/xpath projections — with the sort on top, the range
+    exchange's bound-sampling pass re-executed the whole XML
+    machinery (measured: the sort doubled the query, 1.95 vs
+    1.21 s). Tree order in the formatted plan: Project above Sort."""
+    df = registry.QUERIES["f25_xml_roundtrip"](spark, SF_DIR)
+    text = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+    header = text.split("\n\n")[0]
+    i_proj = header.find("Project")
+    i_sort = header.find("Sort")
+    assert 0 < i_proj < i_sort, (
+        "xml/xpath projection must sit above the Sort:\n" + header
+    )
+
+
 def test_l58_no_carry_join(spark):
     """r16: l58's per-round COALESCE carry join is dead code on a
     symmetric edge set (every node receives votes), so the plan must
