@@ -2005,8 +2005,11 @@ def l68_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     span-cutting rewrite would drop — the number that decides
     whether substring dedup is worth a corpus rewrite at 100 TB.
 
-    Plan: the gram/stats legs are l67's (hash agg + equi-join on the
-    md5 key, linear in corpus chars); the island build is ONE
+    Plan: the repeated-gram filter is a count over the g window —
+    ONE exchange of the corpus-sized gram relation, where the
+    agg + self-join spelling paid two plus both SMJ sorts (r16:
+    that spill exhausted the 300× corpus's disk; see the inline
+    comment); the island build is ONE
     exchange on doc_id serving both window functions and the span
     aggregate (the sessionize pattern applied to char intervals);
     the final join back to `documents` is per-doc (bounded), and the
@@ -2033,14 +2036,22 @@ def l68_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pos0") + 1).cast("long").alias("p"),
         F.md5("gram").alias("g"),
     )
-    dup_grams = grams.groupBy("g").agg(F.count(F.lit(1)).alias("cnt")).filter(
-        F.col("cnt") > 1
-    )
-    # sort-merge for the same explode-underestimation reason as
-    # l67 (see that query's comment; measured at the 30× slope —
-    # and like there, NOT shuffle_hash: its build map OOMed).
-    hits = grams.join(dup_grams.select("g").hint("merge"), "g").select(
-        "doc_id", "source", "p"
+    # r16: the per-gram duplicate flag is ONE window count over g,
+    # not groupBy(g) + SMJ back onto a second gram computation. The
+    # agg+join spelling shuffled the corpus-sized gram relation
+    # TWICE (agg leg + join leg) and sorted both SMJ sides — at the
+    # 300× slope corpus its concurrent spill exhausted >68 GB of
+    # local dir and the query could not finish AT ALL, while this
+    # spelling peaks at ~22 GB and runs (cold 112 s / min3 99 s).
+    # Same membership test (count over the g partition ≡ the agg's
+    # count), so rows are identical; fresh-process A/B at 30×:
+    # min3 26.3/23.0 → 17.4/15.5 s, and a dead tie at sf0.1 where
+    # the shuffle is too small to matter (tools/decompose_l68.py).
+    w_g = Window.partitionBy("g")
+    hits = (
+        grams.withColumn("cnt", F.count(F.lit(1)).over(w_g))
+        .filter(F.col("cnt") > 1)
+        .select("doc_id", "source", "p")
     )
 
     w_prev = (

@@ -261,6 +261,13 @@ RECHECK_THIS_ROUND: frozenset[str] = frozenset(
         # projections (the range-sampling pass re-executed them;
         # 1.95->1.21 s, frames identical, oracle unchanged):
         "f25_xml_roundtrip",
+        # r16 l68 rewrite: repeated-gram filter as a window count
+        # over g instead of groupBy(g) + SMJ back onto a second gram
+        # computation — the double shuffle's spill exhausted >68 GB
+        # at the 300× slope corpus (query could not finish; window
+        # spelling peaks ~22 GB, 99 s). Oracle unchanged, green at
+        # sf0.001/0.01/0.1 — re-certify the rewritten side:
+        "l68_dup_span_removal",
     }
 )
 

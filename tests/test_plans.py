@@ -596,6 +596,28 @@ def test_l58_no_carry_join(spark):
     )
 
 
+def test_l68_dup_flag_is_window_count(spark):
+    """r16: l68's repeated-gram filter is a count over the g window,
+    not groupBy(g) + SMJ back onto a second gram computation. The
+    agg+join spelling shuffled the corpus-sized gram relation TWICE
+    and sorted both SMJ sides — its concurrent spill exhausted
+    >68 GB of local dir at the 300× slope corpus (the query could
+    not finish), while the window spelling peaks at ~22 GB and runs
+    in 99 s; fresh-process 30× A/B 26.3/23.0 → 17.4/15.5 s. Pin:
+    the only SortMergeJoin left is the final LeftOuter onto
+    documents, and the duplicate flag is a window count keyed on g
+    (an Inner SMJ reappearing here means the double shuffle is
+    back)."""
+    plan = executed_plan(registry.QUERIES["l68_dup_span_removal"](spark, SF_DIR))
+    smj = [ln for ln in plan.splitlines() if "SortMergeJoin" in ln]
+    assert len(smj) == 1 and "LeftOuter" in smj[0], (
+        "l68 regained a gram self-join:\n" + "\n".join(smj)
+    )
+    assert "count(1) windowspecdefinition(g#" in plan, (
+        "l68's dup flag is no longer a window count over g:\n" + plan[:1500]
+    )
+
+
 def test_l19_text_stays_out_of_shuffles(spark):
     """r16 (r15 verdict item 4): l19's semi-join moves (gram,
     doc_id, source) rows and its train side builds broadcast-side —

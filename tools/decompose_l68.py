@@ -277,6 +277,30 @@ def main() -> None:
     n_passes = int(sys.argv[1]) if len(sys.argv) > 1 else 5
     mode = sys.argv[2] if len(sys.argv) > 2 else "stages"
     registry.load_all()
+    if mode.startswith("fresh:"):
+        # r16 scale A/B: ONE variant in THIS process (cold + min-of-n
+        # noop-sink passes), so an outer loop can alternate arms
+        # across fresh JVMs — the isolated protocol the 300× disk
+        # failure was diagnosed under, with per-process spill dirs.
+        name = mode.split(":", 1)[1]
+        build = {**STAGES, **VARIANTS}[name]
+        spark = get_spark(f"l68-fresh-{name}")
+        spark.sparkContext.setLogLevel("ERROR")
+        t0 = time.perf_counter()
+        build(spark).write.format("noop").mode("overwrite").save()
+        cold = time.perf_counter() - t0
+        walls = []
+        for _ in range(n_passes):
+            t0 = time.perf_counter()
+            build(spark).write.format("noop").mode("overwrite").save()
+            walls.append(time.perf_counter() - t0)
+        print(
+            f"FRESH {name} sf={SF_DIR} cold {cold:.3f}"
+            f" min{n_passes} {min(walls):.3f} walls {[round(w,3) for w in walls]}",
+            flush=True,
+        )
+        spark.stop()
+        return
     spark = get_spark("l68-decompose")
     spark.sparkContext.setLogLevel("ERROR")
     table = STAGES if mode == "stages" else VARIANTS

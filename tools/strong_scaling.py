@@ -115,7 +115,17 @@ QUERIES = [
 
 
 def _corpus() -> str:
-    """Build (or reuse) scale_smoke's cached 10x corpus."""
+    """Build (or reuse) scale_smoke's cached 10x corpus.
+
+    SPARK_GRAFT_SCALING_CORPUS overrides with an existing corpus dir
+    (r16: the 300x replica, where 8→32-core ratios carry signal —
+    at sf0.1 every headliner sits at ≤2x the per-execution floor and
+    core count cannot show; see PERF_r15 scaling block)."""
+    override = os.environ.get("SPARK_GRAFT_SCALING_CORPUS")
+    if override:
+        if not os.path.isdir(override):
+            raise SystemExit(f"scaling corpus {override} missing")
+        return override
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import scale_smoke  # noqa: PLC0415
 
