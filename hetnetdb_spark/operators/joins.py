@@ -512,36 +512,72 @@ def j14_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J14 — interval overlap join (Flink's interval join, kdb's
     wj): pairs of users whose daily activity spans [t0, t1]
     intersect. A bare overlap predicate has no equi key, which
-    degenerates to a cross product; the scale discipline is to BLOCK
-    on a time bucket that bounds the overlap scope (here the day the
-    intervals live in) so Spark hash-partitions on the block and
-    evaluates only the two-sided residual `a.t0 <= b.t1 AND b.t0 <=
-    a.t1` within partitions — J8's equi+residual shape lifted to
-    intervals. Intervals that may CROSS buckets need explode-to-
-    every-covered-bucket + distinct (L23's band pattern); these
-    day-grouped spans can't cross by construction."""
+    degenerates to a cross product; the first discipline is to BLOCK
+    on a time bucket that bounds the overlap scope (the day) — J8's
+    equi+residual shape lifted to intervals. But the block key here
+    is DAY alone: every user shares the same ~30 day blocks, so the
+    blocked join still evaluates (users/day)^2 residual pairs per
+    block at ANY corpus size — quadratic inside the block even
+    though the output is one count per day.
+
+    r16 rewrite (guide §3.5, avoid the exploding join): the count
+    needs no pair relation at all. Order a day's intervals by
+    (t0, user); the unordered pair {a, b} overlaps iff the
+    earlier-starting interval is still active when the later one
+    starts (a.t1 >= b.t0 — the other overlap inequality is then
+    automatic), so each interval contributes (#starts before it) -
+    (#ends strictly before its start) and the day's pair count is
+    the sum of contributions: ONE window over 2N endpoint rows —
+    the sessionize sweep-line pattern — instead of a quadratic
+    self-join. Tie rules that keep the count exact: end-points sort
+    AFTER start-points at the same timestamp (a.t1 == b.t0 is still
+    an overlap, inclusive bounds), and equal t0s order by user so
+    each pair is counted exactly once, at the later (t0, user).
+    Frame-identical to the join spelling at sf0.001/0.01/0.1
+    (tools/decompose_tail_r16.py); same-session rotated A/B
+    med 2.12 -> 1.15 s, fresh-process min3 below in
+    OPTIMIZATION_r16.md. Intervals that may CROSS buckets would
+    need explode-to-every-covered-bucket first (L23's band
+    pattern); these day-grouped spans can't cross by
+    construction."""
     (events,) = load_tables(spark, sf_dir, "events")
     iv = events.groupBy(
         "user_id", F.date_trunc("day", F.col("ts")).alias("day")
     ).agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
-    a = iv.select(
-        F.col("user_id").alias("a_user"), "day",
-        F.col("t0").alias("a_t0"), F.col("t1").alias("a_t1"),
+    pts = iv.select(
+        "day",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("t0").alias("t"),
+                    F.lit(0).alias("is_end"),
+                    F.col("user_id").alias("u"),
+                ),
+                F.struct(
+                    F.col("t1").alias("t"),
+                    F.lit(1).alias("is_end"),
+                    F.col("user_id").alias("u"),
+                ),
+            )
+        ).alias("p"),
+    ).select("day", "p.t", "p.is_end", "p.u")
+    w = (
+        Window.partitionBy("day")
+        .orderBy("t", "is_end", "u")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    b = iv.select(
-        F.col("user_id").alias("b_user"), F.col("day").alias("b_day"),
-        F.col("t0").alias("b_t0"), F.col("t1").alias("b_t1"),
+    contrib = pts.select(
+        "day",
+        "is_end",
+        (
+            F.coalesce(F.sum(1 - F.col("is_end")).over(w), F.lit(0))
+            - F.coalesce(F.sum("is_end").over(w), F.lit(0))
+        ).alias("active_before"),
     )
     return (
-        a.join(
-            b,
-            (F.col("day") == F.col("b_day"))
-            & (F.col("a_user") < F.col("b_user"))
-            & (F.col("a_t0") <= F.col("b_t1"))
-            & (F.col("b_t0") <= F.col("a_t1")),
-        )
+        contrib.filter(F.col("is_end") == 0)
         .groupBy("day")
-        .agg(F.count(F.lit(1)).alias("n_overlapping_pairs"))
+        .agg(F.sum("active_before").alias("n_overlapping_pairs"))
     )
 
 

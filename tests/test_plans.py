@@ -618,6 +618,26 @@ def test_l68_dup_flag_is_window_count(spark):
     )
 
 
+def test_j14_sweep_has_no_join(spark):
+    """r16: j14's per-day overlapping-pair count is the sweep-line
+    window over 2N endpoint rows, not the day-blocked self-join.
+    The blocked join keyed on day alone, so its residual evaluated
+    (users/day)^2 pairs per block at any corpus size; the sweep is
+    one sort per day partition. Pin: NO join of any kind in the
+    executed plan, and a Window node keyed on day present
+    (fresh-process A/B at sf0.1: 1.83 -> 0.68 s; frames identical
+    at sf0.001/0.01/0.1, oracle unchanged)."""
+    plan = executed_plan(
+        registry.QUERIES["j14_interval_overlap_join"](spark, SF_DIR)
+    )
+    assert "Join" not in plan, (
+        "j14 regained a pair join:\n" + plan[:1500]
+    )
+    assert "Window" in plan and "windowspecdefinition(day#" in plan, (
+        "j14's sweep window over day is gone:\n" + plan[:1500]
+    )
+
+
 def test_l19_text_stays_out_of_shuffles(spark):
     """r16 (r15 verdict item 4): l19's semi-join moves (gram,
     doc_id, source) rows and its train side builds broadcast-side —
