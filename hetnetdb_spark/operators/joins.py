@@ -520,7 +520,8 @@ def j14_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     block at ANY corpus size — quadratic inside the block even
     though the output is one count per day.
 
-    r16 rewrite (guide §3.5, avoid the exploding join): the count
+    r16 rewrite (guide §3 — avoid the join that multiplies rows —
+    and §2.4, remove its shuffle outright): the count
     needs no pair relation at all. Order a day's intervals by
     (t0, user); the unordered pair {a, b} overlaps iff the
     earlier-starting interval is still active when the later one
