@@ -72,15 +72,38 @@ def _spark_worker(query: str, corpus: str) -> int:
     spark = get_spark(f"scale-{query}")
     spark.sparkContext.setLogLevel("ERROR")
     fn = registry.QUERIES[query]
+
+    def _reap_shuffles() -> None:
+        """Force a JVM GC between passes so the ContextCleaner reaps
+        each pass's shuffle files. At the 300x documents corpus one
+        l68 execution leaves ~19 GB of shuffle files; without this,
+        4 passes in one context accumulate ~75 GB (the heap never
+        pressures, so GC — and therefore shuffle cleanup — never
+        runs) and the worker dies on spill ENOSPC even though every
+        single execution fits comfortably. Runs BETWEEN passes, so
+        no timed region includes it. Python gc first (py4j holds
+        JVM-side QueryExecution refs until the Python wrappers
+        die), then two JVM GCs with a pause — the first enqueues
+        the ContextCleaner work, the pause lets it drain."""
+        import gc  # noqa: PLC0415
+
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(3)
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(2)
+
     t0 = time.perf_counter()
     fn(spark, corpus).toPandas()
     cold = time.perf_counter() - t0
+    _reap_shuffles()
     best, capped = float("inf"), cold > CAP_S
     if not capped:
         for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, corpus).toPandas()
             best = min(best, time.perf_counter() - t0)
+            _reap_shuffles()
     print(json.dumps({
         "engine": "spark", "query": query, "cold": round(cold, 3),
         "min3": round(best, 3) if best < float("inf") else None,
